@@ -1,0 +1,46 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A row of the engine's input table (BASELINE.json `input_hint`): the
+  * rebuild's analog of the reference's `articles(id, title, url, text)`
+  * SQLite table (reference: backend/src/util/parser.rs:9).
+  */
+final case class CodeDoc(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** Corpus ingestion (SURVEY.md §2.1 S1): lazy distributed scans replacing the
+  * reference's full in-RAM materialization (parser.rs:19-24). All loaders
+  * yield the engine's canonical shape `(docId: Long, content: String, ...)`
+  * with column pruning pushed to the parquet scan.
+  */
+object Corpus {
+
+  /** The driver-generated synthetic `documents` table as a corpus:
+    * (doc_id, text, lang, source, n_chars) -> (docId, content, lang, source).
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("docId"),
+        col("text").as("content"),
+        col("lang"),
+        col("source"))
+
+  /** A `CodeDoc` table as a corpus: deterministic 64-bit docId from the
+    * natural key. xxhash64 is stable across Spark versions and partitionings;
+    * collisions at 10^12 rows are ~2.7e-2 birthday probability per pair-free
+    * corpus — acceptable for ranking; an identity table keyed by the triple
+    * disambiguates on hydration.
+    */
+  def fromCodeDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      xxhash64(col("repo"), col("path"), col("commit")).as("docId"),
+      col("content"),
+      col("lang"))
+}

@@ -1,0 +1,85 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** DuckDB-SQL mirrors of the engine's oracle-checkable stages, built from
+  * the same pinned configuration (stop list, BM25 params) so the driver's
+  * DuckDB compare gates real semantics, not copies of constants.
+  *
+  * The SQL tokenizer `regexp_split_to_array(text, '[^a-zA-Z0-9]+')` +
+  * `length(tok) > 2` + `lower` is property-tested equivalent to the
+  * engine's scanner (AnalyzerSpec); Porter stemming is NOT SQL-expressible,
+  * so oracle-gated queries run the no-stem chain and the stemmed chain is
+  * gated by the in-repo ScalaTest oracle instead (SURVEY.md §5).
+  */
+object OracleSql {
+
+  private def q(w: String) = "'" + w.replace("'", "''") + "'"
+
+  lazy val stopList: String =
+    Analyzer.defaultStopWords.toSeq.sorted.map(q).mkString(", ")
+
+  /** tokenize + stop-filter (no stem) over the `documents` table. */
+  lazy val tokCte: String =
+    s"""tok AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS tok
+        FROM documents)
+  WHERE length(tok) > 2 AND lower(tok) NOT IN ($stopList))"""
+
+  /** bare tokenizer, no stop filter (F1 alone). */
+  lazy val tokBareCte: String =
+    """tokb AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS tok
+        FROM documents)
+  WHERE length(tok) > 2)"""
+
+  lazy val tfCte: String =
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)"
+
+  lazy val dfCte: String =
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+
+  lazy val dlCte: String =
+    "dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id)"
+
+  lazy val statsCte: String =
+    """stats AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS DOUBLE)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl)"""
+
+  /** BM25 top-k for one query — mirrors [[RelationalBM25.topK]] including
+    * literal construction order ((k1 + 1.0), (1.0 - b)) so double math
+    * agrees, and the 4-decimal rounding + (score desc, doc_id asc) total
+    * order.
+    */
+  def bm25TopK(query: String, k: Int, p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+w AS (
+  SELECT tf.doc_id,
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (${p.k1} + 1.0))
+           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
+           * qt.qtf AS w
+  FROM tf JOIN df USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(sum(w), 4) AS score
+FROM w GROUP BY doc_id
+ORDER BY round(sum(w), 4) DESC, doc_id ASC
+LIMIT $k"""
+  }
+
+  def hydrateTopK(query: String, k: Int): String = {
+    val inner = bm25TopK(query, k)
+    s"""WITH topk AS ($inner)
+SELECT t.doc_id, t.score, d.lang, d.source
+FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+ORDER BY t.score DESC, t.doc_id ASC"""
+  }
+}

@@ -1,0 +1,127 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.functions.Udfs
+
+/** The fully-declarative (Catalyst-planned) form of the engine: scan ->
+  * analyze -> term frequencies -> corpus stats -> BM25 -> top-k, expressed
+  * as DataFrame ops only, so predicate pushdown / column pruning / partial
+  * aggregation / AQE all apply (SURVEY.md §4). This is the build-and-verify
+  * surface; the latency-optimized path over the prebuilt compressed index
+  * lives in [[graft.index]] / [[QueryEngine]].
+  *
+  * Semantically this *is* the reference's pipeline (EP1 steps 3-5 + EP2) —
+  * tokenizer.rs:8-74, idf.rs:3-50, search.rs:30-78 — with BM25 in place of
+  * TF-IDF-cosine (north rule) and one corpus pass instead of two.
+  *
+  * Every public stage keeps snake_case output columns so the DuckDB oracle
+  * (driver correctness gate) can mirror it column-for-column.
+  */
+object RelationalBM25 {
+
+  private def analyzeUdf(stem: Boolean) =
+    if (stem) Udfs.analyze else Udfs.analyzeNoStem
+
+  def analyzer(stem: Boolean): Analyzer =
+    if (stem) Analyzer.default else Analyzer.noStem(Analyzer.defaultStopWords)
+
+  /** (doc_id, term): one row per surviving token occurrence. Narrow (no
+    * shuffle); the UDF runs once per document.
+    */
+  def tokens(docs: DataFrame, stem: Boolean): DataFrame =
+    docs.select(
+      col("docId").as("doc_id"),
+      explode(analyzeUdf(stem)(col("content"))).as("term"))
+
+  /** A2: per-(doc,term) counts. One shuffle on (doc_id, term) with map-side
+    * partial aggregation (tokenizer.rs:44-66 done distributed).
+    */
+  def termFreqs(docs: DataFrame, stem: Boolean): DataFrame =
+    tokens(docs, stem).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** A3: document frequency per term (idf.rs:10-17). */
+  def docFreqs(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** A1: deterministic vocabulary ids by sorted term (SURVEY.md §7.4 —
+    * Variant B's sort over Variant A's nondeterministic first-seen order).
+    * The single-partition window is driver-side-small only at test scale;
+    * the scalable id assignment (zipWithIndex-free) is
+    * `row_number over (orderBy term)` which Spark plans as a global sort —
+    * acceptable for a vocabulary ~1e6 rows even at full corpus scale.
+    */
+  def vocabulary(tf: DataFrame): DataFrame =
+    docFreqs(tf).withColumn(
+      "term_id", row_number().over(Window.orderBy("term")).cast("long"))
+      .select("term", "term_id", "df")
+
+  /** A8 (BM25 form): per-document token count (length norm statistic). */
+  def docLens(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+  /** Single-row (n, avgdl): total docs (token-less docs count toward both N
+    * and the avgdl denominator) — fully lazy, no driver round-trip.
+    */
+  def corpusStats(docs: DataFrame, tf: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(tf.agg(coalesce(sum("tf"), lit(0L)).cast("double").as("tot")))
+      .select(col("n"), (col("tot") / col("n")).as("avgdl"))
+
+  /** The BM25 idf expression — must mirror [[BM25.idf]] and the oracle SQL. */
+  def idfCol(n: Column, df: Column): Column =
+    log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+
+  def weightCol(tf: Column, dl: Column, n: Column, avgdl: Column, df: Column, p: BM25Params): Column =
+    idfCol(n, df) * (tf * lit(p.k1 + 1.0)) /
+      (tf + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * dl / avgdl))
+
+  /** Analyze a query string into (term, qtf) with multiplicity. */
+  def queryTerms(query: String, stem: Boolean): Seq[(String, Double)] =
+    analyzer(stem).analyze(query).toSeq.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
+
+  /** EP2 distributed: top-k BM25 for one query -> (doc_id, score), score
+    * rounded to 4 decimals (cross-engine float tolerance), total order
+    * (score desc, doc_id asc). Catalyst plans the final step as
+    * TakeOrderedAndProject (per-partition heap + driver merge), never a full
+    * sort (vs the reference's full O(N log N) sort, search.rs:76).
+    */
+  def topK(docs: DataFrame, query: String, k: Int, stem: Boolean,
+           params: BM25Params = BM25.default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms(query, stem)
+    if (q.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    val tf = termFreqs(docs, stem)
+    val stats = corpusStats(docs, tf)
+    // Catalyst pushes the term filter below the (doc_id, term) aggregation.
+    val cand = tf.filter(col("term").isin(q.map(_._1): _*))
+    val scored = cand
+      .join(docFreqs(tf), "term")
+      .join(docLens(tf), "doc_id")
+      .crossJoin(stats) // single row -> broadcast nested loop
+      .join(broadcast(q.toDF("term", "qtf")), "term")
+      .select(col("doc_id"),
+        (weightCol(col("tf"), col("dl"), col("n"), col("avgdl"), col("df"), params)
+          * col("qtf")).as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("w")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** J2: hydrate top-k doc ids back to document attributes (search.rs:22-24
+    * done as a broadcast join of the <=k-row side).
+    */
+  def hydrate(topk: DataFrame, docs: DataFrame): DataFrame =
+    broadcast(topk)
+      .join(docs.withColumnRenamed("docId", "doc_id"), "doc_id")
+      .drop("content")
+}
