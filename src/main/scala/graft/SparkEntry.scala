@@ -109,8 +109,77 @@ object SparkEntry {
       s"t1_bm25_$key" -> ((s: SparkSession, dir: String) =>
         RelationalBM25.topK(Corpus.documents(s, dir), text, 10, stem = false))
     }.toMap
-    base ++ bm25
+    // EP2 over the REAL index: compressed posting blocks + per-shard WAND.
+    // Same DuckDB oracle as t1_* — gates the whole build+query path.
+    val wand = benchQueries.map { case (key, text) =>
+      s"ep2_wand_$key" -> ((s: SparkSession, dir: String) =>
+        new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchRounded(text, 10))
+    }.toMap
+    val wandStemmed: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ep2_wand_stemmed_tsm" -> ((s, dir) =>
+        new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = true))
+          .searchRounded("table scan merge", 10)),
+      // S8: build counters surface (docs/terms/postings/bytes per north rule)
+      "s8_index_stats" -> ((s, dir) => {
+        val idxDir = index.IndexCache.dirFor(s, dir, stem = false)
+        val g = index.PostingIndex.readGlobals(s, idxDir)
+        val (terms, postings, bytes) = index.Manifest.totals(idxDir)
+        import s.implicits._
+        Seq((g.nDocs, g.vocabularySize, g.totalTokens, terms, postings, bytes))
+          .toDF("document_count", "vocabulary_size", "total_tokens",
+            "indexed_terms", "postings", "posting_bytes")
+      }))
+    base ++ bm25 ++ wand ++ wandStemmed ++ opsQueries
   }
+
+  /** Training-data pipeline operators (dedup / similarity / text analysis /
+    * multimodal plumbing) as first-class query surface.
+    */
+  private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exact(rawDocs(s, dir)).orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ops.Dedup.ngramJaccard(rawDocs(s, dir), n = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      ops.Dedup.minhashLsh(rawDocs(s, dir), verifyMinJaccard = Some(0.5))
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      ops.Dedup.simhashPairs(rawDocs(s, dir), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      ops.Similarity.cosinePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.45)
+        .orderBy("id_a", "id_b")),
+    "ann_brute_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      ops.Similarity.bruteForceTopK(emb, q, 10)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      ops.Similarity.annTopK(emb, q, 10)
+    }),
+    "token_counts" -> ((s, dir) =>
+      ops.TextStats.tokenCounts(rawDocs(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      ops.TextStats.qualityScore(rawDocs(s, dir)).orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      ops.TextStats.langId(rawDocs(s, dir)).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id")),
+    "multimodal_sha" -> ((s, dir) =>
+      ops.Multimodal.extractFeatures(
+        ops.Multimodal.mediaFromDocs(rawDocs(s, dir)))
+        .select("media_id", "n_bytes", "sha").orderBy("media_id")),
+    "multimodal_features" -> ((s, dir) =>
+      ops.Multimodal.extractFeatures(
+        ops.Multimodal.mediaFromDocs(rawDocs(s, dir)))
+        .orderBy("media_id")))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
@@ -148,6 +217,83 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
     val bm25 = benchQueries.map { case (key, text) =>
       s"t1_bm25_$key" -> OracleSql.bm25TopK(text, 10)
     }.toMap
-    base ++ bm25
+    // the compressed-index WAND path must produce the same answer
+    val wand = benchQueries.map { case (key, text) =>
+      s"ep2_wand_$key" -> OracleSql.bm25TopK(text, 10)
+    }.toMap
+    base ++ bm25 ++ wand ++ opsOracleSql
+  }
+
+  private def opsOracleSql: Map[String, String] = {
+    val stop = OracleSql.stopList
+    val alnum = "list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2)"
+    val kept = s"list_filter(list_transform($alnum, x -> lower(x)), x -> x NOT IN ($stop))"
+    Map(
+      "dedup_exact" ->
+        """WITH h AS (SELECT doc_id, sha256(text) AS hsh FROM documents),
+g AS (SELECT hsh, min(doc_id) AS canon_id, count(*) AS dup_count FROM h GROUP BY hsh)
+SELECT h.doc_id, g.canon_id, g.dup_count,
+       CASE WHEN h.doc_id != g.canon_id THEN 1 ELSE 0 END AS is_dup
+FROM h JOIN g USING (hsh) ORDER BY doc_id""",
+      "dedup_ngram_jaccard" ->
+        s"""WITH toks AS (SELECT doc_id,
+  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id,
+  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY id_a, id_b""",
+      "dedup_embed_cosine" ->
+        """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (na.nv * nb.nv), 6) AS cos
+FROM dots JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+WHERE round(dot / (na.nv * nb.nv), 6) >= 0.45
+ORDER BY id_a, id_b""",
+      "ann_brute_cosine" ->
+        """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qx AS (SELECT generate_subscripts(qv, 1) AS i, CAST(unnest(qv) AS DOUBLE) AS x FROM q),
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot, sum(e.x * e.x) AS na
+      FROM ex e JOIN qx q USING (i) GROUP BY 1),
+qn AS (SELECT sum(x*x) AS nb FROM qx)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+      "token_counts" ->
+        s"""SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS INTEGER) AS ws_tokens,
+  CAST(len($alnum) AS INTEGER) AS alnum_tokens,
+  CAST(len($kept) AS INTEGER) AS kept_tokens
+FROM documents ORDER BY doc_id""",
+      "text_quality" ->
+        s"""WITH tc AS (SELECT doc_id,
+  CAST(length(text) AS DOUBLE) AS n,
+  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+  len($alnum) AS alnum_tokens, len($kept) AS kept_tokens FROM documents),
+q2 AS (SELECT doc_id,
+  round(least(n / 500.0, 1.0), 6) AS len_score,
+  round(1.0 - least(punct / greatest(n, 1.0) * 4.0, 1.0), 6) AS punct_score,
+  round(CAST(kept_tokens AS DOUBLE) / CAST(greatest(alnum_tokens, 1) AS DOUBLE), 6) AS content_ratio
+  FROM tc)
+SELECT doc_id, len_score, punct_score, content_ratio,
+       round((len_score + punct_score + content_ratio) / 3.0, 6) AS quality
+FROM q2 ORDER BY doc_id""",
+      "multimodal_sha" ->
+        """SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS sha
+FROM documents ORDER BY media_id""")
   }
 }

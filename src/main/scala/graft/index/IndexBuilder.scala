@@ -1,0 +1,233 @@
+package graft.index
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.{BM25, RelationalBM25}
+
+/** Distributed inverted-index build (SURVEY.md §7.1, EP1 rebuilt):
+  *
+  *  stage `stats`    scan -> analyze -> (doc_id, term, tf) materialized
+  *                   (partitioned by tb), plus (term, df, idf) stats and
+  *                   globals.json — ONE corpus pass (the reference tokenizes
+  *                   twice, tokenizer.rs:19+45; we don't copy that).
+  *  stage `postings` tf x df x dl -> exact BM25 weight per posting ->
+  *                   repartition by (tb, shard, term) -> sortWithinPartitions
+  *                   by docId -> streaming block encoder (never materializes
+  *                   a whole posting list — a df~N hot term is bounded by
+  *                   its shard slice and streamed block-by-block).
+  *
+  * Checkpoint/resume (§7.5, upgrading the reference's Path::exists() cache
+  * probe, main.rs:492): each (tb, shard) partition commits independently —
+  * staging write, atomic dir move, then a manifest record with counters
+  * (terms, postings, bytes). An interrupted build recomputes only
+  * partitions missing a manifest record; stage `stats` commits as a unit
+  * via globals.json last.
+  */
+object IndexBuilder {
+
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+            cfg: IndexConfig = IndexConfig()): IndexGlobals = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    if (!Files.exists(root.resolve("globals.json"))) buildStats(spark, docs, dir, cfg)
+    val globals = PostingIndex.readGlobals(spark, dir)
+    buildPostings(spark, dir, cfg, globals)
+    globals
+  }
+
+  private def tbUdf(buckets: Int) = udf((t: String) => IndexFormat.termBucket(t, buckets))
+  private def shardUdf(shards: Int) = udf((d: Long) => IndexFormat.docShard(d, shards))
+
+  /** Stage 1: materialize (doc_id, term, tf, shard) partitioned by tb, the
+    * per-term stats, and globals.json (committed last = stage marker).
+    */
+  def buildStats(spark: SparkSession, docs: DataFrame, dir: String, cfg: IndexConfig): Unit = {
+    val tf = RelationalBM25.termFreqs(docs, cfg.stem)
+      .withColumn("tb", tbUdf(cfg.termBuckets)(col("term")))
+      .withColumn("shard", shardUdf(cfg.shards)(col("doc_id")))
+    tf.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(s"$dir/tf")
+
+    val tfBack = spark.read.parquet(s"$dir/tf")
+    val nDocs = docs.count()
+    val totalTokens = tfBack.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
+    val avgdl = totalTokens.toDouble / nDocs
+    // idf via the same JVM function as the single-node oracle (BM25.idf) so
+    // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
+    // Catalyst's log may differ from Math.log by an ulp.
+    val n = nDocs.toDouble
+    val idfUdf = udf((df: Long) => BM25.idf(n, df.toDouble))
+    val stats = tfBack.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), idfUdf(col("df")).as("idf"))
+    stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+    val vocabSize = spark.read.parquet(s"$dir/stats").count()
+
+    val g = IndexGlobals(
+      buildId = java.util.UUID.randomUUID().toString,
+      sourcePath = docs.queryExecution.analyzed.collectLeaves().headOption
+        .map(_.simpleString(60)).getOrElse("inline"),
+      nDocs = nDocs, totalTokens = totalTokens, avgdl = avgdl,
+      vocabularySize = vocabSize,
+      shards = cfg.shards, termBuckets = cfg.termBuckets,
+      blockSize = cfg.blockSize, k1 = cfg.params.k1, b = cfg.params.b,
+      stem = cfg.stem)
+    writeGlobals(dir, g)
+  }
+
+  /** Stage 2: compute weights, encode blocks, commit per-(tb, shard). */
+  def buildPostings(spark: SparkSession, dir: String, cfg: IndexConfig,
+                    g: IndexGlobals): Unit = {
+    import spark.implicits._
+    val committed = Manifest.committed(dir)
+    val all = for (t <- 0 until cfg.termBuckets; s <- 0 until cfg.shards) yield (t, s)
+    val missing = all.filterNot(committed)
+    if (missing.isEmpty) return
+
+    val tfAll = spark.read.parquet(s"$dir/tf")
+    val tf =
+      if (committed.isEmpty) tfAll
+      else tfAll.filter(!struct(col("tb"), col("shard")).isin(
+        committed.toSeq.map(p => struct(lit(p._1), lit(p._2))): _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    // dl from the FULL tf (a doc's length is a global statistic even when
+    // resuming a subset of partitions).
+    val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val params = cfg.params
+    val avgdl = g.avgdl
+    // weight via BM25.weight (same JVM ops as the oracle — bit-exactness).
+    val wUdf = udf((tf: Long, dlv: Long, idf: Double) =>
+      BM25.weight(tf.toDouble, dlv.toDouble, avgdl, idf, params))
+    val postings = tf
+      .join(stats.select("term", "idf"), "term")
+      .join(dl, "doc_id")
+      .select(col("tb"), col("shard"), col("term"), col("doc_id"), col("tf"),
+        wUdf(col("tf"), col("dl"), col("idf")).as("w"))
+
+    val blockSize = cfg.blockSize
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+      missing.size min 256)
+    val blocks: Dataset[BlockRow] = postings
+      .repartition(parts, col("tb"), col("shard"), col("term"))
+      .sortWithinPartitions("tb", "shard", "term", "doc_id")
+      .select("tb", "shard", "term", "doc_id", "w", "tf")
+      .as[(Int, Int, String, Long, Double, Long)]
+      .mapPartitions { rows => new BlockEncodeIterator(rows, blockSize) }
+
+    val staging = s"$dir/.staging-postings"
+    blocks.write.mode(SaveMode.Overwrite)
+      .partitionBy("tb", "shard").parquet(staging)
+
+    // Atomic per-partition adoption: move each produced tb=X/shard=Y dir
+    // into the final tree, then write its manifest record with counters
+    // derived from the committed files (cheap: block-metadata columns only).
+    val stagingPath = Paths.get(staging)
+    val produced = listPartitionDirs(stagingPath)
+    produced.foreach { case (t, s, p) =>
+      val dest = Paths.get(dir, "postings", s"tb=$t", s"shard=$s")
+      Files.createDirectories(dest.getParent)
+      deleteRecursive(dest)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // Partitions in `missing` with no produced dir are empty but complete.
+    val counters = if (produced.nonEmpty) {
+      spark.read.parquet(s"$dir/postings")
+        .filter(struct(col("tb"), col("shard")).isin(
+          missing.map(p => struct(lit(p._1), lit(p._2))): _*))
+        .groupBy("tb", "shard")
+        .agg(countDistinct("term").as("terms"), sum("n").as("postings"),
+          sum(length(col("docs_bin")) + length(col("wts_bin")) +
+            length(col("tfs_bin"))).as("bytes"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    } else Map.empty[(Int, Int), (Long, Long, Long)]
+    missing.foreach { case (t, s) =>
+      val (terms, posts, bytes) = counters.getOrElse((t, s), (0L, 0L, 0L))
+      Manifest.commit(dir, t, s, terms, posts, bytes, g.buildId)
+    }
+    deleteRecursive(stagingPath)
+  }
+
+  /** Streaming block encoder over (tb, shard, term, doc_id, w, tf) rows that
+    * arrive clustered by (tb, shard, term) and docId-sorted within a term
+    * (guaranteed by repartition + sortWithinPartitions). Holds at most one
+    * block in memory — a hot term never materializes its full list.
+    */
+  private final class BlockEncodeIterator(
+      rows: Iterator[(Int, Int, String, Long, Double, Long)], blockSize: Int)
+      extends Iterator[BlockRow] {
+    private var cur: (Int, Int, String, Long, Double, Long) = _
+    private var hasCur = false
+    private var blockId = 0L
+    private val docs = new Array[Long](blockSize)
+    private val wts = new Array[Double](blockSize)
+    private val tfs = new Array[Long](blockSize)
+    private def advance(): Unit = { hasCur = rows.hasNext; if (hasCur) cur = rows.next() }
+    advance()
+
+    override def hasNext: Boolean = hasCur
+
+    override def next(): BlockRow = {
+      val (tb, shard, term) = (cur._1, cur._2, cur._3)
+      var n = 0
+      var maxW = Double.NegativeInfinity
+      while (hasCur && n < blockSize && cur._1 == tb && cur._2 == shard && cur._3 == term) {
+        docs(n) = cur._4; wts(n) = cur._5; tfs(n) = cur._6
+        if (cur._5 > maxW) maxW = cur._5
+        n += 1
+        advance()
+      }
+      val sameTerm = hasCur && cur._1 == tb && cur._2 == shard && cur._3 == term
+      val id = blockId
+      blockId = if (sameTerm) blockId + 1 else 0L
+      BlockRow(tb, shard, term, id, n, docs(n - 1), maxW,
+        Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n)),
+        Codec.encodeDoubles(java.util.Arrays.copyOf(wts, n)),
+        Codec.encodeVarLongs(java.util.Arrays.copyOf(tfs, n)))
+    }
+  }
+
+  // --- small fs helpers ----------------------------------------------------
+
+  private def listPartitionDirs(staging: Path): Seq[(Int, Int, Path)] = {
+    if (!Files.exists(staging)) return Seq.empty
+    val out = Seq.newBuilder[(Int, Int, Path)]
+    Files.list(staging).forEach { tbDir =>
+      val tn = tbDir.getFileName.toString
+      if (tn.startsWith("tb=")) {
+        val t = tn.stripPrefix("tb=").toInt
+        Files.list(tbDir).forEach { sDir =>
+          val sn = sDir.getFileName.toString
+          if (sn.startsWith("shard=")) out += ((t, sn.stripPrefix("shard=").toInt, sDir))
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def deleteRecursive(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  def writeGlobals(dir: String, g: IndexGlobals): Unit = {
+    val json =
+      s"""{"buildId":${jsonStr(g.buildId)},"sourcePath":${jsonStr(g.sourcePath)},
+         |"nDocs":${g.nDocs},"totalTokens":${g.totalTokens},"avgdl":${g.avgdl},
+         |"vocabularySize":${g.vocabularySize},"shards":${g.shards},
+         |"termBuckets":${g.termBuckets},"blockSize":${g.blockSize},
+         |"k1":${g.k1},"b":${g.b},"stem":${g.stem}}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(dir, "globals.json"), json)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.search.{RelationalBM25, Wand}
+
+/** Query-side handle on a built index (SURVEY.md EP2 rebuilt):
+  *
+  *  analyze(query) -> term buckets -> parquet scan pruned to
+  *  `tb IN (buckets)` (directory pruning) and `term IN (query terms)`
+  *  (row-group pruning via parquet min/max on the term column) ->
+  *  per-shard block-max WAND top-k (each doc shard holds complete lists,
+  *  so shard top-ks merge losslessly) -> global TakeOrderedAndProject.
+  *
+  * Scores are exact BM25 doubles, summed per doc in lexicographic term
+  * order (SURVEY.md §7.6.1) — bit-identical to the single-node oracle.
+  */
+final class PostingIndex(spark: SparkSession, dir: String) {
+
+  val globals: IndexGlobals = PostingIndex.readGlobals(spark, dir)
+
+  private val analyzer: Analyzer =
+    if (globals.stem) Analyzer.default else Analyzer.noStem(Analyzer.defaultStopWords)
+
+  def queryTerms(query: String): Seq[(String, Double)] =
+    analyzer.analyze(query).toSeq.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
+
+  /** Top-k search -> DataFrame (doc_id, score), total order
+    * (score desc, doc_id asc).
+    */
+  def search(query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val q = queryTerms(query)
+    if (q.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    val terms = q.map(_._1)
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val qtf = q.toMap
+    val kk = k
+    val blocks = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .as[BlockRow]
+    blocks.groupByKey(_.shard)
+      .flatMapGroups { (_, rows) => Wand.topK(rows, qtf, kk) }
+      .toDF("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle-comparable form: 4-decimal rounded scores (cross-engine float
+    * tolerance), ordered on the rounded value.
+    */
+  def searchRounded(query: String, k: Int): DataFrame =
+    search(query, k)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  /** J2 hydration: join winners back to document attributes. */
+  def hydrate(topk: DataFrame, docs: DataFrame): DataFrame =
+    RelationalBM25.hydrate(topk, docs)
+}
+
+object PostingIndex {
+
+  def readGlobals(spark: SparkSession, dir: String): IndexGlobals = {
+    val r = spark.read.json(s"$dir/globals.json").head()
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    def d(n: String) = r.getDouble(r.fieldIndex(n))
+    def s(n: String) = r.getString(r.fieldIndex(n))
+    IndexGlobals(
+      buildId = s("buildId"), sourcePath = s("sourcePath"),
+      nDocs = l("nDocs"), totalTokens = l("totalTokens"), avgdl = d("avgdl"),
+      vocabularySize = l("vocabularySize"), shards = l("shards").toInt,
+      termBuckets = l("termBuckets").toInt, blockSize = l("blockSize").toInt,
+      k1 = d("k1"), b = d("b"), stem = r.getBoolean(r.fieldIndex("stem")))
+  }
+
+  /** True iff the index is fully built (globals present + every (tb, shard)
+    * partition committed).
+    */
+  def isComplete(spark: SparkSession, dir: String): Boolean = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "globals.json")))
+      return false
+    val g = readGlobals(spark, dir)
+    Manifest.committed(dir).size == g.shards * g.termBuckets
+  }
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Large-scale training-data deduplication over a `(doc_id, text)` corpus:
+  * exact (content-hash groupBy), n-gram Jaccard (inverted-index pair join),
+  * MinHash+LSH (shingle -> signature -> band-bucket join), and SimHash
+  * (bit-sliced Hamming banding). All operators are shuffle-planned for a
+  * corpus that does not fit one machine: candidate generation is always an
+  * equi-join on a bucket key (never a cross join), and verification runs
+  * only on bucket-colliding pairs.
+  */
+object Dedup {
+
+  // --- exact --------------------------------------------------------------
+
+  /** Exact dedup via sha256(content): (doc_id, canon_id, dup_count).
+    * canon_id = min doc_id of the content group; a row is a duplicate iff
+    * doc_id != canon_id. One shuffle on the 64-hex hash.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val h = sha2(col(textCol), 256)
+    val w = Window.partitionBy(h)
+    docs.select(col(idCol),
+        min(col(idCol)).over(w).as("canon_id"),
+        count(lit(1)).over(w).as("dup_count"))
+      .withColumn("is_dup", (col(idCol) =!= col("canon_id")).cast("int"))
+  }
+
+  // --- word n-grams -------------------------------------------------------
+
+  private val noStem = Analyzer.noStem(Set.empty)
+
+  /** Contiguous word n-grams after tokenize (no stop filter — shingling
+    * wants full word sequence).
+    */
+  private[ops] def ngrams(text: String, n: Int): Array[String] = {
+    val toks = noStem.analyze(text)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  def ngramsUdf(n: Int) = udf((s: String) => ngrams(s, n))
+
+  /** Distinct (doc_id, ngram) pairs. */
+  def docNgrams(docs: DataFrame, n: Int, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(ngramsUdf(n)(col(textCol))).as("ngram"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram:
+    * inverted-index self-join on the n-gram key (the only shuffle that
+    * scales: |pairs| is output-bound, never O(N^2)), then
+    * J = common / (|A| + |B| - common) filtered at `minJaccard`.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ng = docNgrams(docs, n, textCol, idCol)
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = ng.as("a").join(ng.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** Deterministic 64-bit string hash (FNV-1a), pinned independent of JVM. */
+  @inline private[ops] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** MinHash signature: numPerms universal-hash permutations
+    * h_i(x) = a_i * x + b_i (odd multipliers from a seeded PRNG), min over
+    * the doc's shingle hashes. Empty docs -> Long.MaxValue lanes.
+    */
+  private[ops] def minhashSig(text: String, shingle: Int, numPerms: Int, seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numPerms)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numPerms)(rnd.nextLong())
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    ngrams(text, shingle).foreach { g =>
+      val x = fnv1a64(g)
+      var i = 0
+      while (i < numPerms) {
+        val v = as(i) * x + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH candidate pairs: signatures banded (bands x rowsPerBand = perms);
+    * docs colliding in >= 1 band are candidates, optionally verified with
+    * exact n-gram Jaccard. Returns (id_a, id_b [, jaccard]).
+    */
+  def minhashLsh(docs: DataFrame, shingle: Int = 3, bands: Int = 16,
+                 rowsPerBand: Int = 4, seed: Long = 42L,
+                 verifyMinJaccard: Option[Double] = None,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val sigUdf = udf((s: String) => minhashSig(s, shingle, numPerms, seed))
+    // band hash = FNV over the band's lanes, pinned.
+    val bandsUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        (b, fnv1a64(slice.mkString(",")))
+      })
+    val buckets = docs
+      .select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      // docs with no shingles have all-MaxValue signatures: they are not
+      // near-duplicates of each other, drop before banding
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc_id"), explode(bandsUdf(col("sig"))).as("bb"))
+      .select(col("doc_id"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyMinJaccard match {
+      case None => pairs
+      case Some(tau) =>
+        pairs.join(ngramJaccard(docs, shingle, tau, textCol, idCol),
+          Seq("id_a", "id_b"), "inner")
+    }
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over the doc's term-frequency vector (FNV term hashes,
+    * tf weights).
+    */
+  private[ops] def simhash(text: String): Long = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    noStem.analyze(text).foreach(t => counts(t) = counts.getOrElse(t, 0) + 1)
+    val acc = new Array[Long](64)
+    counts.foreach { case (t, c) =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((s: String) => simhash(s))
+
+  /** Near-dup pairs with Hamming(simhash) <= maxHamming, found by the
+    * pigeonhole banding trick: split 64 bits into (maxHamming + 1) slices —
+    * any pair within the radius collides on >= 1 exact slice, so candidate
+    * generation is an equi-join on (slice_id, slice_value).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val slices = maxHamming + 1
+    val width = 64 / slices
+    val sliceUdf = udf((h: Long) =>
+      (0 until slices).map(i => (i, (h >>> (i * width)) &
+        (if (width == 64) -1L else (1L << width) - 1))))
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      simhashUdf(col(textCol)).as("sh"))
+    val keyed = hashed.select(col("doc_id"), col("sh"),
+        explode(sliceUdf(col("sh"))).as("sl"))
+      .select(col("doc_id"), col("sh"), col("sl._1").as("slice"), col("sl._2").as("key"))
+    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.slice") === col("b.slice") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.search
+
+import scala.collection.mutable
+
+import graft.index.{BlockRow, Codec}
+
+/** Per-shard top-k scorer: document-at-a-time traversal with WAND
+  * upper-bound pruning and block-level seek skipping (SURVEY.md §4 items
+  * O2/O3 upgraded — the reference walks full posting rows score-at-a-time
+  * with a dense accumulator, search.rs:54-78; we prune by score and skip
+  * whole compressed blocks by max_doc without decoding them).
+  *
+  * Exactness contract (north rule rank-identity, SURVEY.md §7.6.1):
+  *  - disjunctive (OR) semantics, as the reference (search.rs:58-69);
+  *  - a fully-evaluated doc's score sums cursor contributions in
+  *    lexicographic term order (cursor array is term-sorted);
+  *  - pruning is tie-safe: a doc is skipped only when its upper bound is
+  *    *strictly* below the current threshold, so equal-score candidates are
+  *    always evaluated and the (score desc, doc_id asc) order is exact;
+  *  - heap eviction uses the same total order.
+  */
+object Wand {
+
+  private final val Exhausted = Long.MaxValue
+
+  /** Cursor over one term's block sequence within one shard. Blocks are
+    * docId-ordered (build guarantees block_id order = docId order); decode
+    * is lazy — seek() skips whole blocks via max_doc metadata.
+    */
+  private final class Cursor(val term: String, val qtf: Double,
+                             blocks: Array[BlockRow]) {
+    val ub: Double = {
+      var m = Double.NegativeInfinity
+      var i = 0
+      while (i < blocks.length) { if (blocks(i).max_w > m) m = blocks(i).max_w; i += 1 }
+      qtf * m
+    }
+    private var bi = -1
+    private var pi = 0
+    private var docs: Array[Long] = null
+    private var wts: Array[Double] = null
+    var curDoc: Long = _
+    nextBlock()
+
+    private def nextBlock(): Unit = {
+      bi += 1
+      if (bi >= blocks.length) { curDoc = Exhausted; docs = null }
+      else {
+        val blk = blocks(bi)
+        docs = Codec.decodeDocIds(blk.docs_bin, blk.n)
+        wts = Codec.decodeDoubles(blk.wts_bin)
+        pi = 0
+        curDoc = docs(0)
+      }
+    }
+
+    def contribution: Double = qtf * wts(pi)
+
+    def next(): Unit = {
+      pi += 1
+      if (docs != null && pi < docs.length) curDoc = docs(pi) else nextBlock()
+    }
+
+    /** Advance to the first posting with docId >= target. */
+    def seek(target: Long): Unit = {
+      if (curDoc >= target) return
+      // skip undecoded blocks entirely by max_doc
+      while (bi < blocks.length && blocks(bi).max_doc < target) bi += 1
+      bi -= 1 // nextBlock() increments
+      nextBlock()
+      if (curDoc == Exhausted) return
+      // binary search within the block
+      var lo = 0
+      var hi = docs.length - 1
+      if (docs(hi) < target) { curDoc = Exhausted; return } // cannot happen (max_doc guard)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (docs(mid) < target) lo = mid + 1 else hi = mid
+      }
+      pi = lo
+      curDoc = docs(pi)
+    }
+  }
+
+  private final case class Hit(doc: Long, score: Double)
+
+  /** worst-first ordering: lower score first; equal scores -> larger docId
+    * first (so the evicted element is the one (score desc, doc asc) ranks
+    * last).
+    */
+  private val worstFirst: Ordering[Hit] = (a: Hit, b: Hit) => {
+    val c = java.lang.Double.compare(a.score, b.score)
+    if (c != 0) c else java.lang.Long.compare(b.doc, a.doc)
+  }
+
+  def topK(rows: Iterator[BlockRow], qtf: Map[String, Double], k: Int): Iterator[(Long, Double)] = {
+    // group blocks by term; sort each term's blocks by block_id (=docId order)
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
+    rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
+    if (byTerm.isEmpty) return Iterator.empty
+    val cursors: Array[Cursor] = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
+      new Cursor(t, qtf(t), bs.sortBy(_.block_id).toArray)
+    }
+    val heap = new java.util.PriorityQueue[Hit](k, worstFirst.asInstanceOf[java.util.Comparator[Hit]])
+
+    @inline def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.peek().score
+
+    @inline def offer(doc: Long, score: Double): Unit = {
+      if (heap.size < k) heap.add(Hit(doc, score))
+      else {
+        val w = heap.peek()
+        if (score > w.score || (score == w.score && doc < w.doc)) {
+          heap.poll(); heap.add(Hit(doc, score))
+        }
+      }
+    }
+
+    // by-curDoc view, re-sorted each round (|q| is tiny)
+    val order = cursors.clone()
+
+    var done = false
+    while (!done) {
+      java.util.Arrays.sort(order, (a: Cursor, b: Cursor) =>
+        java.lang.Long.compare(a.curDoc, b.curDoc))
+      // pivot: first index where prefix UB sum could beat the threshold
+      val th = threshold
+      var acc = 0.0
+      var p = 0
+      var found = false
+      while (p < order.length && !found) {
+        acc += order(p).ub
+        // tie-safe: only a strictly-smaller bound can be pruned
+        if (acc >= th || th == Double.NegativeInfinity) found = true else p += 1
+      }
+      if (!found || order(p).curDoc == Exhausted) done = true
+      else {
+        val pivotDoc = order(p).curDoc
+        if (order(0).curDoc == pivotDoc) {
+          // fully evaluate pivotDoc: cursors[] is term-sorted -> pinned sum order
+          var score = 0.0
+          var i = 0
+          while (i < cursors.length) {
+            if (cursors(i).curDoc == pivotDoc) score += cursors(i).contribution
+            i += 1
+          }
+          offer(pivotDoc, score)
+          i = 0
+          while (i < cursors.length) {
+            if (cursors(i).curDoc == pivotDoc) cursors(i).next()
+            i += 1
+          }
+        } else {
+          // advance the highest-UB cursor strictly BEFORE the pivot (classic
+          // WAND pick; a cursor already at pivotDoc must not be chosen or the
+          // loop stops making progress)
+          var sel = 0
+          var i = 1
+          while (i < p) {
+            if (order(i).curDoc < pivotDoc && order(i).ub > order(sel).ub) sel = i
+            i += 1
+          }
+          order(sel).seek(pivotDoc)
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { val h = heap.poll(); out(i) = (h.doc, h.score); i -= 1 }
+    out.iterator
+  }
+}

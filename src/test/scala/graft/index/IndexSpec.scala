@@ -1,0 +1,133 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.corpus.{Corpus, SyntheticCorpus}
+import graft.search.OracleScorer
+
+/** The north-rule gates (SURVEY.md §5 items 2, 4, 5, 6): rank-identity with
+  * exact score equality vs the single-node oracle on the reference query
+  * set, partition/salt invariance, resume-from-checkpoint equivalence, and
+  * skew handling — all over the deterministic synthetic CodeDoc corpus.
+  */
+class IndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  /** Reference query set (BASELINE.md) + skew + stemming probes. */
+  private val referenceQueries = Seq(
+    "longest river", "best complexity", "world war one", "May",
+    "what are common synonyms for the word search", "April",
+    "science", "technology", "health", "artificial intelligence",
+    "climate change",
+    "return", // hot term, df ~ N (skew fixture)
+    "running caresses ponies relational") // stemming-heavy
+
+  private lazy val codeDocs = SyntheticCorpus.generate(spark, 300, seed = 42L)
+  private lazy val docs = Corpus.fromCodeDocs(codeDocs).cache()
+  private lazy val docsLocal: Seq[(Long, String)] =
+    docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def tmpDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-index-$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def resultSeq(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("synthetic corpus is deterministic across partitionings") {
+    val a = SyntheticCorpus.generate(spark, 50, 42L).collect().map(_.toSeq).toSet
+    val b = SyntheticCorpus.generate(spark, 50, 42L).repartition(7)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("WAND top-10 is rank-identical with exact scores vs the oracle") {
+    val dir = tmpDir("main")
+    IndexBuilder.build(spark, docs, dir,
+      IndexConfig(shards = 4, termBuckets = 4, blockSize = 16))
+    val idx = new PostingIndex(spark, dir)
+    referenceQueries.foreach { q =>
+      val got = resultSeq(idx.search(q, 10))
+      val want = OracleScorer.topK(docsLocal, q, 10, stem = true)
+      assert(got == want, s"query '$q': got=$got want=$want")
+    }
+    // degenerate: all-stopword query
+    assert(resultSeq(idx.search("the and of", 10)).isEmpty)
+    // counters present for every partition
+    assert(Manifest.committed(dir).size == 16)
+    val (terms, postings, bytes) = Manifest.totals(dir)
+    assert(terms > 0 && postings > 0 && bytes > 0)
+  }
+
+  test("index content is invariant to shard/bucket/block configuration") {
+    val dirA = tmpDir("cfgA")
+    val dirB = tmpDir("cfgB")
+    IndexBuilder.build(spark, docs, dirA,
+      IndexConfig(shards = 1, termBuckets = 1, blockSize = 1024))
+    IndexBuilder.build(spark, docs.repartition(13), dirB,
+      IndexConfig(shards = 8, termBuckets = 2, blockSize = 4))
+    val a = new PostingIndex(spark, dirA)
+    val b = new PostingIndex(spark, dirB)
+    referenceQueries.take(6).foreach { q =>
+      assert(resultSeq(a.search(q, 10)) == resultSeq(b.search(q, 10)), s"query '$q'")
+    }
+  }
+
+  test("resume after partial build reproduces the uninterrupted index") {
+    val full = tmpDir("full")
+    val part = tmpDir("part")
+    val cfg = IndexConfig(shards = 4, termBuckets = 2, blockSize = 16)
+    IndexBuilder.build(spark, docs, full, cfg)
+
+    // simulate a kill: stats committed, then only a subset of postings
+    IndexBuilder.buildStats(spark, docs, part, cfg)
+    val g = PostingIndex.readGlobals(spark, part)
+    IndexBuilder.buildPostings(spark, part, cfg, g)
+    // wipe 3 of 8 partitions (dirs + manifest records) = the "interrupted" state
+    val victims = Seq((0, 1), (1, 2), (1, 3))
+    victims.foreach { case (t, s) =>
+      val d = Paths.get(part, "postings", s"tb=$t", s"shard=$s")
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      }
+      Files.deleteIfExists(Paths.get(part, "manifest", s"tb-$t-shard-$s.json"))
+    }
+    assert(Manifest.committed(part).size == 5)
+    // resume: must fill exactly the missing partitions
+    IndexBuilder.buildPostings(spark, part, cfg, g)
+    assert(Manifest.committed(part).size == 8)
+
+    val a = new PostingIndex(spark, full)
+    val b = new PostingIndex(spark, part)
+    referenceQueries.foreach { q =>
+      assert(resultSeq(a.search(q, 10)) == resultSeq(b.search(q, 10)), s"query '$q'")
+    }
+    assert(Manifest.totals(full) == Manifest.totals(part))
+  }
+
+  test("hot term (df ~ N) splits across shards; results still exact") {
+    val dir = tmpDir("skew")
+    IndexBuilder.build(spark, docs, dir,
+      IndexConfig(shards = 8, termBuckets = 2, blockSize = 16))
+    import org.apache.spark.sql.functions._
+    val blocks = spark.read.parquet(s"$dir/postings").filter(col("term") === "return")
+    val perShard = blocks.groupBy("shard").agg(sum("n").as("n")).collect()
+      .map(r => r.getLong(1))
+    assert(perShard.length == 8, "hot term must appear in every shard")
+    val total = perShard.sum
+    // no shard holds more than ~3x its fair share (hash balance)
+    assert(perShard.max <= (total / 8) * 3)
+    val got = resultSeq(new PostingIndex(spark, dir).search("return", 10))
+    val want = OracleScorer.topK(docsLocal, "return", 10, stem = true)
+    assert(got == want)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Training-data pipeline operators: planted-duplicate recall/precision,
+  * ANN vs brute-force recall floors, text-stats fixtures, multimodal
+  * plumbing determinism.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single day"
+  private def corpus: Seq[(Long, String)] = Seq(
+    1L -> base,
+    2L -> base, // exact dup of 1
+    3L -> base.replace("warm", "cold"), // near dup of 1
+    4L -> "completely different content about distributed query engines and shuffle partitioning strategies for spark",
+    5L -> "another unrelated document mentioning inverted index compression with variable byte encoding schemes",
+    6L -> (base + " with a small suffix appended"), // near dup of 1
+    7L -> "short one",
+    8L -> "")
+
+  private def docsDF = corpus.toDF("doc_id", "text")
+
+  test("exact dedup finds the planted exact duplicate and only it") {
+    val res = Dedup.exact(docsDF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(res(1L) == (1L, 2L, 0))
+    assert(res(2L) == (1L, 2L, 1)) // canon is min doc_id
+    assert(res(3L)._3 == 0 && res(4L)._3 == 0)
+  }
+
+  test("ngram jaccard: near dups above threshold, unrelated docs absent") {
+    val pairs = Dedup.ngramJaccard(docsDF, n = 3, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(pairs.contains((1L, 6L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH: candidates cover the planted dups; verification keeps precision") {
+    val cand = Dedup.minhashLsh(docsDF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+    val verified = Dedup.minhashLsh(docsDF, verifyMinJaccard = Some(0.5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash banding == brute-force hamming filter") {
+    val got = Dedup.simhashPairs(docsDF, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same hashes
+    val hs = corpus.map { case (id, t) => id -> Dedup.simhash(t) }
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 2L)))
+  }
+
+  test("brute-force cosine matches local math; ANN recall floor holds") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val query = local(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = local.toSeq.map { case (id, v) => (id, cos(query, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, query, 10).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    val ann = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSet
+    val recall = want.count(ann).toDouble / want.size
+    assert(recall >= 0.5, s"ANN recall $recall too low; got=$ann want=$want")
+  }
+
+  test("cosine near-dup pairs are found for identical vectors") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(e, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("token counts fixtures") {
+    val d = Seq((1L, "Hello, big World! a x  "), (2L, "")).toDF("doc_id", "text")
+    val res = TextStats.tokenCounts(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // "Hello, big World! a x  ": ws tokens = 5; alnum len>2 = hello, big, world; kept (big not stop) = hello, world, big
+    assert(res(1L)._2 == 5)
+    assert(res(1L)._3 == 3)
+    assert(res(2L) == (0, 0, 0, 0))
+  }
+
+  test("quality score bounded and ordered sensibly") {
+    val rows = TextStats.qualityScore(docsDF).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(rows(1L) > rows(8L)) // real text beats empty
+  }
+
+  test("language id fixtures") {
+    assert(TextStats.detectLang("the cat is in the house and it is warm")._1 == "en")
+    assert(TextStats.detectLang("el gato y la casa de los vecinos en la calle")._1 == "es")
+    assert(TextStats.detectLang("der Hund und die Katze ist von den Leuten")._1 == "de")
+    assert(TextStats.detectLang("中文文本处理测试")._1 == "zh")
+    assert(TextStats.detectLang("")._1 == "und")
+    assert(TextStats.detectLang("xyzzy plugh qwerty")._1 == "und")
+  }
+
+  test("fingerprints: deterministic, shared grams -> shared prints") {
+    val f1 = TextStats.fingerprint(base)
+    val f2 = TextStats.fingerprint(base)
+    assert(f1.toSeq == f2.toSeq && f1.nonEmpty)
+    val f3 = TextStats.fingerprint(base + " trailing addition here now")
+    assert(f1.toSet.intersect(f3.toSet).nonEmpty)
+    val f4 = TextStats.fingerprint(corpus(3)._2)
+    assert(f1.toSet.intersect(f4.toSet).isEmpty)
+    assert(TextStats.fingerprint("a b").isEmpty)
+  }
+
+  test("multimodal: schema, determinism, ingest sha, frame shape") {
+    val media = Multimodal.mediaFromDocs(docsDF)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val a = feats.collect().sortBy(_.getLong(0)).map(_.toString)
+    val b = Multimodal.extractFeatures(media.repartition(5)).collect()
+      .sortBy(_.getLong(0)).map(_.toString)
+    assert(a.toSeq == b.toSeq)
+    val shaRow = feats.filter("media_id = 1").head()
+    val wantSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(shaRow.getString(3) == wantSha)
+    val frames = Multimodal.sampleFrames(media).filter("media_id = 1").count()
+    assert(frames == (base.length + 63) / 64)
+  }
+}

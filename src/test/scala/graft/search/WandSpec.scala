@@ -1,0 +1,74 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{BlockRow, Codec}
+
+/** WAND == exhaustive top-k on randomized posting lists (SURVEY.md §5
+  * item 6), pure JVM — no Spark session. Exercises multi-block lists, block
+  * skipping, tie-breaking, and the >= 3-cursor pivot/advance paths.
+  */
+class WandSpec extends AnyFunSuite {
+
+  private def mkBlocks(term: String, postings: Seq[(Long, Double)],
+                       blockSize: Int): Seq[BlockRow] = {
+    postings.sortBy(_._1).grouped(blockSize).zipWithIndex.map { case (grp, i) =>
+      val docs = grp.map(_._1).toArray
+      val wts = grp.map(_._2).toArray
+      BlockRow(0, 0, term, i.toLong, grp.size, docs.last, wts.max,
+        Codec.encodeDocIds(docs), Codec.encodeDoubles(wts),
+        Codec.encodeVarLongs(Array.fill(grp.size)(1L)))
+    }.toSeq
+  }
+
+  private def exhaustive(lists: Map[String, Seq[(Long, Double)]],
+                         qtf: Map[String, Double], k: Int): Seq[(Long, Double)] = {
+    val terms = lists.keys.toSeq.sorted
+    val byDoc = scala.collection.mutable.HashMap.empty[Long, Double]
+    terms.foreach { t =>
+      // NB: per-doc accumulation in lexicographic term order (pinned)
+      lists(t).foreach { case (d, w) =>
+        byDoc(d) = byDoc.getOrElse(d, 0.0) + qtf(t) * w
+      }
+    }
+    byDoc.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+  }
+
+  test("WAND == exhaustive over 200 random corpora") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { trial =>
+      val nTerms = 1 + rnd.nextInt(5)
+      val nDocs = 1 + rnd.nextInt(200)
+      val blockSize = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(12)
+      val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
+        val term = s"t$t"
+        val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.4)
+          .map(_.toLong * (1 + rnd.nextInt(3)))
+          .distinct
+        // small weight set on purpose: forces score ties -> docId tie-break
+        term -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
+      }.toMap.filter(_._2.nonEmpty)
+      if (lists.nonEmpty) {
+        val qtf = lists.keys.map(t => t -> (1 + rnd.nextInt(2)).toDouble).toMap
+        val blocks = lists.toSeq.flatMap { case (t, ps) => mkBlocks(t, ps, blockSize) }
+        val got = Wand.topK(blocks.iterator, qtf, k).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+        val want = exhaustive(lists, qtf, k)
+        assert(got == want, s"trial=$trial k=$k lists=$lists")
+      }
+    }
+  }
+
+  test("single exhausted-path regression: 3 cursors, one at pivot") {
+    // shape that hangs if the advance step may pick a cursor already at pivot
+    val lists = Map(
+      "a" -> Seq((1L, 0.5), (100L, 0.5)),
+      "b" -> Seq((50L, 2.0), (100L, 2.0)),
+      "c" -> Seq((50L, 3.0), (60L, 3.0)))
+    val qtf = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val blocks = lists.toSeq.flatMap { case (t, ps) => mkBlocks(t, ps, 1) }
+    val got = Wand.topK(blocks.iterator, qtf, 2).toSeq.sortBy { case (d, s) => (-s, d) }
+    assert(got == exhaustive(lists, qtf, 2))
+  }
+}
