@@ -54,6 +54,11 @@ object SparkEntry {
       "s9_doc_lookup" -> ((s, dir) =>
         rawDocs(s, dir).filter(col("doc_id") === 42)
           .select("doc_id", "lang", "source", "n_chars", "text")),
+      // F7: snippet truncation (App.tsx:290 made server-side)
+      "f7_snippet" -> ((s, dir) =>
+        rawDocs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("snippet"))
+          .orderBy("doc_id").limit(50)),
       // F1: bare tokenizer on one document
       "f1_tokenize" -> ((s, dir) =>
         rawDocs(s, dir).filter(col("doc_id") === 1)
@@ -190,6 +195,8 @@ object SparkEntry {
         "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
       "s9_doc_lookup" ->
         "SELECT doc_id, lang, source, n_chars, text FROM documents WHERE doc_id = 42",
+      "f7_snippet" ->
+        "SELECT doc_id, substr(text, 1, 150) AS snippet FROM documents ORDER BY doc_id LIMIT 50",
       "f1_tokenize" ->
         s"""WITH ${OracleSql.tokBareCte}
 SELECT term, count(*) AS cnt FROM tokb WHERE doc_id = 1 GROUP BY term ORDER BY term""",

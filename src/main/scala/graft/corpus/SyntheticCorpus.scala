@@ -40,9 +40,9 @@ object SyntheticCorpus {
   /** Deterministic per-doc content: a seeded RNG keyed by (seed, id) — never
     * by partition — so the corpus is reproducible under any parallelism.
     */
-  private def contentFor(seed: Long, id: Long): String = {
+  private def contentFor(seed: Long, id: Long, minWords: Int, maxWords: Int): String = {
     val rnd = new scala.util.Random(seed * 1000003L + id)
-    val n = 20 + rnd.nextInt(60)
+    val n = minWords + rnd.nextInt(maxWords - minWords)
     val sb = new StringBuilder
     sb.append("return ") // hot skew term, df ~ N (FIXTURES.md §2)
     var i = 0
@@ -57,8 +57,13 @@ object SyntheticCorpus {
   /** Generate `n` docs. Columns per `input_hint`:
     * (repo, path, commit, lang, content).
     */
-  def generate(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
-    val genContent = udf((id: Long) => contentFor(seed, id))
+  /** minWords/maxWords size the docs: tests use the small default; the
+    * bench corpus uses ~2 KB docs (realistic web/corpus scale) so analysis
+    * compute, not per-file overhead, dominates.
+    */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L,
+               minWords: Int = 20, maxWords: Int = 80): DataFrame = {
+    val genContent = udf((id: Long) => contentFor(seed, id, minWords, maxWords))
     spark.range(n).select(
       format_string("org%d/repo%d", col("id") % 7, col("id") % 13).as("repo"),
       format_string("src/m%d/f%d.scala", col("id") % 5, col("id")).as("path"),

@@ -33,4 +33,24 @@ object Udfs {
   /** Bare tokenizer (F1 alone, no stop filter, no stem). */
   val tokenize: UserDefinedFunction =
     udf((s: String) => Analyzer.tokenize(s))
+
+  /** One-pass per-document term statistics: (term, tf, dl) structs — the
+    * per-(doc,term) counts AND the doc length computed row-locally inside
+    * the scan, so the index build needs NO shuffle to obtain tf/dl (the
+    * naive `groupBy(doc_id, term)` form shuffles every token occurrence —
+    * at 10^12 docs that's the dominant cost, and it is pure waste because
+    * the aggregation key is confined to the row).
+    */
+  private def termCountsFor(analyzer: Analyzer): UserDefinedFunction =
+    udf((s: String) => {
+      val toks = analyzer.analyze(s)
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      toks.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+      val dl = toks.length
+      m.iterator.map { case (t, c) => (t, c.toLong, dl.toLong) }.toArray
+    })
+
+  val termCounts: UserDefinedFunction = termCountsFor(Analyzer.default)
+  val termCountsNoStem: UserDefinedFunction =
+    termCountsFor(Analyzer.noStem(Analyzer.defaultStopWords))
 }

@@ -29,6 +29,18 @@ import graft.search.{BM25, RelationalBM25}
   */
 object IndexBuilder {
 
+  private val timings = sys.env.contains("GRAFT_TIMINGS")
+
+  private[index] def stage[A](name: String)(f: => A): A = {
+    if (!timings) f
+    else {
+      val t0 = System.nanoTime()
+      val a = f
+      System.err.println(f"[timing] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+  }
+
   def build(spark: SparkSession, docs: DataFrame, dir: String,
             cfg: IndexConfig = IndexConfig()): IndexGlobals = {
     val root = Paths.get(dir)
@@ -46,14 +58,18 @@ object IndexBuilder {
     * per-term stats, and globals.json (committed last = stage marker).
     */
   def buildStats(spark: SparkSession, docs: DataFrame, dir: String, cfg: IndexConfig): Unit = {
-    val tf = RelationalBM25.termFreqs(docs, cfg.stem)
+    // one shuffle-free pass: (doc_id, term, tf, dl) + routing columns
+    val tf = RelationalBM25.termFreqsWithDl(docs, cfg.stem)
       .withColumn("tb", tbUdf(cfg.termBuckets)(col("term")))
       .withColumn("shard", shardUdf(cfg.shards)(col("doc_id")))
-    tf.write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(s"$dir/tf")
+    // plain layout (no partitionBy): tf is always read whole; a dynamic
+    // partition write here only multiplies small files and commit time
+    stage("stats:tf-write")(tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
 
     val tfBack = spark.read.parquet(s"$dir/tf")
-    val nDocs = docs.count()
-    val totalTokens = tfBack.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
+    val nDocs = stage("stats:n-docs")(docs.count())
+    val totalTokens = stage("stats:tot-tokens")(
+      tfBack.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0))
     val avgdl = totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
@@ -62,8 +78,8 @@ object IndexBuilder {
     val idfUdf = udf((df: Long) => BM25.idf(n, df.toDouble))
     val stats = tfBack.groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"), idfUdf(col("df")).as("idf"))
-    stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
-    val vocabSize = spark.read.parquet(s"$dir/stats").count()
+    stage("stats:stats-write")(stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats"))
+    val vocabSize = stage("stats:vocab-count")(spark.read.parquet(s"$dir/stats").count())
 
     val g = IndexGlobals(
       buildId = java.util.UUID.randomUUID().toString,
@@ -92,47 +108,50 @@ object IndexBuilder {
       else tfAll.filter(!struct(col("tb"), col("shard")).isin(
         committed.toSeq.map(p => struct(lit(p._1), lit(p._2))): _*))
     val stats = spark.read.parquet(s"$dir/stats")
-    // dl from the FULL tf (a doc's length is a global statistic even when
-    // resuming a subset of partitions).
-    val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
     val params = cfg.params
     val avgdl = g.avgdl
-    // weight via BM25.weight (same JVM ops as the oracle — bit-exactness).
+    // weight via BM25.weight (same JVM ops as the oracle — bit-exactness);
+    // dl rides on every tf row (computed row-locally in the stats pass), so
+    // the only join is the broadcast-sized per-term stats table.
     val wUdf = udf((tf: Long, dlv: Long, idf: Double) =>
       BM25.weight(tf.toDouble, dlv.toDouble, avgdl, idf, params))
     val postings = tf
       .join(stats.select("term", "idf"), "term")
-      .join(dl, "doc_id")
       .select(col("tb"), col("shard"), col("term"), col("doc_id"), col("tf"),
         wUdf(col("tf"), col("dl"), col("idf")).as("w"))
 
     val blockSize = cfg.blockSize
-    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
-      missing.size min 256)
+    // One shuffle partition per (tb, shard): every encode task then writes
+    // into exactly ~one output directory, so the dynamic-partition commit
+    // moves O(partitions) files instead of O(partitions * tasks) — this was
+    // the dominant serial cost at bench scale. Hot terms are still split
+    // by shard; within a partition the sort keeps (tb, shard, term) groups
+    // contiguous and docId-ordered for the streaming encoder.
+    val parts = cfg.termBuckets * cfg.shards
     val blocks: Dataset[BlockRow] = postings
-      .repartition(parts, col("tb"), col("shard"), col("term"))
+      .repartition(parts, col("tb"), col("shard"))
       .sortWithinPartitions("tb", "shard", "term", "doc_id")
       .select("tb", "shard", "term", "doc_id", "w", "tf")
       .as[(Int, Int, String, Long, Double, Long)]
       .mapPartitions { rows => new BlockEncodeIterator(rows, blockSize) }
 
     val staging = s"$dir/.staging-postings"
-    blocks.write.mode(SaveMode.Overwrite)
-      .partitionBy("tb", "shard").parquet(staging)
+    stage("postings:encode-write")(blocks.write.mode(SaveMode.Overwrite)
+      .partitionBy("tb", "shard").parquet(staging))
 
     // Atomic per-partition adoption: move each produced tb=X/shard=Y dir
     // into the final tree, then write its manifest record with counters
     // derived from the committed files (cheap: block-metadata columns only).
     val stagingPath = Paths.get(staging)
     val produced = listPartitionDirs(stagingPath)
-    produced.foreach { case (t, s, p) =>
+    stage("postings:adopt")(produced.foreach { case (t, s, p) =>
       val dest = Paths.get(dir, "postings", s"tb=$t", s"shard=$s")
       Files.createDirectories(dest.getParent)
       deleteRecursive(dest)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-    }
+    })
     // Partitions in `missing` with no produced dir are empty but complete.
-    val counters = if (produced.nonEmpty) {
+    val counters = stage("postings:counters")(if (produced.nonEmpty) {
       spark.read.parquet(s"$dir/postings")
         .filter(struct(col("tb"), col("shard")).isin(
           missing.map(p => struct(lit(p._1), lit(p._2))): _*))
@@ -143,7 +162,7 @@ object IndexBuilder {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    } else Map.empty[(Int, Int), (Long, Long, Long)]
+    } else Map.empty[(Int, Int), (Long, Long, Long)])
     missing.foreach { case (t, s) =>
       val (terms, posts, bytes) = counters.getOrElse((t, s), (0L, 0L, 0L))
       Manifest.commit(dir, t, s, terms, posts, bytes, g.buildId)

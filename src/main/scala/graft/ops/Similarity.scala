@@ -39,17 +39,40 @@ object Similarity {
   }
 
   /** All near-duplicate pairs with cosine >= tau (embedding near-dup dedup).
-    * Quadratic candidate set done as a broadcast-friendly self-join on a
-    * length bucket? No — exact all-pairs is required here; at scale callers
-    * should prefilter with [[lshBuckets]]. Kept exact for the oracle gate.
+    * Exact all-pairs is inherently quadratic; the scalable prefilter is
+    * [[lshBuckets]]. The exact form is computed blockwise: L2-normalized
+    * vectors are broadcast once, each partition scores its rows against the
+    * broadcast block with primitive-array dot products (the one-block case
+    * of distributed blocked GEMM) — no quadratic shuffle, no per-pair array
+    * allocation, no per-pair norm recomputation.
     */
   def cosinePairs(embeddings: DataFrame, tau: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
-      .filter(col("cos") >= tau)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val normed = embeddings
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, if (n == 0) v else v.map(_ / n))
+      }
+    val block = spark.sparkContext.broadcast(normed.collect().sortBy(_._1))
+    normed.mapPartitions { it =>
+      val all = block.value
+      it.flatMap { case (ida, va) =>
+        all.iterator
+          .filter(_._1 > ida)
+          .map { case (idb, vb) =>
+            var d = 0.0
+            var i = 0
+            while (i < va.length && i < vb.length) { d += va(i) * vb(i); i += 1 }
+            // same rounding mode as Spark round()/DuckDB round(): HALF_UP
+            (ida, idb, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .filter(_._3 >= tau)
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim gaussians, seeded. */

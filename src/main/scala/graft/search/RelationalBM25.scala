@@ -37,12 +37,21 @@ object RelationalBM25 {
       col("docId").as("doc_id"),
       explode(analyzeUdf(stem)(col("content"))).as("term"))
 
-  /** A2: per-(doc,term) counts. One shuffle on (doc_id, term) with map-side
-    * partial aggregation (tokenizer.rs:44-66 done distributed).
+  /** A2 + A8 fused, one pass, NO shuffle: per-(doc,term) counts and doc
+    * length computed row-locally (tokenizer.rs:44-66 distributed; the
+    * aggregation key never leaves the row, so a groupBy would only shuffle
+    * token occurrences to rediscover row locality).
     */
+  def termFreqsWithDl(docs: DataFrame, stem: Boolean): DataFrame = {
+    val f = if (stem) Udfs.termCounts else Udfs.termCountsNoStem
+    docs.select(col("docId").as("doc_id"), explode(f(col("content"))).as("c"))
+      .select(col("doc_id"), col("c._1").as("term"), col("c._2").as("tf"),
+        col("c._3").as("dl"))
+  }
+
+  /** A2: per-(doc,term) counts (shuffle-free, see [[termFreqsWithDl]]). */
   def termFreqs(docs: DataFrame, stem: Boolean): DataFrame =
-    tokens(docs, stem).groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    termFreqsWithDl(docs, stem).drop("dl")
 
   /** A3: document frequency per term (idf.rs:10-17). */
   def docFreqs(tf: DataFrame): DataFrame =

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+import graft.index.{IndexCache, PostingIndex}
+import graft.search.RelationalBM25
+
+/** Prints formatted physical plans for the load-bearing queries so plan
+  * regressions (lost pushdown, broadcast becoming shuffle, full sort
+  * replacing TakeOrdered) are visible. `sbt "runMain graft.tools.Explain"`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    val docs = Corpus.documents(spark, sfDir)
+    show("s9 point lookup (expect PushedFilters on doc_id, pruned ReadSchema)") {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") === 42).select("doc_id", "lang")
+    }
+    show("t1 relational BM25 (expect partial aggs + TakeOrderedAndProject, broadcast qtf)") {
+      RelationalBM25.topK(docs, "table scan merge", 10, stem = false)
+    }
+    val idxDir = IndexCache.dirFor(spark, sfDir, stem = false)
+    show("ep2 WAND over index (expect PartitionFilters on tb + PushedFilters on term)") {
+      new PostingIndex(spark, idxDir).search("table scan merge", 10)
+    }
+    show("j2 hydration (expect BroadcastHashJoin, no shuffle of docs side)") {
+      RelationalBM25.hydrate(
+        RelationalBM25.topK(docs, "table scan merge", 10, stem = false), docs)
+    }
+    spark.stop()
+  }
+}
