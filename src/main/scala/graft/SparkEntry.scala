@@ -184,7 +184,13 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       ops.Multimodal.extractFeatures(
         ops.Multimodal.mediaFromDocs(rawDocs(s, dir)))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+    // W1/W2: event-time windowed analytics (beyond the reference; the
+    // streaming twin of w1 is gated batch==stream in StreamingSpec)
+    "w1_event_tumbling" -> ((s, dir) =>
+      ops.Events.tumblingCounts(ops.Events.load(s, dir))),
+    "w2_event_sessions" -> ((s, dir) =>
+      ops.Events.sessions(ops.Events.load(s, dir))))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
@@ -301,6 +307,8 @@ FROM q2 ORDER BY doc_id""",
       "multimodal_sha" ->
         """SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS sha
-FROM documents ORDER BY media_id""")
+FROM documents ORDER BY media_id""",
+      "w1_event_tumbling" -> ops.Events.tumblingSql,
+      "w2_event_sessions" -> ops.Events.sessionsSql())
   }
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table
+  * (event_id, ts, user_id, event_type, value, props): tumbling-window
+  * aggregation and gap-based sessionization. Batch forms here (both
+  * DuckDB-oracle-checkable); [[graft.streaming.StreamingIngest]] runs the
+  * same tumbling aggregation through Structured Streaming with a watermark
+  * and is gated batch==stream in StreamingSpec.
+  */
+object Events {
+
+  def load(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** Tumbling 1-hour windows per event_type: count + sum(value).
+    * `window()` is the native Spark form; output flattened to epoch
+    * seconds so the oracle compare is timezone-proof.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): classic lag + cumulative
+    * flag window pattern; one shuffle on user_id, then per-user ordered
+    * scan — the distributed shape that survives arbitrary user counts.
+    */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val flagged = events
+      // NTZ -> TIMESTAMP (session tz pinned UTC) so fractional-epoch casts resolve
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          // full-precision fractional seconds: micros/1e6 in double is the
+          // same IEEE value DuckDB's epoch() computes
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapMinutes * 60.0)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_seq")
+      .agg(unix_timestamp(min("ts")).as("session_start"),
+        unix_timestamp(max("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** DuckDB twins. */
+  val tumblingSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""
+
+  def sessionsSql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > ${gapMinutes * 60}.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+}
