@@ -98,6 +98,10 @@ object Wand {
     val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
     rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
     if (byTerm.isEmpty) return Iterator.empty
+    if (byTerm.size == 1) {
+      val (t, bs) = byTerm.head
+      return singleTermTopK(bs, qtf(t), k)
+    }
     val cursors: Array[Cursor] = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
       new Cursor(t, qtf(t), bs.sortBy(_.block_id).toArray)
     }
@@ -163,6 +167,46 @@ object Wand {
           order(sel).seek(pivotDoc)
         }
       }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { val h = heap.poll(); out(i) = (h.doc, h.score); i -= 1 }
+    out.iterator
+  }
+
+  /** Single-term fast path: impact-ordered block traversal — process blocks
+    * by descending max_w and stop once the heap is full and the next
+    * block's bound is *strictly* below the threshold (every posting in it
+    * scores <= bound < θ, so none can enter; bound == θ must still be
+    * scanned for the docId tie-break). Exact, and the cure for the hot-term
+    * (df ~ N) query whose docId-ordered traversal would decode every block.
+    */
+  private def singleTermTopK(blocks: mutable.ArrayBuffer[BlockRow], qtf: Double,
+                             k: Int): Iterator[(Long, Double)] = {
+    val heap = new java.util.PriorityQueue[Hit](k, worstFirst)
+    val sorted = blocks.sortBy(-_.max_w)
+    var bi = 0
+    var done = false
+    while (bi < sorted.length && !done) {
+      val blk = sorted(bi)
+      if (heap.size == k && qtf * blk.max_w < heap.peek().score) done = true
+      else {
+        val docs = graft.index.Codec.decodeDocIds(blk.docs_bin, blk.n)
+        val wts = graft.index.Codec.decodeDoubles(blk.wts_bin)
+        var i = 0
+        while (i < blk.n) {
+          val score = qtf * wts(i)
+          if (heap.size < k) heap.add(Hit(docs(i), score))
+          else {
+            val w = heap.peek()
+            if (score > w.score || (score == w.score && docs(i) < w.doc)) {
+              heap.poll(); heap.add(Hit(docs(i), score))
+            }
+          }
+          i += 1
+        }
+      }
+      bi += 1
     }
     val out = new Array[(Long, Double)](heap.size)
     var i = out.length - 1
