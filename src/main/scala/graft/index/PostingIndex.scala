@@ -28,6 +28,25 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     analyzer.analyze(query).toSeq.groupBy(identity).toSeq
       .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
 
+  /** Optional serving mode: pin the posting segments in executor memory
+    * (columnar cache). Filters on (tb, term) still prune via in-memory
+    * batch stats; per-query parquet decode disappears — the distributed
+    * analog of the reference's resident CSR (main.rs:531-536), except
+    * partitioned across executors instead of one heap.
+    */
+  def preload(): this.type = {
+    preloaded = Some(
+      spark.read.parquet(s"$dir/postings").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    preloaded.get.count() // materialize
+    this
+  }
+
+  private var preloaded: Option[DataFrame] = None
+
+  private def postingsDF: DataFrame =
+    preloaded.getOrElse(spark.read.parquet(s"$dir/postings"))
+
   /** Top-k search -> DataFrame (doc_id, score), total order
     * (score desc, doc_id asc).
     */
@@ -42,7 +61,7 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtf = q.toMap
     val kk = k
-    val blocks = spark.read.parquet(s"$dir/postings")
+    val blocks = postingsDF
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
       .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
         "docs_bin", "wts_bin", "tfs_bin")

@@ -18,6 +18,7 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val idx = new PostingIndex(spark, dir)
+    if (args.length > 2 && args(2) == "preload") idx.preload()
     val qs = Seq("longest river", "best complexity", "world war one",
       "artificial intelligence", "climate change", "science", "return")
     qs.foreach(q => idx.search(q, 10).collect())
