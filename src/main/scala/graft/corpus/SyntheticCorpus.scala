@@ -40,14 +40,19 @@ object SyntheticCorpus {
   /** Deterministic per-doc content: a seeded RNG keyed by (seed, id) — never
     * by partition — so the corpus is reproducible under any parallelism.
     */
-  private def contentFor(seed: Long, id: Long, minWords: Int, maxWords: Int): String = {
+  private def contentFor(seed: Long, id: Long, minWords: Int, maxWords: Int,
+                         vocabSpread: Int): String = {
     val rnd = new scala.util.Random(seed * 1000003L + id)
     val n = minWords + rnd.nextInt(maxWords - minWords)
     val sb = new StringBuilder
     sb.append("return ") // hot skew term, df ~ N (FIXTURES.md §2)
     var i = 0
     while (i < n) {
-      sb.append(pool(rnd.nextInt(pool.length)))
+      // vocabSpread > 0 mixes in synthetic identifiers (a code corpus has a
+      // huge long-tail vocabulary; the pinned pool alone has ~55 terms)
+      if (vocabSpread > 0 && rnd.nextInt(3) == 0)
+        sb.append("ident").append(rnd.nextInt(vocabSpread))
+      else sb.append(pool(rnd.nextInt(pool.length)))
       sb.append(if (rnd.nextInt(8) == 0) "; " else " ")
       i += 1
     }
@@ -62,8 +67,9 @@ object SyntheticCorpus {
     * compute, not per-file overhead, dominates.
     */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
-               minWords: Int = 20, maxWords: Int = 80): DataFrame = {
-    val genContent = udf((id: Long) => contentFor(seed, id, minWords, maxWords))
+               minWords: Int = 20, maxWords: Int = 80,
+               vocabSpread: Int = 0): DataFrame = {
+    val genContent = udf((id: Long) => contentFor(seed, id, minWords, maxWords, vocabSpread))
     spark.range(n).select(
       format_string("org%d/repo%d", col("id") % 7, col("id") % 13).as("repo"),
       format_string("src/m%d/f%d.scala", col("id") % 5, col("id")).as("path"),

@@ -97,16 +97,30 @@ object IndexBuilder {
   def buildPostings(spark: SparkSession, dir: String, cfg: IndexConfig,
                     g: IndexGlobals): Unit = {
     import spark.implicits._
-    val committed = Manifest.committed(dir)
+    val committed0 = Manifest.committed(dir)
     val all = for (t <- 0 until cfg.termBuckets; s <- 0 until cfg.shards) yield (t, s)
-    val missing = all.filterNot(committed)
-    if (missing.isEmpty) return
+    if (all.forall(committed0)) return
+    // Commit in waves (one per term bucket): a killed build keeps every
+    // completed wave's partitions and resumes from the first incomplete one
+    // — the incremental granularity the stage-level write alone can't give.
+    (0 until cfg.termBuckets).foreach { t =>
+      val committed = Manifest.committed(dir)
+      val missing = all.filter(p => p._1 == t && !committed(p))
+      if (missing.nonEmpty) buildPostingsWave(spark, dir, cfg, g, t, missing, committed)
+    }
+  }
 
-    val tfAll = spark.read.parquet(s"$dir/tf")
+  private def buildPostingsWave(spark: SparkSession, dir: String, cfg: IndexConfig,
+                                g: IndexGlobals, wave: Int,
+                                missing: Seq[(Int, Int)],
+                                committed: Set[(Int, Int)]): Unit = {
+    import spark.implicits._
+    val waveCommitted = committed.filter(_._1 == wave).toSeq
+    val tfAll = spark.read.parquet(s"$dir/tf").filter(col("tb") === wave)
     val tf =
-      if (committed.isEmpty) tfAll
+      if (waveCommitted.isEmpty) tfAll
       else tfAll.filter(!struct(col("tb"), col("shard")).isin(
-        committed.toSeq.map(p => struct(lit(p._1), lit(p._2))): _*))
+        waveCommitted.map(p => struct(lit(p._1), lit(p._2))): _*))
     val stats = spark.read.parquet(s"$dir/stats")
     val params = cfg.params
     val avgdl = g.avgdl
@@ -127,7 +141,7 @@ object IndexBuilder {
     // the dominant serial cost at bench scale. Hot terms are still split
     // by shard; within a partition the sort keeps (tb, shard, term) groups
     // contiguous and docId-ordered for the streaming encoder.
-    val parts = cfg.termBuckets * cfg.shards
+    val parts = cfg.shards
     val blocks: Dataset[BlockRow] = postings
       .repartition(parts, col("tb"), col("shard"))
       .sortWithinPartitions("tb", "shard", "term", "doc_id")
@@ -135,8 +149,8 @@ object IndexBuilder {
       .as[(Int, Int, String, Long, Double, Long)]
       .mapPartitions { rows => new BlockEncodeIterator(rows, blockSize) }
 
-    val staging = s"$dir/.staging-postings"
-    stage("postings:encode-write")(blocks.write.mode(SaveMode.Overwrite)
+    val staging = s"$dir/.staging-postings-$wave"
+    stage(s"postings:encode-write:tb=$wave")(blocks.write.mode(SaveMode.Overwrite)
       .partitionBy("tb", "shard").parquet(staging))
 
     // Atomic per-partition adoption: move each produced tb=X/shard=Y dir
@@ -151,7 +165,7 @@ object IndexBuilder {
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
     })
     // Partitions in `missing` with no produced dir are empty but complete.
-    val counters = stage("postings:counters")(if (produced.nonEmpty) {
+    val counters = stage(s"postings:counters:tb=$wave")(if (produced.nonEmpty) {
       spark.read.parquet(s"$dir/postings")
         .filter(struct(col("tb"), col("shard")).isin(
           missing.map(p => struct(lit(p._1), lit(p._2))): _*))

@@ -19,6 +19,18 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val idx = new PostingIndex(spark, dir)
     if (args.length > 2 && args(2) == "preload") idx.preload()
+    if (args.length > 2 && args(2) == "diff") {
+      val other = new PostingIndex(spark, args(3))
+      val qs0 = Seq("longest river", "best complexity", "world war one",
+        "artificial intelligence", "climate change", "science", "return",
+        "running caresses ponies relational")
+      val bad = qs0.filter { q =>
+        idx.search(q, 10).collect().toSeq.map(_.toSeq) !=
+          other.search(q, 10).collect().toSeq.map(_.toSeq)
+      }
+      println(s"QDIFF mismatches=${bad.size} ${bad.mkString(",")}")
+      spark.stop(); return
+    }
     val qs = Seq("longest river", "best complexity", "world war one",
       "artificial intelligence", "climate change", "science", "return")
     qs.foreach(q => idx.search(q, 10).collect())

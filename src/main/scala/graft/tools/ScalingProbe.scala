@@ -16,7 +16,7 @@ object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val docs = args(1).toLong
-    val corpusDir = s"/tmp/graft-probe-corpus-$docs"
+    val corpusDir = s"/tmp/graft-probe-corpus-$docs-v${sys.env.getOrElse("GRAFT_VOCAB_SPREAD", "0")}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "64"))
@@ -29,7 +29,8 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (!Files.exists(Paths.get(corpusDir, "_SUCCESS"))) {
-      SyntheticCorpus.generate(spark, docs, 42L, 160, 480).repartition(256).write.mode("overwrite").parquet(corpusDir)
+      SyntheticCorpus.generate(spark, docs, 42L, 160, 480,
+        sys.env.getOrElse("GRAFT_VOCAB_SPREAD", "0").toInt).repartition(256).write.mode("overwrite").parquet(corpusDir)
     }
     val idxDir = Files.createTempDirectory(s"graft-probe-idx-$cpus").toString
     val t0 = System.nanoTime()
