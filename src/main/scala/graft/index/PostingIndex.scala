@@ -73,6 +73,57 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       .limit(k)
   }
 
+  /** Batch form: top-k for MANY queries in one Spark job — one pruned scan
+    * over the union of all query terms, blocks replicated per (query,
+    * shard) group, per-group WAND, one TakeOrdered per query via window
+    * rank. Amortizes scheduler latency across a query set (offline eval /
+    * reranking workloads); each query's rows are identical to
+    * [[search]]'s.
+    * Returns (query_id, doc_id, score) ordered (query_id, score desc,
+    * doc_id).
+    */
+  def searchMany(queries: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val qTerms: Seq[(Int, Seq[(String, Double)])] =
+      queries.zipWithIndex.map { case (q, i) => (i, queryTerms(q)) }
+    val live = qTerms.filter(_._2.nonEmpty)
+    if (live.isEmpty) {
+      return spark.emptyDataFrame.select(lit(0).as("query_id"),
+        lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    // term -> [(queryId, qtf)]
+    val termToQueries: Map[String, Seq[(Int, Double)]] = live
+      .flatMap { case (qid, ts) => ts.map { case (t, f) => (t, qid, f) } }
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
+    val allTerms = termToQueries.keys.toSeq.sorted
+    val tbs = allTerms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val qtfByQuery: Map[Int, Map[String, Double]] =
+      live.map { case (qid, ts) => qid -> ts.toMap }.toMap
+    val bTerm2Q = spark.sparkContext.broadcast(termToQueries)
+    val bQtf = spark.sparkContext.broadcast(qtfByQuery)
+    val kk = k
+    val blocks = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(allTerms: _*))
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .as[BlockRow]
+    val perShard = blocks
+      .flatMap(r => bTerm2Q.value(r.term).map { case (qid, _) => (qid, r) })
+      .groupByKey { case (qid, r) => (qid, r.shard) }
+      .flatMapGroups { (key, rows) =>
+        val qid = key._1
+        Wand.topK(rows.map(_._2), bQtf.value(qid), kk)
+          .map { case (d, s) => (qid, d, s) }
+      }
+      .toDF("query_id", "doc_id", "score")
+    val ranked = perShard.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k).drop("rk")
+    ranked.orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
+  }
+
   /** Oracle-comparable form: 4-decimal rounded scores (cross-engine float
     * tolerance), ordered on the rounded value.
     */

@@ -33,6 +33,17 @@ object QueryProbe {
     }
     val qs = Seq("longest river", "best complexity", "world war one",
       "artificial intelligence", "climate change", "science", "return")
+    if (args.length > 2 && args(2) == "batch") {
+      idx.preload()
+      idx.searchMany(qs, 10).collect() // warm
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        idx.searchMany(qs, 10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QBATCH docs=${idx.globals.nDocs} queries=${qs.size} best=${times.min}%.4f s per_query=${times.min / qs.size}%.4f s")
+      spark.stop(); return
+    }
     qs.foreach(q => idx.search(q, 10).collect())
     val lat = (1 to 5).flatMap { _ =>
       qs.map { q =>

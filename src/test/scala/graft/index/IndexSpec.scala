@@ -114,6 +114,21 @@ class IndexSpec extends AnyFunSuite {
     assert(Manifest.totals(full) == Manifest.totals(part))
   }
 
+  test("searchMany == per-query search, one job") {
+    val dir = tmpDir("many")
+    IndexBuilder.build(spark, docs, dir,
+      IndexConfig(shards = 4, termBuckets = 4, blockSize = 16))
+    val idx = new PostingIndex(spark, dir)
+    val qs = referenceQueries.take(6) :+ "the and of" // incl. degenerate
+    val got = idx.searchMany(qs, 10).collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = resultSeq(idx.search(q, 10))
+      assert(got.getOrElse(i, Seq.empty) == single, s"query '$q'")
+    }
+  }
+
   test("hot term (df ~ N) splits across shards; results still exact") {
     val dir = tmpDir("skew")
     IndexBuilder.build(spark, docs, dir,
