@@ -122,6 +122,12 @@ object SparkEntry {
           .searchRounded(text, 10))
     }.toMap
     val wandStemmed: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // J3 conjunctive: posting-list intersection (leapfrog DAAT)
+      "j3_wand_and_tsm" -> ((s, dir) =>
+        new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchConjunctive("table scan merge", 10)
+          .withColumn("score", round(col("score"), 4))
+          .orderBy(col("score").desc, col("doc_id").asc)),
       "ep2_wand_stemmed_tsm" -> ((s, dir) =>
         new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = true))
           .searchRounded("table scan merge", 10)),
@@ -234,7 +240,9 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
     val wand = benchQueries.map { case (key, text) =>
       s"ep2_wand_$key" -> OracleSql.bm25TopK(text, 10)
     }.toMap
-    base ++ bm25 ++ wand ++ opsOracleSql
+    val wandAnd = Map(
+      "j3_wand_and_tsm" -> OracleSql.bm25TopKConjunctive("table scan merge", 10))
+    base ++ bm25 ++ wand ++ wandAnd ++ opsOracleSql
   }
 
   private def opsOracleSql: Map[String, String] = {

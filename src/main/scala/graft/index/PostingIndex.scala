@@ -50,7 +50,9 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   /** Top-k search -> DataFrame (doc_id, score), total order
     * (score desc, doc_id asc).
     */
-  def search(query: String, k: Int): DataFrame = {
+  def search(query: String, k: Int): DataFrame = search(query, k, conj = false)
+
+  private def search(query: String, k: Int, conj: Boolean): DataFrame = {
     import spark.implicits._
     val q = queryTerms(query)
     if (q.isEmpty) {
@@ -67,11 +69,20 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
     blocks.groupByKey(_.shard)
-      .flatMapGroups { (_, rows) => Wand.topK(rows, qtf, kk) }
+      .flatMapGroups { (_, rows) =>
+        if (conj) Wand.topKConjunctive(rows, qtf, kk) else Wand.topK(rows, qtf, kk)
+      }
       .toDF("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Conjunctive (AND) variant: only documents containing EVERY query term
+    * score (posting-list intersection, leapfrog DAAT). Beyond the
+    * reference's OR-only semantics.
+    */
+  def searchConjunctive(query: String, k: Int): DataFrame =
+    search(query, k, conj = true)
 
   /** Batch form: top-k for MANY queries in one Spark job — one pruned scan
     * over the union of all query terms, blocks replicated per (query,

@@ -75,6 +75,31 @@ ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
   }
 
+  /** Conjunctive (AND) variant: only docs matching EVERY distinct query
+    * term score — `HAVING count(*) = |terms|` over the per-(doc, term)
+    * weight rows.
+    */
+  def bm25TopKConjunctive(query: String, k: Int, p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+w AS (
+  SELECT tf.doc_id,
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (${p.k1} + 1.0))
+           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
+           * qt.qtf AS w
+  FROM tf JOIN df USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(sum(w), 4) AS score
+FROM w GROUP BY doc_id
+HAVING count(*) = ${terms.size}
+ORDER BY round(sum(w), 4) DESC, doc_id ASC
+LIMIT $k"""
+  }
+
   def hydrateTopK(query: String, k: Int): String = {
     val inner = bm25TopK(query, k)
     s"""WITH topk AS ($inner)

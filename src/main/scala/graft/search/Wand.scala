@@ -174,6 +174,69 @@ object Wand {
     out.iterator
   }
 
+  /** Conjunctive (AND) top-k: posting-list intersection via leapfrog DAAT —
+    * cursors seek to the max current docId (whole undecoded blocks skipped
+    * by max_doc); a doc is scored only when every cursor lands on it.
+    * Contribution sum in lexicographic term order (cursor construction
+    * order), same tie-safe heap as the disjunctive path. Beyond the
+    * reference (search.rs is OR-only); completes the north rule's
+    * "posting-list intersection" wording.
+    */
+  def topKConjunctive(rows: Iterator[BlockRow], qtf: Map[String, Double],
+                      k: Int): Iterator[(Long, Double)] = {
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
+    rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
+    // a shard missing any query term has no conjunctive match at all
+    if (byTerm.isEmpty || byTerm.size < qtf.size) return Iterator.empty
+    val cursors: Array[Cursor] = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
+      new Cursor(t, qtf(t), bs.sortBy(_.block_id).toArray)
+    }
+    val heap = new java.util.PriorityQueue[Hit](k, worstFirst)
+    var totalUb = 0.0
+    cursors.foreach(c => totalUb += c.ub)
+    var done = false
+    while (!done) {
+      // static-bound early exit (tie-safe: strict <)
+      if (heap.size == k && totalUb < heap.peek().score) done = true
+      // leapfrog: everyone seeks to the current maximum
+      var target = 0L
+      var i = 0
+      while (i < cursors.length) {
+        if (cursors(i).curDoc > target) target = cursors(i).curDoc
+        i += 1
+      }
+      if (done) ()
+      else if (target == Exhausted) done = true
+      else {
+        var aligned = true
+        i = 0
+        while (i < cursors.length && aligned) {
+          cursors(i).seek(target)
+          if (cursors(i).curDoc != target) aligned = false
+          i += 1
+        }
+        if (aligned && cursors.forall(_.curDoc == target)) {
+          var score = 0.0
+          i = 0
+          while (i < cursors.length) { score += cursors(i).contribution; i += 1 }
+          if (heap.size < k) heap.add(Hit(target, score))
+          else {
+            val w = heap.peek()
+            if (score > w.score || (score == w.score && target < w.doc)) {
+              heap.poll(); heap.add(Hit(target, score))
+            }
+          }
+          i = 0
+          while (i < cursors.length) { cursors(i).next(); i += 1 }
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { val h = heap.poll(); out(i) = (h.doc, h.score); i -= 1 }
+    out.iterator
+  }
+
   /** Single-term fast path: impact-ordered block traversal — process blocks
     * by descending max_w and stop once the heap is full and the next
     * block's bound is *strictly* below the threshold (every posting in it

@@ -60,6 +60,34 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("conjunctive == brute-force intersection over 200 random corpora") {
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { trial =>
+      val nTerms = 1 + rnd.nextInt(4)
+      val nDocs = 1 + rnd.nextInt(150)
+      val blockSize = 1 + rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(8)
+      val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
+        val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.5).map(_.toLong)
+        s"t$t" -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
+      }.toMap.filter(_._2.nonEmpty)
+      if (lists.size == nTerms) { // all terms present (else shard has no AND match)
+        val qtf = lists.keys.map(t => t -> 1.0).toMap
+        val blocks = lists.toSeq.flatMap { case (t, ps) => mkBlocks(t, ps, blockSize) }
+        val got = Wand.topKConjunctive(blocks.iterator, qtf, k).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+        // brute force: docs present in every list
+        val common = lists.values.map(_.map(_._1).toSet).reduce(_ intersect _)
+        val want = common.toSeq.map { d =>
+          val score = lists.keys.toSeq.sorted
+            .map(t => qtf(t) * lists(t).find(_._1 == d).get._2).sum
+          (d, score)
+        }.sortBy { case (d, s) => (-s, d) }.take(k)
+        assert(got == want, s"trial=$trial")
+      }
+    }
+  }
+
   test("single exhausted-path regression: 3 cursors, one at pivot") {
     // shape that hangs if the advance step may pick a cursor already at pivot
     val lists = Map(
