@@ -100,23 +100,28 @@ object IndexBuilder {
     val committed0 = Manifest.committed(dir)
     val all = for (t <- 0 until cfg.termBuckets; s <- 0 until cfg.shards) yield (t, s)
     if (all.forall(committed0)) return
-    // Commit in waves (one per term bucket): a killed build keeps every
+    // Commit in waves (groups of term buckets): a killed build keeps every
     // completed wave's partitions and resumes from the first incomplete one
-    // — the incremental granularity the stage-level write alone can't give.
-    (0 until cfg.termBuckets).foreach { t =>
+    // — incremental granularity the stage-level write alone can't give.
+    // commitWaves trades kill granularity against per-wave job overhead.
+    val waves = math.max(1, math.min(cfg.commitWaves, cfg.termBuckets))
+    (0 until waves).foreach { w =>
+      val tbsInWave = (0 until cfg.termBuckets).filter(_ % waves == w)
       val committed = Manifest.committed(dir)
-      val missing = all.filter(p => p._1 == t && !committed(p))
-      if (missing.nonEmpty) buildPostingsWave(spark, dir, cfg, g, t, missing, committed)
+      val missing = all.filter(p => tbsInWave.contains(p._1) && !committed(p))
+      if (missing.nonEmpty)
+        buildPostingsWave(spark, dir, cfg, g, w, tbsInWave, missing, committed)
     }
   }
 
   private def buildPostingsWave(spark: SparkSession, dir: String, cfg: IndexConfig,
-                                g: IndexGlobals, wave: Int,
+                                g: IndexGlobals, wave: Int, tbsInWave: Seq[Int],
                                 missing: Seq[(Int, Int)],
                                 committed: Set[(Int, Int)]): Unit = {
     import spark.implicits._
-    val waveCommitted = committed.filter(_._1 == wave).toSeq
-    val tfAll = spark.read.parquet(s"$dir/tf").filter(col("tb") === wave)
+    val waveCommitted = committed.filter(p => tbsInWave.contains(p._1)).toSeq
+    val tfAll = spark.read.parquet(s"$dir/tf")
+      .filter(col("tb").isin(tbsInWave: _*))
     val tf =
       if (waveCommitted.isEmpty) tfAll
       else tfAll.filter(!struct(col("tb"), col("shard")).isin(
@@ -141,7 +146,7 @@ object IndexBuilder {
     // the dominant serial cost at bench scale. Hot terms are still split
     // by shard; within a partition the sort keeps (tb, shard, term) groups
     // contiguous and docId-ordered for the streaming encoder.
-    val parts = cfg.shards
+    val parts = cfg.shards * math.max(1, tbsInWave.size)
     val blocks: Dataset[BlockRow] = postings
       .repartition(parts, col("tb"), col("shard"))
       .sortWithinPartitions("tb", "shard", "term", "doc_id")

@@ -40,7 +40,8 @@ final case class IndexConfig(
     termBuckets: Int = 8,
     blockSize: Int = 128,
     params: BM25Params = BM25Params(),
-    stem: Boolean = true)
+    stem: Boolean = true,
+    commitWaves: Int = 4)
 
 final case class IndexGlobals(
     buildId: String,
