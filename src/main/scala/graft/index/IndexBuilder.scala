@@ -70,7 +70,7 @@ object IndexBuilder {
     val nDocs = stage("stats:n-docs")(docs.count())
     val totalTokens = stage("stats:tot-tokens")(
       tfBack.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0))
-    val avgdl = totalTokens.toDouble / nDocs
+    val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
     // Catalyst's log may differ from Math.log by an ulp.

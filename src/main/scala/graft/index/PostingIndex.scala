@@ -35,17 +35,25 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * partitioned across executors instead of one heap.
     */
   def preload(): this.type = {
-    preloaded = Some(
-      spark.read.parquet(s"$dir/postings").persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    preloaded.get.count() // materialize
+    val df = postingsDF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize
+    preloaded = Some(df)
     this
   }
 
   private var preloaded: Option[DataFrame] = None
 
-  private def postingsDF: DataFrame =
-    preloaded.getOrElse(spark.read.parquet(s"$dir/postings"))
+  /** An entirely-empty corpus (or one whose docs produce no tokens) never
+    * writes a postings dir; treat it as an empty segment table.
+    */
+  private def postingsDF: DataFrame = preloaded.getOrElse {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "postings")))
+      spark.read.parquet(s"$dir/postings")
+    else {
+      import spark.implicits._
+      Seq.empty[BlockRow].toDF()
+    }
+  }
 
   /** Top-k search -> DataFrame (doc_id, score), total order
     * (score desc, doc_id asc).

@@ -129,6 +129,18 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate corpora: empty and token-less builds do not corrupt state") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("docId", "content")
+    val d1 = tmpDir("empty")
+    IndexBuilder.build(spark, empty, d1, IndexConfig(shards = 2, termBuckets = 2))
+    assert(new PostingIndex(spark, d1).search("anything", 5).collect().isEmpty)
+    val tokenless = Seq((1L, "a b c"), (2L, "!!")).toDF("docId", "content")
+    val d2 = tmpDir("tokenless")
+    IndexBuilder.build(spark, tokenless, d2, IndexConfig(shards = 2, termBuckets = 2))
+    assert(new PostingIndex(spark, d2).search("abc", 5).collect().isEmpty)
+  }
+
   test("hot term (df ~ N) splits across shards; results still exact") {
     val dir = tmpDir("skew")
     IndexBuilder.build(spark, docs, dir,
