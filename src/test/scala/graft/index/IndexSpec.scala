@@ -79,6 +79,22 @@ class IndexSpec extends AnyFunSuite {
     referenceQueries.take(6).foreach { q =>
       assert(resultSeq(a.search(q, 10)) == resultSeq(b.search(q, 10)), s"query '$q'")
     }
+    // content-level invariance (FIXTURES.md §8): decoded posting lists are
+    // identical term-for-term regardless of shard/bucket/block layout
+    def decoded(dir: String): Map[String, Seq[(Long, Double, Long)]] = {
+      spark.read.parquet(s"$dir/postings").collect().toSeq
+        .map { r =>
+          val term = r.getAs[String]("term")
+          val n = r.getAs[Int]("n")
+          val docs = Codec.decodeDocIds(r.getAs[Array[Byte]]("docs_bin"), n)
+          val wts = Codec.decodeDoubles(r.getAs[Array[Byte]]("wts_bin"))
+          val tfs = Codec.decodeVarLongs(r.getAs[Array[Byte]]("tfs_bin"), n)
+          term -> (0 until n).map(i => (docs(i), wts(i), tfs(i)))
+        }
+        .groupBy(_._1)
+        .view.mapValues(_.flatMap(_._2).sortBy(_._1)).toMap
+    }
+    assert(decoded(dirA) == decoded(dirB))
   }
 
   test("resume after partial build reproduces the uninterrupted index") {
