@@ -182,9 +182,15 @@ object IndexBuilder {
         .map(r => (r.getInt(0), r.getInt(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     } else Map.empty[(Int, Int), (Long, Long, Long)])
+    // per-partition distinct-doc counts from the wave's tf slice (the
+    // north rule's counter quartet: docs, terms, postings, bytes)
+    val docCounts = stage(s"postings:doc-counts:tb=$wave")(
+      tf.groupBy("tb", "shard").agg(countDistinct("doc_id").as("docs"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap)
     missing.foreach { case (t, s) =>
       val (terms, posts, bytes) = counters.getOrElse((t, s), (0L, 0L, 0L))
-      Manifest.commit(dir, t, s, terms, posts, bytes, g.buildId)
+      Manifest.commit(dir, t, s, docCounts.getOrElse((t, s), 0L), terms, posts,
+        bytes, g.buildId)
     }
     deleteRecursive(stagingPath)
   }

@@ -29,14 +29,14 @@ object Manifest {
     }.toSet
   }
 
-  def commit(dir: String, tb: Int, shard: Int, terms: Long, postings: Long,
-             bytes: Long, buildId: String): Unit = {
+  def commit(dir: String, tb: Int, shard: Int, docs: Long, terms: Long,
+             postings: Long, bytes: Long, buildId: String): Unit = {
     val d = mdir(dir)
     Files.createDirectories(d)
     val tmp = d.resolve(s".tmp-tb-$tb-shard-$shard.json")
     Files.writeString(tmp,
-      s"""{"tb":$tb,"shard":$shard,"terms":$terms,"postings":$postings,""" +
-        s""""bytes":$bytes,"buildId":"$buildId"}""")
+      s"""{"tb":$tb,"shard":$shard,"docs":$docs,"terms":$terms,""" +
+        s""""postings":$postings,"bytes":$bytes,"buildId":"$buildId"}""")
     Files.move(tmp, d.resolve(s"tb-$tb-shard-$shard.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
@@ -45,15 +45,22 @@ object Manifest {
     * surface: SURVEY.md §2.1 S8, A9).
     */
   def totals(dir: String): (Long, Long, Long) = {
+    val (_, t, p, b) = totals4(dir)
+    (t, p, b)
+  }
+
+  /** (docs-across-partitions [shard-overlapping], terms, postings, bytes). */
+  def totals4(dir: String): (Long, Long, Long, Long) = {
     val d = mdir(dir)
-    if (!Files.exists(d)) return (0L, 0L, 0L)
-    val Num = """"(terms|postings|bytes)":(\d+)""".r
-    var terms = 0L; var posts = 0L; var bytes = 0L
+    if (!Files.exists(d)) return (0L, 0L, 0L, 0L)
+    val Num = """"(docs|terms|postings|bytes)":(\d+)""".r
+    var docs = 0L; var terms = 0L; var posts = 0L; var bytes = 0L
     Files.list(d).iterator().asScala.foreach { p =>
       if (Name.pattern.matcher(p.getFileName.toString).matches()) {
         val txt = Files.readString(p)
         Num.findAllMatchIn(txt).foreach { m =>
           m.group(1) match {
+            case "docs" => docs += m.group(2).toLong
             case "terms" => terms += m.group(2).toLong
             case "postings" => posts += m.group(2).toLong
             case "bytes" => bytes += m.group(2).toLong
@@ -61,6 +68,6 @@ object Manifest {
         }
       }
     }
-    (terms, posts, bytes)
+    (docs, terms, posts, bytes)
   }
 }
