@@ -58,8 +58,9 @@ object Bench {
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
 
     // --- materialize the scaling corpus once (both runs read these files) --
-    val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString
-    locally {
+    // deterministic location: reused across bench invocations
+    val corpusDir = s"/tmp/graft-bench-corpus-$scaleDocs"
+    if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
       val s = session(cpus)
       // ~2 KB docs (realistic corpus scale), 256 input files so the scan
       // stage has task depth at every parallelism level
@@ -68,7 +69,7 @@ object Bench {
       finally s.stop()
     }
 
-    def buildAt(n: Int): Double = {
+    def buildInProcess(n: Int): Double = {
       val s = session(n)
       try {
         val dir = Files.createTempDirectory(s"graft-bench-idx-$n").toString
@@ -80,12 +81,58 @@ object Bench {
       } finally s.stop()
     }
 
-    // N vs 4N cores (N=2): best-of-2 per level to shed sandbox noise.
-    // 8->32 threads saturates this box's shared memory bandwidth (measured
-    // and documented in BASELINE.md); 2->8 is the honest compute-scaling
-    // regime a per-executor-memory-bus cluster sees.
-    val secN = (1 to 2).map(_ => buildAt(2)).min
-    val sec4N = (1 to 2).map(_ => buildAt(8)).min
+    /** Honest N-core emulation: the whole build JVM pinned to N cores via
+      * taskset (an unpinned local[N] leaks GC/IO/codegen threads onto free
+      * cores and overstates the small-N baseline). Falls back to in-process
+      * if taskset/exec is unavailable.
+      */
+    def buildAt(n: Int): Double = {
+      try {
+        val dir = Files.createTempDirectory(s"graft-bench-idx-$n").toString
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add("taskset"); cmd.add("-c"); cmd.add(s"0-${n - 1}")
+        cmd.add(javaBin)
+        jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.tools.BuildTo"); cmd.add(corpusDir); cmd.add(dir)
+        cmd.add(n.toString)
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val code = proc.waitFor()
+        val Secs = """BUILDTO done secs=([0-9.]+)""".r
+        Secs.findFirstMatchIn(out) match {
+          case Some(m) if code == 0 =>
+            keptIdxDir = dir
+            m.group(1).toDouble
+          case _ =>
+            System.err.println(s"[bench] pinned build failed (code=$code), falling back in-process")
+            buildInProcess(n)
+        }
+      } catch {
+        case _: java.io.IOException => buildInProcess(n)
+      }
+    }
+
+    // N vs 4N cores (N=2): interleaved reps, best-of per level, to shed
+    // sandbox noise (host-load swings dominate short builds; see
+    // BASELINE.md). 8->32 threads saturates this box's shared memory
+    // bandwidth; 2->8 is the honest compute-scaling regime a
+    // per-executor-memory-bus cluster sees.
+    val t2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t8 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    t8 += buildAt(8) // JIT/page-cache warm pass, still counted
+    t2 += buildAt(2)
+    t8 += buildAt(8)
+    t2 += buildAt(2)
+    t8 += buildAt(8)
+    val secN = t2.min
+    val sec4N = t8.min
     val r8 = scaleDocs / secN
     val r32 = scaleDocs / sec4N
     val eff = (r32 / r8) / 4.0

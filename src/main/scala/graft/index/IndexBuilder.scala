@@ -68,8 +68,14 @@ object IndexBuilder {
 
     val tfBack = spark.read.parquet(s"$dir/tf")
     val nDocs = stage("stats:n-docs")(docs.count())
-    val totalTokens = stage("stats:tot-tokens")(
-      tfBack.agg(coalesce(sum("tf"), lit(0L))).head.getLong(0))
+    // one pass yields both the per-(tb, shard) doc counts (manifest
+    // quartet) and the token total
+    val partDocs = stage("stats:partition-docs")(
+      tfBack.groupBy("tb", "shard").agg(countDistinct("doc_id").as("docs"),
+        sum("tf").as("tokens")))
+    partDocs.write.mode(SaveMode.Overwrite).parquet(s"$dir/partition_docs")
+    val totalTokens = spark.read.parquet(s"$dir/partition_docs")
+      .agg(coalesce(sum("tokens"), lit(0L))).head.getLong(0)
     val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
@@ -80,6 +86,7 @@ object IndexBuilder {
       .select(col("term"), col("df"), idfUdf(col("df")).as("idf"))
     stage("stats:stats-write")(stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats"))
     val vocabSize = stage("stats:vocab-count")(spark.read.parquet(s"$dir/stats").count())
+
 
     val g = IndexGlobals(
       buildId = java.util.UUID.randomUUID().toString,
@@ -182,10 +189,10 @@ object IndexBuilder {
         .map(r => (r.getInt(0), r.getInt(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     } else Map.empty[(Int, Int), (Long, Long, Long)])
-    // per-partition distinct-doc counts from the wave's tf slice (the
-    // north rule's counter quartet: docs, terms, postings, bytes)
+    // per-partition distinct-doc counts precomputed in the stats stage
     val docCounts = stage(s"postings:doc-counts:tb=$wave")(
-      tf.groupBy("tb", "shard").agg(countDistinct("doc_id").as("docs"))
+      spark.read.parquet(s"$dir/partition_docs")
+        .filter(col("tb").isin(tbsInWave: _*))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap)
     missing.foreach { case (t, s) =>
       val (terms, posts, bytes) = counters.getOrElse((t, s), (0L, 0L, 0L))

@@ -41,7 +41,7 @@ final case class IndexConfig(
     blockSize: Int = 128,
     params: BM25Params = BM25Params(),
     stem: Boolean = true,
-    commitWaves: Int = 4)
+    commitWaves: Int = 2)
 
 final case class IndexGlobals(
     buildId: String,

@@ -21,9 +21,11 @@ object BuildTo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(s"BUILDTO start committed=${Manifest.committed(idxDir).size}")
+    val t0 = System.nanoTime()
     IndexBuilder.build(spark, Corpus.fromCodeDocs(spark.read.parquet(corpusDir)),
       idxDir, IndexConfig(shards = 32, termBuckets = 8))
-    println(s"BUILDTO done committed=${Manifest.committed(idxDir).size} totals=${Manifest.totals(idxDir)}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"BUILDTO done secs=$secs%.3f committed=${Manifest.committed(idxDir).size} totals=${Manifest.totals(idxDir)}")
     spark.stop()
   }
 }
