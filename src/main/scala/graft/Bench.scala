@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.SparkSession
 
 import graft.corpus.{Corpus, SyntheticCorpus}
@@ -12,22 +14,37 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   * Measures the BASELINE.json metrics:
   *
   *  1. index-build throughput (files/sec) as the SAME job over the SAME
-  *     materialized input at local[8] vs local[32] — the sandbox stand-in
-  *     for N vs 4N executors — reporting throughput at both and
-  *     eff = (r32/r8) / (32/8). The scaling corpus is the deterministic
-  *     synthetic CodeDoc table sized (SPARK_GRAFT_SCALE_DOCS, default 60k)
-  *     so parallel work, not fixed job overhead, dominates: the provided
-  *     sf tables (500–5k docs) finish in scheduler noise.
+  *     materialized input at 2 vs 8 pinned cores — the sandbox stand-in for
+  *     N vs 4N executors (see BASELINE.md for why 8→32 threads saturates
+  *     this box's single memory bus) — reporting throughput at both and
+  *     eff = (r4N/rN) / 4.
   *  2. p50/p95 query latency for BM25 top-10 over the prebuilt compressed
   *     index on that corpus, reference query set (rank-identity for these
   *     queries is gated bit-exactly in IndexSpec).
-  *  3. a timed pass over every SparkEntry query at SPARK_GRAFT_SF_DIR
+  *  3. a timed pass over SparkEntry queries at SPARK_GRAFT_SF_DIR
   *     (breadth surface; includes the DuckDB-gated forms).
+  *
+  * THE WHOLE RUN IS DEADLINE-BOXED (SPARK_GRAFT_BENCH_BUDGET seconds,
+  * default 170): the driver kills the bench harness at ~240 s wall
+  * including sbt startup, so every section checks the remaining budget
+  * before starting more work, and the JSON line is ALWAYS printed — with
+  * whatever sections completed — rather than dying mid-measurement
+  * (round-1 failure mode: 5 × 400k-doc builds alone exceeded the budget).
   *
   * Reference baseline (BASELINE.md): 0.2–0.84 s/query at 223k docs with the
   * whole CSR index in RAM, single thread.
   */
 object Bench {
+
+  private val t0Main = System.nanoTime()
+  private def elapsed: Double = (System.nanoTime() - t0Main) / 1e9
+
+  /** Locale-pinned numeric formatting: the JSON contract must not depend on
+    * the JVM default locale (a comma decimal separator would break the
+    * driver's parse).
+    */
+  private def jn(v: Double, dec: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -52,121 +69,197 @@ object Bench {
     "longest river", "best complexity", "world war one",
     "artificial intelligence", "climate change", "science", "return")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
-
-    // --- materialize the scaling corpus once (both runs read these files) --
-    // deterministic location: reused across bench invocations
-    val corpusDir = s"/tmp/graft-bench-corpus-$scaleDocs"
-    if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
-      val s = session(cpus)
-      // ~2 KB docs (realistic corpus scale), 256 input files so the scan
-      // stage has task depth at every parallelism level
-      try SyntheticCorpus.generate(s, scaleDocs, 42L, 160, 480).repartition(256)
-        .write.mode("overwrite").parquet(corpusDir)
-      finally s.stop()
-    }
-
-    def buildInProcess(n: Int): Double = {
-      val s = session(n)
-      try {
-        val dir = Files.createTempDirectory(s"graft-bench-idx-$n").toString
-        val docs = Corpus.fromCodeDocs(s.read.parquet(corpusDir))
-        val (_, sec) = timed(IndexBuilder.build(s, docs, dir,
-          IndexConfig(shards = 32, termBuckets = 8)))
-        keptIdxDir = dir
-        sec
-      } finally s.stop()
-    }
-
-    /** Honest N-core emulation: the whole build JVM pinned to N cores via
-      * taskset (an unpinned local[N] leaks GC/IO/codegen threads onto free
-      * cores and overstates the small-N baseline). Falls back to in-process
-      * if taskset/exec is unavailable.
-      */
-    def buildAt(n: Int): Double = {
-      try {
-        val dir = Files.createTempDirectory(s"graft-bench-idx-$n").toString
-        val javaBin = System.getProperty("java.home") + "/bin/java"
-        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add("taskset"); cmd.add("-c"); cmd.add(s"0-${n - 1}")
-        cmd.add(javaBin)
-        jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
-        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-        cmd.add("graft.tools.BuildTo"); cmd.add(corpusDir); cmd.add(dir)
-        cmd.add(n.toString)
-        val pb = new ProcessBuilder(cmd)
-        pb.redirectErrorStream(true)
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val code = proc.waitFor()
-        val Secs = """BUILDTO done secs=([0-9.]+)""".r
-        Secs.findFirstMatchIn(out) match {
-          case Some(m) if code == 0 =>
-            keptIdxDir = dir
-            m.group(1).toDouble
-          case _ =>
-            System.err.println(s"[bench] pinned build failed (code=$code), falling back in-process")
-            buildInProcess(n)
-        }
-      } catch {
-        case _: java.io.IOException => buildInProcess(n)
-      }
-    }
-
-    // N vs 4N cores (N=2): interleaved reps, best-of per level, to shed
-    // sandbox noise (host-load swings dominate short builds; see
-    // BASELINE.md). 8->32 threads saturates this box's shared memory
-    // bandwidth; 2->8 is the honest compute-scaling regime a
-    // per-executor-memory-bus cluster sees.
-    val t2 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val t8 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    t8 += buildAt(8) // JIT/page-cache warm pass, still counted
-    t2 += buildAt(2)
-    t8 += buildAt(8)
-    t2 += buildAt(2)
-    t8 += buildAt(8)
-    val secN = t2.min
-    val sec4N = t8.min
-    val r8 = scaleDocs / secN
-    val r32 = scaleDocs / sec4N
-    val eff = (r32 / r8) / 4.0
-
-    // --- query latency over the prebuilt 60k-doc compressed index ---------
-    val spark = session(cpus)
-    val idx = new PostingIndex(spark, keptIdxDir).preload() // serving mode (reference holds its index in RAM too)
-    referenceQueries.foreach(q => idx.search(q, 10).collect()) // warm
-    val lat = (1 to 5).flatMap { _ =>
-      referenceQueries.map(q => timed(idx.search(q, 10).collect())._2)
-    }.sorted
-    val p50 = lat(lat.size / 2)
-    val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
-
-    // --- breadth: every SparkEntry query once at the driver's SF ----------
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = try timed(fn(spark, sfDir).count())
-        catch { case _: Throwable => (0L, -1.0) }
-      name -> sec
-    }
-    val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +
-      s""""sf":"$sfDir","scale_docs":$scaleDocs,""" +
-      s""""build":{"localN_cores":2,"local4N_cores":8,""" +
-      s""""localN_sec":${f"$secN%.3f"},"localN_docs_per_sec":${f"$r8%.1f"},""" +
-      s""""local4N_sec":${f"$sec4N%.3f"},"local4N_docs_per_sec":${f"$r32%.1f"},""" +
-      s""""scaling_efficiency":${f"$eff%.3f"}},""" +
-      s""""query_latency":{"corpus_docs":$scaleDocs,"p50_sec":${f"$p50%.4f"},"p95_sec":${f"$p95%.4f"}}}""")
-    spark.stop()
+  /** Breadth pass order: the index/BM25 headline surface first, then the
+    * ops suite — so a deadline cut drops the cheapest-to-lose tail.
+    */
+  private def breadthOrder(name: String): (Int, String) = {
+    val prio =
+      if (name.startsWith("ep2_")) 0
+      else if (name.startsWith("t1_")) 1
+      else if (name.startsWith("s") || name.startsWith("a") ||
+               name.startsWith("f") || name.startsWith("j")) 2
+      else 3
+    (prio, name)
   }
 
   private var keptIdxDir: String = _
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toLong
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "175").toDouble
+    def remaining: Double = budget - elapsed
+
+    // section payloads, filled as sections complete; JSON printed in finally
+    var buildJson = ""
+    var latJson = ""
+    var qJson = "{}"
+    var total = 0.0
+    var skipped = 0
+    var errNote = ""
+
+    try {
+      // --- materialize the scaling corpus once (all builds read these files)
+      // deterministic location: reused across bench invocations
+      val corpusDir = s"/tmp/graft-bench-corpus-$scaleDocs-f64"
+      if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
+        val s = session(cpus)
+        // ~2 KB docs (realistic corpus scale), 64 input files: enough scan
+        // task depth at every parallelism level without putting hundreds of
+        // serial task launches on the driver per stage
+        try SyntheticCorpus.generate(s, scaleDocs, 42L, 160, 480).repartition(64)
+          .write.mode("overwrite").parquet(corpusDir)
+        finally s.stop()
+      }
+      // page-cache warm (replaces round-1's full warm build: children are
+      // fresh JVMs anyway, only the file cache carries over)
+      java.nio.file.Files.list(java.nio.file.Paths.get(corpusDir)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) java.nio.file.Files.readAllBytes(p)
+      }
+
+      // bench index layout: shards sized to the corpus (production holds
+      // docs-per-shard roughly constant; see BuildTo scaladoc)
+      val benchShards = 16
+      val benchTb = 4
+
+      def buildInProcess(n: Int): Double = {
+        val s = session(n)
+        try {
+          val dir = Files.createTempDirectory(s"graft-bench-idx-$n").toString
+          val docs = Corpus.fromCodeDocs(s.read.parquet(corpusDir))
+          val (_, sec) = timed(IndexBuilder.build(s, docs, dir,
+            IndexConfig(shards = benchShards, termBuckets = benchTb,
+              commitWaves = 1)))
+          keptIdxDir = dir
+          sec
+        } finally s.stop()
+      }
+
+      /** Honest N-core emulation: the child JVM warms up (untimed 1/8-slice
+        * build, JIT at full machine speed — a real cluster JIT-compiles once
+        * per long-lived executor JVM, identically at N and 4N executors),
+        * then SELF-PINS all threads to N cores via `taskset -apc` and runs
+        * `reps` timed builds, printing the best. Returns (best build seconds
+        * measured inside the child, wall seconds including JVM startup —
+        * the latter drives the deadline math). Falls back to in-process if
+        * exec is unavailable.
+        */
+      def buildAt(n: Int, reps: Int): (Double, Double) = {
+        val tw0 = System.nanoTime()
+        val sec = try {
+          val dir = Files.createTempDirectory(s"graft-bench-idx-$n").toString
+          val javaBin = System.getProperty("java.home") + "/bin/java"
+          val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+            .getInputArguments
+          val cmd = new java.util.ArrayList[String]()
+          cmd.add(javaBin)
+          // drop agent + heap flags; a 4g pretouched heap is plenty for the
+          // bench build and pretouching 8g wastes child-startup seconds
+          jvmArgs.forEach(a =>
+            if (!a.startsWith("-agentlib") && !a.startsWith("-Xmx") &&
+                !a.startsWith("-Xms")) cmd.add(a))
+          cmd.add("-Xmx4g"); cmd.add("-Xms4g")
+          // size GC/compiler pools for the pinned state, not the 32-core box
+          // (but keep enough JIT threads that the unpinned warm-up compiles
+          // at full speed)
+          cmd.add(s"-XX:ActiveProcessorCount=$n")
+          cmd.add("-XX:CICompilerCount=4")
+          cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+          cmd.add("graft.tools.BuildTo"); cmd.add(corpusDir); cmd.add(dir)
+          cmd.add(n.toString); cmd.add(reps.toString)
+          cmd.add("8") // warmFrac: untimed 1/8-slice JIT warm-up build
+          cmd.add(s"0-${n - 1}") // self-pin AFTER warm-up
+          cmd.add("1") // single commit wave (same job shape at both levels)
+          val pb = new ProcessBuilder(cmd)
+          pb.environment().put("GRAFT_SHARDS", benchShards.toString)
+          pb.environment().put("GRAFT_TB", benchTb.toString)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val code = proc.waitFor()
+          val Secs = """BUILDTO done secs=([0-9.]+)""".r
+          Secs.findFirstMatchIn(out) match {
+            case Some(m) if code == 0 =>
+              keptIdxDir = dir
+              m.group(1).toDouble
+            case _ =>
+              System.err.println(s"[bench] pinned build failed (code=$code), falling back in-process")
+              buildInProcess(n)
+          }
+        } catch {
+          case _: java.io.IOException => buildInProcess(n)
+        }
+        (sec, (System.nanoTime() - tw0) / 1e9)
+      }
+
+      // N vs 4N cores (N=2): best-of reps per level to shed sandbox noise
+      // (host-load swings dominate short builds; see BASELINE.md). The
+      // 8-core child runs 2 in-JVM reps (short); the 2-core child runs 1
+      // (long pole); extra 2-core reps only while the deadline allows room
+      // for themselves plus the latency section (~35 s reserve).
+      val t2 = ArrayBuffer.empty[Double]
+      val t8 = ArrayBuffer.empty[Double]
+      val (s8, _) = buildAt(8, 2)
+      t8 += s8
+      var (s2, w2) = buildAt(2, 1)
+      t2 += s2
+      while (t2.size < 3 && remaining > 1.25 * w2 + 35) {
+        val (a2, b2) = buildAt(2, 1); t2 += a2; w2 = b2
+      }
+      val secN = t2.min
+      val sec4N = t8.min
+      val rN = scaleDocs / secN
+      val r4N = scaleDocs / sec4N
+      val eff = (r4N / rN) / 4.0
+      buildJson =
+        s""""build":{"localN_cores":2,"local4N_cores":8,"reps":${t2.size},""" +
+        s""""localN_sec":${jn(secN)},"localN_docs_per_sec":${jn(rN, 1)},""" +
+        s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
+        s""""scaling_efficiency":${jn(eff)}},"""
+
+      // --- query latency over the prebuilt compressed index ---------------
+      val spark = session(cpus)
+      if (remaining > 25 && keptIdxDir != null) {
+        val idx = new PostingIndex(spark, keptIdxDir).preload() // serving mode (reference holds its index in RAM too)
+        referenceQueries.foreach(q => idx.search(q, 10).collect()) // warm
+        val reps = if (remaining > 45) 3 else 1
+        val lat = (1 to reps).flatMap { _ =>
+          referenceQueries.map(q => timed(idx.search(q, 10).collect())._2)
+        }.sorted
+        val p50 = lat(lat.size / 2)
+        val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+        latJson =
+          s""""query_latency":{"corpus_docs":$scaleDocs,""" +
+          s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}},"""
+      }
+
+      // --- breadth: SparkEntry queries at the driver's SF, deadline-boxed --
+      val results = ArrayBuffer.empty[(String, Double)]
+      val ordered = SparkEntry.queries.toSeq.sortBy(p => breadthOrder(p._1))
+      ordered.foreach { case (name, fn) =>
+        if (remaining > 12) {
+          val (_, sec) = try timed(fn(spark, sfDir).count())
+            catch { case _: Throwable => (0L, -1.0) }
+          results += name -> sec
+        } else skipped += 1
+      }
+      qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
+        .mkString("{", ",", "}")
+      total = results.map(_._2).filter(_ >= 0).sum
+      spark.stop()
+    } catch {
+      case t: Throwable =>
+        errNote = s""""error":"${t.getClass.getSimpleName}: ${
+          Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(200)}","""
+    } finally {
+      // the contract line — ALWAYS printed, with whatever sections finished
+      println(
+        s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
+        s""""queries_skipped":$skipped,"sf":"$sfDir","scale_docs":$scaleDocs,""" +
+        errNote + buildJson + latJson +
+        s""""elapsed_sec":${jn(elapsed)}}""")
+    }
+  }
 }

@@ -122,24 +122,29 @@ object SparkEntry {
           .searchRounded(text, 10))
     }.toMap
     val wandStemmed: Map[String, (SparkSession, String) => DataFrame] = Map(
-      // J3 conjunctive: posting-list intersection (leapfrog DAAT)
+      // J3 conjunctive: posting-list intersection (leapfrog DAAT); rounded
+      // BEFORE the k-cut so boundary ties break like the oracle's
       "j3_wand_and_tsm" -> ((s, dir) =>
         new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = false))
-          .searchConjunctive("table scan merge", 10)
-          .withColumn("score", round(col("score"), 4))
-          .orderBy(col("score").desc, col("doc_id").asc)),
+          .searchConjunctiveRounded("table scan merge", 10)),
       "ep2_wand_stemmed_tsm" -> ((s, dir) =>
         new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = true))
           .searchRounded("table scan merge", 10)),
-      // S8: build counters surface (docs/terms/postings/bytes per north rule)
+      // S8: build counters surface (docs/terms/postings per north rule).
+      // indexed_terms counts distinct terms in the COMMITTED posting
+      // segments and postings comes from the MANIFEST counters — the oracle
+      // derives both from the raw corpus, gating index completeness (the
+      // byte counter, compression-dependent, is spec-gated in IndexSpec).
       "s8_index_stats" -> ((s, dir) => {
         val idxDir = index.IndexCache.dirFor(s, dir, stem = false)
         val g = index.PostingIndex.readGlobals(s, idxDir)
-        val (terms, postings, bytes) = index.Manifest.totals(idxDir)
+        val (_, postings, _) = index.Manifest.totals(idxDir)
+        val indexedTerms = s.read.parquet(s"$idxDir/postings")
+          .select("term").distinct().count()
         import s.implicits._
-        Seq((g.nDocs, g.vocabularySize, g.totalTokens, terms, postings, bytes))
+        Seq((g.nDocs, g.vocabularySize, g.totalTokens, indexedTerms, postings))
           .toDF("document_count", "vocabulary_size", "total_tokens",
-            "indexed_terms", "postings", "posting_bytes")
+            "indexed_terms", "postings")
       }))
     base ++ bm25 ++ wand ++ wandStemmed ++ opsQueries
   }
@@ -182,15 +187,23 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       ops.TextStats.langId(rawDocs(s, dir)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
-      ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id")),
+      ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id", "fp")),
     "multimodal_sha" -> ((s, dir) =>
       ops.Multimodal.extractFeatures(
         ops.Multimodal.mediaFromDocs(rawDocs(s, dir)))
         .select("media_id", "n_bytes", "sha").orderBy("media_id")),
-    "multimodal_features" -> ((s, dir) =>
-      ops.Multimodal.extractFeatures(
+    // full feature surface in oracle-comparable scalar shape: the 8-dim
+    // feature vector as f1..f8 columns (exact thousandths; rounding the
+    // float->double cast at 6 recovers the oracle's double exactly)
+    "multimodal_features" -> ((s, dir) => {
+      val feats = ops.Multimodal.extractFeatures(
         ops.Multimodal.mediaFromDocs(rawDocs(s, dir)))
-        .orderBy("media_id")),
+      val cols =
+        Seq("media_id", "kind", "n_bytes", "sha", "width", "height").map(col) ++
+          (1 to 8).map(j =>
+            round(element_at(col("feature"), j).cast("double"), 6).as(s"f$j"))
+      feats.select(cols: _*).orderBy("media_id")
+    }),
     // W1/W2: event-time windowed analytics (beyond the reference; the
     // streaming twin of w1 is gated batch==stream in StreamingSpec)
     "w1_event_tumbling" -> ((s, dir) =>
@@ -241,7 +254,17 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
       s"ep2_wand_$key" -> OracleSql.bm25TopK(text, 10)
     }.toMap
     val wandAnd = Map(
-      "j3_wand_and_tsm" -> OracleSql.bm25TopKConjunctive("table scan merge", 10))
+      "j3_wand_and_tsm" -> OracleSql.bm25TopKConjunctive("table scan merge", 10),
+      // the built index's content gated against corpus-derived counts: the
+      // committed segments must hold exactly the corpus vocabulary and the
+      // manifest's posting total must equal |(doc, term)| pairs
+      "s8_index_stats" ->
+        s"""WITH ${OracleSql.tokCte}, ${OracleSql.tfCte}, ${OracleSql.dfCte}
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
+       CAST((SELECT count(*) FROM df) AS BIGINT) AS vocabulary_size,
+       CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS BIGINT) AS total_tokens,
+       CAST((SELECT count(*) FROM df) AS BIGINT) AS indexed_terms,
+       CAST((SELECT count(*) FROM tf) AS BIGINT) AS postings""")
     base ++ bm25 ++ wand ++ wandAnd ++ opsOracleSql
   }
 
@@ -316,7 +339,40 @@ FROM q2 ORDER BY doc_id""",
         """SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS sha
 FROM documents ORDER BY media_id""",
+      "multimodal_features" -> multimodalFeaturesSql,
+      "lang_id" -> ops.TextStats.langIdSql,
+      "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "w1_event_tumbling" -> ops.Events.tumblingSql,
       "w2_event_sessions" -> ops.Events.sessionsSql())
+  }
+
+  /** DuckDB twin of the multimodal feature stub: h = first 15 hex chars of
+    * sha256 as a 60-bit integer (fold base 16); width/height/f1..f8 are
+    * modular slices of h — integer div/mod only, exact in both engines.
+    */
+  private def multimodalFeaturesSql: String = {
+    val featCols = (1 to 8).map { j =>
+      val div = 1L << (7 * (j - 1))
+      s"  round(CAST((h // $div) % 1000 AS DOUBLE) / 1000.0, 6) AS f$j"
+    }.mkString(",\n")
+    s"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS kind,
+    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+    sha256(text) AS sha
+  FROM documents),
+h AS (
+  SELECT media_id, kind, n_bytes, sha,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(substr(sha, 1, 15), ''),
+        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      (a, b) -> a * 16 + b) AS h
+  FROM m)
+SELECT media_id, kind, n_bytes, sha,
+  CAST(64 + h % 1024 AS INTEGER) AS width,
+  CAST(64 + (h // 131072) % 1024 AS INTEGER) AS height,
+$featCols
+FROM h ORDER BY media_id"""
   }
 }

@@ -33,14 +33,25 @@ object Corpus {
         col("source"))
 
   /** A `CodeDoc` table as a corpus: deterministic 64-bit docId from the
-    * natural key. xxhash64 is stable across Spark versions and partitionings;
-    * collisions at 10^12 rows are ~2.7e-2 birthday probability per pair-free
-    * corpus — acceptable for ranking; an identity table keyed by the triple
-    * disambiguates on hydration.
+    * natural key. xxhash64 is stable across Spark versions and partitionings.
+    *
+    * Collision math at the 10^12-file design scale: expected colliding pairs
+    * = n^2 / 2^65 ~ 2.7e4 — collisions are CERTAIN at that scale, and a
+    * collision would silently merge two documents' postings (summed tf,
+    * ambiguous hydration). Mitigation at 10^12 rows: widen to a 128-bit id
+    * (two xxhash64 lanes with different seeds as a struct key, expected
+    * colliding pairs ~ 1.5e-15) and disambiguate hydration through the
+    * identity table keyed by the natural triple; [[fromCodeDocs]] keeps the
+    * single 64-bit lane because the bench corpus is <= 1e7 docs (expected
+    * pairs ~ 2.7e-6). Long.MaxValue is additionally remapped: it is
+    * [[graft.search.Wand]]'s Exhausted sentinel and must not be a real id.
     */
   def fromCodeDocs(docs: DataFrame): DataFrame =
     docs.select(
-      xxhash64(col("repo"), col("path"), col("commit")).as("docId"),
+      when(xxhash64(col("repo"), col("path"), col("commit")) === Long.MaxValue,
+        lit(Long.MinValue))
+        .otherwise(xxhash64(col("repo"), col("path"), col("commit")))
+        .as("docId"),
       col("content"),
       col("lang"))
 }

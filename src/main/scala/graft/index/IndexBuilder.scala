@@ -29,6 +29,37 @@ import graft.search.{BM25, RelationalBM25}
   */
 object IndexBuilder {
 
+  /** Per-(tb, shard) manifest counters (terms, postings, bytes) accumulated
+    * INSIDE the encode tasks — the alternative (re-reading the just-written
+    * postings parquet to aggregate counters) costs a full extra scan of the
+    * index per wave, pure serial overhead at bench scale and an O(index)
+    * read at 100 TB. Updates happen in the write job's result stage, so
+    * Spark applies them once per successful task; speculative execution is
+    * off (local) and a failed task fails the build before commit.
+    */
+  private[index] final class PartCounters
+      extends org.apache.spark.util.AccumulatorV2[
+        ((Int, Int), (Long, Long, Long)), Map[(Int, Int), (Long, Long, Long)]] {
+    private val m =
+      scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Long, Long)]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): PartCounters = {
+      val c = new PartCounters
+      m.foreach { case (k, v) => c.m(k) = v }
+      c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: ((Int, Int), (Long, Long, Long))): Unit = {
+      val (k, (a, b, c)) = v
+      val (x, y, z) = m.getOrElse(k, (0L, 0L, 0L))
+      m(k) = (x + a, y + b, z + c)
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        ((Int, Int), (Long, Long, Long)), Map[(Int, Int), (Long, Long, Long)]]): Unit =
+      other.value.foreach { case (k, v) => add((k, v)) }
+    override def value: Map[(Int, Int), (Long, Long, Long)] = m.toMap
+  }
+
   private val timings = sys.env.contains("GRAFT_TIMINGS")
 
   private[index] def stage[A](name: String)(f: => A): A = {
@@ -47,6 +78,19 @@ object IndexBuilder {
     Files.createDirectories(root)
     if (!Files.exists(root.resolve("globals.json"))) buildStats(spark, docs, dir, cfg)
     val globals = PostingIndex.readGlobals(spark, dir)
+    // Resuming a directory built under a DIFFERENT config would silently
+    // route postings inconsistently (tf rows carry tb/shard from the old
+    // config) — fail fast instead. (IndexCache encodes config in the path;
+    // direct build() calls need this guard.)
+    require(globals.shards == cfg.shards && globals.termBuckets == cfg.termBuckets &&
+        globals.blockSize == cfg.blockSize && globals.stem == cfg.stem &&
+        globals.k1 == cfg.params.k1 && globals.b == cfg.params.b,
+      s"resume config mismatch at $dir: index has (shards=${globals.shards}, " +
+        s"tb=${globals.termBuckets}, blockSize=${globals.blockSize}, " +
+        s"stem=${globals.stem}, k1=${globals.k1}, b=${globals.b}); " +
+        s"caller passed (shards=${cfg.shards}, tb=${cfg.termBuckets}, " +
+        s"blockSize=${cfg.blockSize}, stem=${cfg.stem}, k1=${cfg.params.k1}, " +
+        s"b=${cfg.params.b})")
     buildPostings(spark, dir, cfg, globals)
     globals
   }
@@ -69,13 +113,14 @@ object IndexBuilder {
     val tfBack = spark.read.parquet(s"$dir/tf")
     val nDocs = stage("stats:n-docs")(docs.count())
     // one pass yields both the per-(tb, shard) doc counts (manifest
-    // quartet) and the token total
+    // quartet) and the token total; the result is <= shards*termBuckets
+    // rows, so collect ONCE and write the tiny table from the driver
+    // (write-then-re-aggregate would run the shuffle agg twice)
     val partDocs = stage("stats:partition-docs")(
       tfBack.groupBy("tb", "shard").agg(countDistinct("doc_id").as("docs"),
-        sum("tf").as("tokens")))
-    partDocs.write.mode(SaveMode.Overwrite).parquet(s"$dir/partition_docs")
-    val totalTokens = spark.read.parquet(s"$dir/partition_docs")
-      .agg(coalesce(sum("tokens"), lit(0L))).head.getLong(0)
+        sum("tf").as("tokens")).collect())
+    writePartDocs(spark, dir, partDocs)
+    val totalTokens = partDocs.map(_.getLong(3)).sum
     val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
@@ -112,19 +157,28 @@ object IndexBuilder {
     // — incremental granularity the stage-level write alone can't give.
     // commitWaves trades kill granularity against per-wave job overhead.
     val waves = math.max(1, math.min(cfg.commitWaves, cfg.termBuckets))
+    // per-partition distinct-doc counts precomputed in the stats stage —
+    // read ONCE for all waves (it is a tiny table; re-reading per wave was
+    // measurable serial overhead)
+    val docCounts = stage("postings:doc-counts")(
+      spark.read.parquet(s"$dir/partition_docs")
+        .select("tb", "shard", "docs")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap)
     (0 until waves).foreach { w =>
       val tbsInWave = (0 until cfg.termBuckets).filter(_ % waves == w)
       val committed = Manifest.committed(dir)
       val missing = all.filter(p => tbsInWave.contains(p._1) && !committed(p))
       if (missing.nonEmpty)
-        buildPostingsWave(spark, dir, cfg, g, w, tbsInWave, missing, committed)
+        buildPostingsWave(spark, dir, cfg, g, w, tbsInWave, missing, committed,
+          docCounts)
     }
   }
 
   private def buildPostingsWave(spark: SparkSession, dir: String, cfg: IndexConfig,
                                 g: IndexGlobals, wave: Int, tbsInWave: Seq[Int],
                                 missing: Seq[(Int, Int)],
-                                committed: Set[(Int, Int)]): Unit = {
+                                committed: Set[(Int, Int)],
+                                docCounts: Map[(Int, Int), Long]): Unit = {
     import spark.implicits._
     val waveCommitted = committed.filter(p => tbsInWave.contains(p._1)).toSeq
     val tfAll = spark.read.parquet(s"$dir/tf")
@@ -154,12 +208,14 @@ object IndexBuilder {
     // by shard; within a partition the sort keeps (tb, shard, term) groups
     // contiguous and docId-ordered for the streaming encoder.
     val parts = cfg.shards * math.max(1, tbsInWave.size)
+    val acc = new PartCounters
+    spark.sparkContext.register(acc, s"graft-part-counters-w$wave")
     val blocks: Dataset[BlockRow] = postings
       .repartition(parts, col("tb"), col("shard"))
       .sortWithinPartitions("tb", "shard", "term", "doc_id")
       .select("tb", "shard", "term", "doc_id", "w", "tf")
       .as[(Int, Int, String, Long, Double, Long)]
-      .mapPartitions { rows => new BlockEncodeIterator(rows, blockSize) }
+      .mapPartitions { rows => new BlockEncodeIterator(rows, blockSize, acc) }
 
     val staging = s"$dir/.staging-postings-$wave"
     stage(s"postings:encode-write:tb=$wave")(blocks.write.mode(SaveMode.Overwrite)
@@ -177,23 +233,8 @@ object IndexBuilder {
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
     })
     // Partitions in `missing` with no produced dir are empty but complete.
-    val counters = stage(s"postings:counters:tb=$wave")(if (produced.nonEmpty) {
-      spark.read.parquet(s"$dir/postings")
-        .filter(struct(col("tb"), col("shard")).isin(
-          missing.map(p => struct(lit(p._1), lit(p._2))): _*))
-        .groupBy("tb", "shard")
-        .agg(countDistinct("term").as("terms"), sum("n").as("postings"),
-          sum(length(col("docs_bin")) + length(col("wts_bin")) +
-            length(col("tfs_bin"))).as("bytes"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) ->
-          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    } else Map.empty[(Int, Int), (Long, Long, Long)])
-    // per-partition distinct-doc counts precomputed in the stats stage
-    val docCounts = stage(s"postings:doc-counts:tb=$wave")(
-      spark.read.parquet(s"$dir/partition_docs")
-        .filter(col("tb").isin(tbsInWave: _*))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap)
+    // Counters come from the encode-task accumulator — no index re-read.
+    val counters = acc.value
     missing.foreach { case (t, s) =>
       val (terms, posts, bytes) = counters.getOrElse((t, s), (0L, 0L, 0L))
       Manifest.commit(dir, t, s, docCounts.getOrElse((t, s), 0L), terms, posts,
@@ -208,7 +249,8 @@ object IndexBuilder {
     * block in memory — a hot term never materializes its full list.
     */
   private final class BlockEncodeIterator(
-      rows: Iterator[(Int, Int, String, Long, Double, Long)], blockSize: Int)
+      rows: Iterator[(Int, Int, String, Long, Double, Long)], blockSize: Int,
+      acc: PartCounters)
       extends Iterator[BlockRow] {
     private var cur: (Int, Int, String, Long, Double, Long) = _
     private var hasCur = false
@@ -234,11 +276,23 @@ object IndexBuilder {
       val sameTerm = hasCur && cur._1 == tb && cur._2 == shard && cur._3 == term
       val id = blockId
       blockId = if (sameTerm) blockId + 1 else 0L
-      BlockRow(tb, shard, term, id, n, docs(n - 1), maxW,
-        Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n)),
-        Codec.encodeDoubles(java.util.Arrays.copyOf(wts, n)),
-        Codec.encodeVarLongs(java.util.Arrays.copyOf(tfs, n)))
+      val docsBin = Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n))
+      val wtsBin = Codec.encodeDoubles(java.util.Arrays.copyOf(wts, n))
+      val tfsBin = Codec.encodeVarLongs(java.util.Arrays.copyOf(tfs, n))
+      // manifest quartet: a term counts once (its block 0), postings by n
+      acc.add(((tb, shard), (if (id == 0L) 1L else 0L, n.toLong,
+        (docsBin.length + wtsBin.length + tfsBin.length).toLong)))
+      BlockRow(tb, shard, term, id, n, docs(n - 1), maxW, docsBin, wtsBin, tfsBin)
     }
+  }
+
+  private def writePartDocs(spark: SparkSession, dir: String,
+                            rows: Array[org.apache.spark.sql.Row]): Unit = {
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toDF("tb", "shard", "docs", "tokens")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/partition_docs")
   }
 
   // --- small fs helpers ----------------------------------------------------

@@ -58,15 +58,25 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   /** Top-k search -> DataFrame (doc_id, score), total order
     * (score desc, doc_id asc).
     */
-  def search(query: String, k: Int): DataFrame = search(query, k, conj = false)
+  def search(query: String, k: Int): DataFrame =
+    merged(query, k, conj = false) match {
+      case None => emptyResult
+      case Some(pool) =>
+        pool.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
 
-  private def search(query: String, k: Int, conj: Boolean): DataFrame = {
+  private def emptyResult: DataFrame =
+    spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+
+  /** The per-shard top-k pool (union of each shard's exact-score top k),
+    * BEFORE the global order/limit — so callers can choose the final
+    * ordering key (exact score, or rounded score for the cross-engine
+    * oracle whose k-th boundary ties break on the ROUNDED value).
+    */
+  private def merged(query: String, k: Int, conj: Boolean): Option[DataFrame] = {
     import spark.implicits._
     val q = queryTerms(query)
-    if (q.isEmpty) {
-      return spark.emptyDataFrame
-        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
-    }
+    if (q.isEmpty) return None
     val terms = q.map(_._1)
     val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtf = q.toMap
@@ -76,13 +86,11 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
-    blocks.groupByKey(_.shard)
+    Some(blocks.groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         if (conj) Wand.topKConjunctive(rows, qtf, kk) else Wand.topK(rows, qtf, kk)
       }
-      .toDF("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+      .toDF("doc_id", "score"))
   }
 
   /** Conjunctive (AND) variant: only documents containing EVERY query term
@@ -90,14 +98,29 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * reference's OR-only semantics.
     */
   def searchConjunctive(query: String, k: Int): DataFrame =
-    search(query, k, conj = true)
+    merged(query, k, conj = true) match {
+      case None => emptyResult
+      case Some(pool) =>
+        pool.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+
+  /** Oracle-comparable conjunctive form: see [[searchRounded]]. */
+  def searchConjunctiveRounded(query: String, k: Int): DataFrame =
+    merged(query, k, conj = true) match {
+      case None => emptyResult
+      case Some(pool) =>
+        pool.withColumn("score", round(col("score"), 4))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
 
   /** Batch form: top-k for MANY queries in one Spark job — one pruned scan
-    * over the union of all query terms, blocks replicated per (query,
-    * shard) group, per-group WAND, one TakeOrdered per query via window
-    * rank. Amortizes scheduler latency across a query set (offline eval /
-    * reranking workloads); each query's rows are identical to
-    * [[search]]'s.
+    * over the union of all query terms, ONE shuffle keyed by shard alone
+    * (blocks are NOT replicated per query: with overlapping query vocab a
+    * per-(query, shard) key would duplicate every shared term's blocks
+    * once per query), then every query's WAND runs inside its shard group
+    * against the term-filtered slice. Amortizes scheduler latency across a
+    * query set (offline eval / reranking workloads); each query's rows are
+    * identical to [[search]]'s.
     * Returns (query_id, doc_id, score) ordered (query_id, score desc,
     * doc_id).
     */
@@ -110,15 +133,10 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       return spark.emptyDataFrame.select(lit(0).as("query_id"),
         lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
     }
-    // term -> [(queryId, qtf)]
-    val termToQueries: Map[String, Seq[(Int, Double)]] = live
-      .flatMap { case (qid, ts) => ts.map { case (t, f) => (t, qid, f) } }
-      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
-    val allTerms = termToQueries.keys.toSeq.sorted
+    val allTerms = live.flatMap(_._2.map(_._1)).distinct.sorted
     val tbs = allTerms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtfByQuery: Map[Int, Map[String, Double]] =
       live.map { case (qid, ts) => qid -> ts.toMap }.toMap
-    val bTerm2Q = spark.sparkContext.broadcast(termToQueries)
     val bQtf = spark.sparkContext.broadcast(qtfByQuery)
     val kk = k
     val blocks = postingsDF
@@ -127,12 +145,14 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
     val perShard = blocks
-      .flatMap(r => bTerm2Q.value(r.term).map { case (qid, _) => (qid, r) })
-      .groupByKey { case (qid, r) => (qid, r.shard) }
-      .flatMapGroups { (key, rows) =>
-        val qid = key._1
-        Wand.topK(rows.map(_._2), bQtf.value(qid), kk)
-          .map { case (d, s) => (qid, d, s) }
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        // materialize the shard's block slice once; every query reuses it
+        val rs = rows.toArray
+        bQtf.value.iterator.flatMap { case (qid, qtf) =>
+          Wand.topK(rs.iterator.filter(r => qtf.contains(r.term)), qtf, kk)
+            .map { case (d, s) => (qid, d, s) }
+        }
       }
       .toDF("query_id", "doc_id", "score")
     val ranked = perShard.withColumn("rk",
@@ -144,12 +164,19 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   }
 
   /** Oracle-comparable form: 4-decimal rounded scores (cross-engine float
-    * tolerance), ordered on the rounded value.
+    * tolerance). The rounding happens BEFORE the final order/limit — the
+    * DuckDB twin limits on `round(sum(w), 4) DESC, doc_id`, so two docs
+    * whose exact scores differ but round equal at the k-th boundary must be
+    * cut by (rounded, doc_id), not by exact score (mirrors
+    * RelationalBM25.topK, which rounds inside the aggregation).
     */
   def searchRounded(query: String, k: Int): DataFrame =
-    search(query, k)
-      .withColumn("score", round(col("score"), 4))
-      .orderBy(col("score").desc, col("doc_id").asc)
+    merged(query, k, conj = false) match {
+      case None => emptyResult
+      case Some(pool) =>
+        pool.withColumn("score", round(col("score"), 4))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
 
   /** J2 hydration: join winners back to document attributes. */
   def hydrate(topk: DataFrame, docs: DataFrame): DataFrame =
@@ -158,17 +185,36 @@ final class PostingIndex(spark: SparkSession, dir: String) {
 
 object PostingIndex {
 
+  /** globals.json is a single flat object written by
+    * [[IndexBuilder.writeGlobals]]; parse it with a local scan instead of a
+    * `spark.read.json` job — a Spark job per index open was measurable
+    * serial overhead in every build/search.
+    */
   def readGlobals(spark: SparkSession, dir: String): IndexGlobals = {
-    val r = spark.read.json(s"$dir/globals.json").head()
-    def l(n: String) = r.getLong(r.fieldIndex(n))
-    def d(n: String) = r.getDouble(r.fieldIndex(n))
-    def s(n: String) = r.getString(r.fieldIndex(n))
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "globals.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def raw(n: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + java.util.regex.Pattern.quote(n) + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}]*)")
+        .matcher(txt)
+      require(m.find(), s"globals.json: missing field $n")
+      m.group(1).trim
+    }
+    def s(n: String): String = {
+      val v = raw(n)
+      require(v.length >= 2 && v.head == '"', s"globals.json: $n not a string")
+      v.substring(1, v.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+    }
+    def l(n: String) = raw(n).toLong
+    def d(n: String) = raw(n).toDouble
     IndexGlobals(
       buildId = s("buildId"), sourcePath = s("sourcePath"),
       nDocs = l("nDocs"), totalTokens = l("totalTokens"), avgdl = d("avgdl"),
       vocabularySize = l("vocabularySize"), shards = l("shards").toInt,
       termBuckets = l("termBuckets").toInt, blockSize = l("blockSize").toInt,
-      k1 = d("k1"), b = d("b"), stem = r.getBoolean(r.fieldIndex("stem")))
+      k1 = d("k1"), b = d("b"), stem = raw("stem").toBoolean)
   }
 
   /** True iff the index is fully built (globals present + every (tb, shard)

@@ -54,13 +54,28 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram:
-    * inverted-index self-join on the n-gram key (the only shuffle that
-    * scales: |pairs| is output-bound, never O(N^2)), then
+    * inverted-index self-join on the n-gram key, then
     * J = common / (|A| + |B| - common) filtered at `minJaccard`.
+    *
+    * Skew guard: a shingle with document frequency m contributes m^2 join
+    * rows, so one stop-phrase n-gram present in every document makes the
+    * join quadratic in the corpus. `maxShingleDf` drops shingles above the
+    * cap from BOTH the join and the per-doc set sizes (Jaccard is then
+    * computed over the capped shingle universe — the standard production
+    * near-dup approximation; a hot shingle shared by >cap docs carries no
+    * pair information anyway). With cap >= corpus size the result is exact;
+    * the default keeps the join bounded at ~cap * df rows per hot shingle.
     */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ng = docNgrams(docs, n, textCol, idCol)
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxShingleDf: Long = 100000L): DataFrame = {
+    val ngAll = docNgrams(docs, n, textCol, idCol)
+    val hot = ngAll.groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("ngram")
+    // left-anti: drop the hot shingles everywhere (broadcast — the hot set
+    // is tiny by construction: at most |corpus postings| / maxShingleDf)
+    val ng = ngAll.join(broadcast(hot), Seq("ngram"), "left_anti")
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = ng.as("a").join(ng.as("b"),
         col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
@@ -85,14 +100,23 @@ object Dedup {
     h
   }
 
+  /** Seeded universal-hash coefficients for [[minhashSig]] — generated ONCE
+    * per operator instantiation and captured in the UDF closure (a per-row
+    * PRNG + coefficient allocation in the hot path costs ~2 array allocs and
+    * a PRNG warm-up per document at corpus scale).
+    */
+  private[ops] def minhashCoeffs(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(numPerms)(rnd.nextLong() | 1L), Array.fill(numPerms)(rnd.nextLong()))
+  }
+
   /** MinHash signature: numPerms universal-hash permutations
     * h_i(x) = a_i * x + b_i (odd multipliers from a seeded PRNG), min over
     * the doc's shingle hashes. Empty docs -> Long.MaxValue lanes.
     */
-  private[ops] def minhashSig(text: String, shingle: Int, numPerms: Int, seed: Long): Array[Long] = {
-    val rnd = new scala.util.Random(seed)
-    val as = Array.fill(numPerms)(rnd.nextLong() | 1L)
-    val bs = Array.fill(numPerms)(rnd.nextLong())
+  private[ops] def minhashSig(text: String, shingle: Int,
+                              as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val numPerms = as.length
     val sig = Array.fill(numPerms)(Long.MaxValue)
     ngrams(text, shingle).foreach { g =>
       val x = fnv1a64(g)
@@ -115,7 +139,8 @@ object Dedup {
                  verifyMinJaccard: Option[Double] = None,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val numPerms = bands * rowsPerBand
-    val sigUdf = udf((s: String) => minhashSig(s, shingle, numPerms, seed))
+    val (as, bs) = minhashCoeffs(numPerms, seed)
+    val sigUdf = udf((s: String) => minhashSig(s, shingle, as, bs))
     // band hash = FNV over the band's lanes, pinned.
     val bandsUdf = udf((sig: Seq[Long]) =>
       (0 until bands).map { b =>

@@ -22,14 +22,15 @@ object Multimodal {
     StructField("kind", StringType, nullable = false),
     StructField("bytes", BinaryType, nullable = true)))
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("sha", StringType, nullable = true),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+  /** Output row of [[extractFeatures]] (typed — the Dataset encoder IS the
+    * schema, so plan and spec cannot drift).
+    */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 sha: String, width: Int, height: Int,
+                                 feature: Array[Float])
+
+  val featureSchema: StructType =
+    org.apache.spark.sql.Encoders.product[MediaFeatures].schema
 
   /** Synthesize a media table from any text corpus: bytes = UTF-8 of the
     * text (an opaque blob as far as the pipeline cares), kind round-robin.
@@ -44,40 +45,42 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would decode image dimensions /
     * audio frames here. The stand-in derives deterministic pseudo-dimensions
-    * and an 8-dim feature from the byte content, preserving the exact
-    * batch/schema contract a real codec UDF would have.
+    * and an 8-dim feature from the content's sha256 (first 15 hex chars →
+    * 60-bit nonnegative integer), preserving the exact batch/schema contract
+    * a real codec UDF would have — and, unlike an in-JVM byte hash, the
+    * derivation is expressible in ANSI SQL, so the whole feature surface is
+    * checkable by the DuckDB oracle.
     */
-  private def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0, Array.empty)
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xFF; h *= 0x100000001b3L; i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >>> 17, 1024).toInt
-    val feat = Array.tabulate(8)(j =>
-      (math.floorMod(h >>> (j * 7), 1000) / 1000.0f))
+  private[ops] def decodeStub(shaHex: String): (Int, Int, Array[Float]) = {
+    val h = java.lang.Long.parseLong(shaHex.substring(0, 15), 16)
+    val w = 64 + (h % 1024L).toInt
+    val ht = 64 + ((h >>> 17) % 1024L).toInt
+    val feat = Array.tabulate(8)(j => (((h >>> (j * 7)) % 1000L) / 1000.0).toFloat)
     (w, ht, feat)
   }
 
-  /** Partition-local batch "decode": one pass, no shuffle; output rows match
-    * [[featureSchema]]. The sha column doubles as the ingest invariant for
-    * binary payloads.
+  /** Partition-local batch "decode": one typed `mapPartitions` pass, no
+    * shuffle, no RDD node in the plan; output rows are [[MediaFeatures]].
+    * The sha column doubles as the ingest invariant for binary payloads.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "kind", "bytes").rdd.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { r =>
-        val id = r.getLong(0)
-        val kind = r.getString(1)
-        val bytes = r.getAs[Array[Byte]](2)
-        val (w, h, feat) = decodeStub(kind, bytes)
-        val sha = if (bytes == null) null
-          else { md.reset(); md.digest(bytes).map("%02x".format(_)).mkString }
-        Row(id, kind, if (bytes == null) 0 else bytes.length, sha, w, h, feat.toSeq)
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, kind, bytes) =>
+          val sha = if (bytes == null) null
+            else { md.reset(); md.digest(bytes).map("%02x".format(_)).mkString }
+          val (w, h, feat) =
+            if (bytes == null || bytes.isEmpty) (0, 0, Array.empty[Float])
+            else decodeStub(sha)
+          MediaFeatures(id, kind, if (bytes == null) 0 else bytes.length,
+            sha, w, h, feat)
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** "Frame sampling": every strideth byte-window as a pseudo-frame —

@@ -39,15 +39,20 @@ object Similarity {
   }
 
   /** All near-duplicate pairs with cosine >= tau (embedding near-dup dedup).
-    * Exact all-pairs is inherently quadratic; the scalable prefilter is
-    * [[lshBuckets]]. The exact form is computed blockwise: L2-normalized
-    * vectors are broadcast once, each partition scores its rows against the
-    * broadcast block with primitive-array dot products (the one-block case
-    * of distributed blocked GEMM) — no quadratic shuffle, no per-pair array
-    * allocation, no per-pair norm recomputation.
+    * Exact all-pairs is inherently quadratic in COMPUTE; the plan must still
+    * be linear in DRIVER memory and fully distributed. This is blocked GEMM
+    * as a Spark plan: rows are hashed into B = ceil(n/blockSize) blocks, the
+    * tiny upper-triangular block-pair grid (B*(B+1)/2 rows) is broadcast,
+    * and each task scores one block pair with codegen'd `zip_with`/
+    * `aggregate` dot products over pre-normalized vectors. Shuffle volume is
+    * O(n * B) vector rows — tunable via blockSize — and NOTHING is collected
+    * to the driver. (The probabilistic prefilter for corpora where even
+    * blocked exact scoring is too much is [[lshBuckets]]; this operator is
+    * the exact gate-checkable form.)
     */
   def cosinePairs(embeddings: DataFrame, tau: Double,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  blockSize: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val normed = embeddings
@@ -57,22 +62,32 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         (id, if (n == 0) v else v.map(_ / n))
       }
-    val block = spark.sparkContext.broadcast(normed.collect().sortBy(_._1))
-    normed.mapPartitions { it =>
-      val all = block.value
-      it.flatMap { case (ida, va) =>
-        all.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, vb) =>
-            var d = 0.0
-            var i = 0
-            while (i < va.length && i < vb.length) { d += va(i) * vb(i); i += 1 }
-            // same rounding mode as Spark round()/DuckDB round(): HALF_UP
-            (ida, idb, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          }
-          .filter(_._3 >= tau)
-      }
-    }.toDF("id_a", "id_b", "cos")
+      .toDF("id", "v")
+    // B needs the row count — one aggregate job, not a collect of rows.
+    val n = normed.count()
+    val b = math.max(1, math.ceil(n.toDouble / blockSize).toInt)
+    // deterministic balanced block id (xxhash64 scrambles sequential ids)
+    val withBlk = normed
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(b.toLong)).cast("int"))
+    val grid = (for (ga <- 0 until b; gb <- ga until b) yield (ga, gb))
+      .toDF("ga", "gb")
+    val left = withBlk.select(col("id").as("id_a"), col("v").as("va"),
+      col("blk").as("ba"))
+    val right = withBlk.select(col("id").as("id_b"), col("v").as("vb"),
+      col("blk").as("bb"))
+    left.join(broadcast(grid), col("ba") === col("ga"))
+      .join(right, col("gb") === col("bb"))
+      // the grid is upper-triangular in BLOCK space, so a cross-block pair
+      // arrives in exactly one (left-block, right-block) orientation with
+      // arbitrary id order — dedup same-block pairs by id, then emit ids
+      // canonically (least, greatest); cosine is symmetric
+      .filter((col("ba") =!= col("bb")) ||
+        (col("id_a") < col("id_b")))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(dot(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= tau)
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim gaussians, seeded. */

@@ -73,7 +73,9 @@ object TextStats {
       i += 1
     }
     if (cjk * 4 > text.length) return ("zh", cjk.toDouble / text.length)
-    val toks = text.toLowerCase.split("\\s+")
+    // empty tokens filtered (a leading-whitespace split artifact would skew
+    // the denominator and is not replicable in the SQL oracle twin)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) return ("und", 0.0)
     val scores = profiles.map { case (lang, prof) =>
       lang -> toks.count(prof.contains).toDouble / toks.length
@@ -92,29 +94,32 @@ object TextStats {
 
   // --- fingerprinting -----------------------------------------------------
 
-  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling polynomial
-    * hash over token 4-grams, keep the minimum in each window of 8 —
-    * a compact order-robust signature for containment/plagiarism checks.
+  /** Fingerprint hash modulus: a 31-base polynomial mod this prime keeps the
+    * accumulator in BIGINT range for BOTH Spark codegen and the DuckDB
+    * oracle (64-bit wrapping hashes are not ANSI-SQL-expressible).
+    */
+  val fpMod = 1000000007L
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): polynomial hash
+    * over token 4-grams (joined with spaces), keep the minimum hash in each
+    * sliding window of 8 grams, return the distinct minima sorted — a
+    * compact order-robust signature for containment/plagiarism checks.
+    * Reference implementation for [[fingerprints]]; the spec gates the two
+    * equal.
     */
   private[ops] def fingerprint(text: String, gram: Int = 4, window: Int = 8): Array[Long] = {
     val toks = Analyzer.tokenize(text)
     if (toks.length < gram) return Array.empty
     val hashes = Array.tabulate(toks.length - gram + 1) { i =>
-      var h = 0xcbf29ce484222325L
-      var j = i
-      while (j < i + gram) {
-        val t = toks(j)
-        var k = 0
-        while (k < t.length) { h ^= t.charAt(k); h *= 0x100000001b3L; k += 1 }
-        h ^= 0x1F
-        h *= 0x100000001b3L
-        j += 1
-      }
+      val g = toks.slice(i, i + gram).mkString(" ")
+      var h = 0L
+      var k = 0
+      while (k < g.length) { h = (h * 31 + g.charAt(k)) % fpMod; k += 1 }
       h
     }
     if (hashes.length <= window) Array(hashes.min)
     else {
-      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val out = scala.collection.mutable.SortedSet.empty[Long]
       var i = 0
       while (i + window <= hashes.length) {
         var m = hashes(i)
@@ -127,9 +132,102 @@ object TextStats {
     }
   }
 
-  val fingerprintUdf = udf((s: String) => fingerprint(s))
-
+  /** Per-doc winnowing fingerprints as (doc_id, fp) rows — pure built-in
+    * higher-order functions (whole-stage codegen, no UDF), one narrow pass.
+    * The exploded scalar shape (rather than an array column) is what the
+    * cross-engine gate can hash.
+    */
   def fingerprints(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
+                   idCol: String = "doc_id",
+                   gram: Int = 4, window: Int = 8): DataFrame = {
+    val toks = transform(
+      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2), lower _)
+    // sequence(1, m) with m < 1 would generate a DESCENDING sequence — guard.
+    val grams = when(size(toks) >= gram,
+      transform(sequence(lit(1), size(toks) - lit(gram - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(gram)))))
+      .otherwise(array())
+    val hashes = transform(grams, g =>
+      aggregate(sequence(lit(1), length(g)), lit(0L),
+        (h, p) => (h * 31 + ascii(g.substr(p, lit(1)))) % fpMod))
+    val mins = when(size(hashes) > 0,
+      transform(sequence(lit(1), greatest(size(hashes) - lit(window - 1), lit(1))),
+        j => array_min(slice(hashes, j, lit(window)))))
+      .otherwise(array())
+    docs.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
+  // --- DuckDB oracle twins (driver correctness gate) ----------------------
+
+  /** DuckDB twin of [[langId]] — same profiles, same tie order
+    * (alphabetical wins a score tie: de < en < es < fr), same cjk and
+    * und rules.
+    */
+  lazy val langIdSql: String = {
+    def inList(lang: String): String =
+      profiles(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    def cnt(lang: String): String =
+      s"CAST(len(list_filter(toks, x -> x IN (${inList(lang)}))) AS DOUBLE)"
+    s"""WITH t AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+    length(text) AS n,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> length(x) > 0) AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, cjk, n, len(toks) AS nt,
+    ${cnt("de")} AS c_de, ${cnt("en")} AS c_en,
+    ${cnt("es")} AS c_es, ${cnt("fr")} AS c_fr
+  FROM t),
+sc AS (
+  SELECT doc_id, cjk, n, nt,
+    CASE WHEN nt = 0 THEN 0.0 ELSE c_de / nt END AS s_de,
+    CASE WHEN nt = 0 THEN 0.0 ELSE c_en / nt END AS s_en,
+    CASE WHEN nt = 0 THEN 0.0 ELSE c_es / nt END AS s_es,
+    CASE WHEN nt = 0 THEN 0.0 ELSE c_fr / nt END AS s_fr
+  FROM s)
+SELECT doc_id,
+  CASE WHEN cjk * 4 > n THEN 'zh'
+       WHEN nt = 0 OR greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  CASE WHEN cjk * 4 > n THEN round(CAST(cjk AS DOUBLE) / n, 6)
+       WHEN nt = 0 THEN 0.0
+       ELSE round(greatest(s_de, s_en, s_es, s_fr), 6) END AS confidence
+FROM sc ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of [[fingerprints]] — same tokenizer shape as the tokb
+    * CTE, same polynomial hash mod [[fpMod]], same winnowing windows.
+    */
+  def fingerprintSql(gram: Int = 4, window: Int = 8): String = {
+    val gramCat = (0 until gram).map(j => s"arr[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+  SELECT doc_id,
+    list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+      x -> length(x) > 2), x -> lower(x)) AS arr
+  FROM documents),
+gr AS (
+  SELECT doc_id, i, $gramCat AS g
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - ${gram - 1}),
+h AS (
+  SELECT doc_id, i,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % $fpMod) AS h
+  FROM gr),
+wm AS (
+  SELECT doc_id, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS mn,
+    count(*) OVER (PARTITION BY doc_id) AS m
+  FROM h)
+SELECT DISTINCT doc_id, mn AS fp FROM wm
+WHERE i <= greatest(m - ${window - 1}, 1)
+ORDER BY doc_id, fp"""
+  }
 }

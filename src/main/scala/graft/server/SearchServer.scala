@@ -50,6 +50,36 @@ final class SearchServer(spark: SparkSession, sfDir: String, port: Int) {
     ex.close()
   }
 
+  /** Full JSON string unescape (the whole escape set incl. \uXXXX): a
+    * legitimately-encoded query containing \n/\t/\u-escapes must reach the
+    * analyzer as the characters it encodes, not literal backslash runs.
+    */
+  private def unescapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '/' => sb += '/'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case 'u' if i + 5 < s.length =>
+            val hex = s.substring(i + 2, i + 6)
+            try { sb += Integer.parseInt(hex, 16).toChar; i += 6 }
+            catch { case _: NumberFormatException => sb += 'u'; i += 2 }
+          case other => sb += other; i += 2 // lenient: unknown escape kept
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** Minimal JSON field extraction for the tiny request shape (a full
     * parser is not warranted for three fields of known types).
     */
@@ -57,8 +87,7 @@ final class SearchServer(spark: SparkSession, sfDir: String, port: Int) {
     val m = ("\"" + java.util.regex.Pattern.quote(name) +
       "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[^,}\\s]+)").r
     m.findFirstMatchIn(body).map { mm =>
-      Option(mm.group(2)).map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(mm.group(1))
+      Option(mm.group(2)).map(unescapeJson).getOrElse(mm.group(1))
     }
   }
 
@@ -105,14 +134,20 @@ final class SearchServer(spark: SparkSession, sfDir: String, port: Int) {
   private def broadcastHydrate(top: org.apache.spark.sql.DataFrame): Seq[String] = {
     val hits = top.collect().map(r => (r.getLong(0), r.getDouble(1)))
     if (hits.isEmpty) return Seq.empty
+    // title/url parity with the reference result contract (App.tsx:6-11,
+    // main.rs:93-100): the synthetic corpus has no stored title/url, so
+    // title = leading text (to 60 chars) and url = a stable doc URI.
     val meta = docs.filter(col("doc_id").isin(hits.map(_._1): _*))
       .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 60).as("title"),
         substring(col("text"), 1, 150).as("snippet"))
       .collect()
       .map(r => r.getLong(0) -> r).toMap
     hits.toSeq.map { case (id, score) =>
       val r = meta(id)
-      s"""{"id":$id,"score":$score,"lang":${jstr(r.getAs[String]("lang"))},""" +
+      s"""{"id":$id,"score":$score,"title":${jstr(r.getAs[String]("title"))},""" +
+        s""""url":${jstr(s"graft://${r.getAs[String]("source")}/$id")},""" +
+        s""""lang":${jstr(r.getAs[String]("lang"))},""" +
         s""""source":${jstr(r.getAs[String]("source"))},"snippet":${jstr(r.getAs[String]("snippet"))}}"""
     }
   }

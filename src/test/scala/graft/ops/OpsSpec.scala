@@ -44,6 +44,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngram jaccard hot-shingle cap: skewed shingle dropped, true dups kept") {
+    // one hot 3-gram in EVERY doc (the quadratic-join skew case) plus one
+    // planted identical pair; with the cap the hot shingle contributes no
+    // pairs and only the real duplicates survive
+    val hot = "alpha beta gamma"
+    val rows = (1L to 40L).map(i => (i, s"$hot unique$i token$i filler$i")) ++
+      Seq((100L, s"$hot dup dup dup"), (101L, s"$hot dup dup dup"))
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(df, n = 3, minJaccard = 0.5, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet == Set((100L, 101L)))
+    assert(capped((100L, 101L)) == 1.0)
+    // uncapped on the same corpus agrees on the >=0.5 pairs (the hot shingle
+    // alone cannot push an unrelated pair over threshold here)
+    val uncapped = Dedup.ngramJaccard(df, n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((100L, 101L)))
+  }
+
   test("minhash LSH: candidates cover the planted dups; verification keeps precision") {
     val cand = Dedup.minhashLsh(docsDF).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -98,6 +117,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("blocked cosinePairs == local all-pairs (multi-block path)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va) <- local; (ib, vb) <- local if ia < ib
+      c = BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.45
+    } yield (ia, ib)).toSet
+    // blockSize small enough to force MANY block pairs (the 100-TB shape)
+    val got = Similarity.cosinePairs(emb, 0.45, blockSize = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("token counts fixtures") {
     val d = Seq((1L, "Hello, big World! a x  "), (2L, "")).toDF("doc_id", "text")
     val res = TextStats.tokenCounts(d).collect()
@@ -133,6 +172,17 @@ class OpsSpec extends AnyFunSuite {
     val f4 = TextStats.fingerprint(corpus(3)._2)
     assert(f1.toSet.intersect(f4.toSet).isEmpty)
     assert(TextStats.fingerprint("a b").isEmpty)
+  }
+
+  test("fingerprints DF (codegen built-ins) == scala reference impl") {
+    val want = corpus.flatMap { case (id, t) =>
+      TextStats.fingerprint(t).map(fp => (id, fp))
+    }.toSet
+    val got = TextStats.fingerprints(docsDF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // short docs (< gram tokens) produce no rows, not nulls
+    assert(!got.exists(_._1 == 7L) && !got.exists(_._1 == 8L))
   }
 
   test("multimodal: schema, determinism, ingest sha, frame shape") {

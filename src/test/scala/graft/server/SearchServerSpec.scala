@@ -54,6 +54,17 @@ class SearchServerSpec extends AnyFunSuite {
       val (c5, _) = http("GET", s"$base/document/notanid")
       assert(c5 == 400)
 
+      // result rows carry the reference UI contract fields (App.tsx:6-11)
+      assert(hits.contains("\"title\":") && hits.contains("\"url\":\"graft://"))
+
+      // JSON escapes in the query string must decode before analysis:
+      // "table scan\tmerge" == "table scan\tmerge" -> same results
+      val (cEsc, escHits) = http("POST", s"$base/search",
+        Some("{\"query\": \"table\\u0020scan\\tmerge\", \"limit\": 5}"))
+      assert(cEsc == 200)
+      val escIds = """"id":(\d+)""".r.findAllMatchIn(escHits).map(_.group(1).toLong).toSeq
+      assert(escIds == direct)
+
       // degenerate query: all stop words -> empty array, not an error
       val (c6, empty) = http("POST", s"$base/search", Some("""{"query": "the a of"}"""))
       assert(c6 == 200 && empty == "[]")
