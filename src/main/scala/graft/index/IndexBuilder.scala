@@ -76,7 +76,10 @@ object IndexBuilder {
             cfg: IndexConfig = IndexConfig()): IndexGlobals = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    if (!Files.exists(root.resolve("globals.json"))) buildStats(spark, docs, dir, cfg)
+    val freshDocCounts: Option[Map[(Int, Int), Long]] =
+      if (!Files.exists(root.resolve("globals.json")))
+        Some(buildStats(spark, docs, dir, cfg))
+      else None
     val globals = PostingIndex.readGlobals(spark, dir)
     // Resuming a directory built under a DIFFERENT config would silently
     // route postings inconsistently (tf rows carry tb/shard from the old
@@ -91,7 +94,7 @@ object IndexBuilder {
         s"caller passed (shards=${cfg.shards}, tb=${cfg.termBuckets}, " +
         s"blockSize=${cfg.blockSize}, stem=${cfg.stem}, k1=${cfg.params.k1}, " +
         s"b=${cfg.params.b})")
-    buildPostings(spark, dir, cfg, globals)
+    buildPostings(spark, dir, cfg, globals, freshDocCounts)
     globals
   }
 
@@ -100,8 +103,11 @@ object IndexBuilder {
 
   /** Stage 1: materialize (doc_id, term, tf, shard) partitioned by tb, the
     * per-term stats, and globals.json (committed last = stage marker).
+    * Returns the per-(tb, shard) doc counts so a same-JVM postings stage
+    * skips the parquet round-trip (resume still reads `partition_docs`).
     */
-  def buildStats(spark: SparkSession, docs: DataFrame, dir: String, cfg: IndexConfig): Unit = {
+  def buildStats(spark: SparkSession, docs: DataFrame, dir: String,
+                 cfg: IndexConfig): Map[(Int, Int), Long] = {
     // one shuffle-free pass: (doc_id, term, tf, dl) + routing columns
     val tf = RelationalBM25.termFreqsWithDl(docs, cfg.stem)
       .withColumn("tb", tbUdf(cfg.termBuckets)(col("term")))
@@ -111,16 +117,22 @@ object IndexBuilder {
     stage("stats:tf-write")(tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
 
     val tfBack = spark.read.parquet(s"$dir/tf")
-    val nDocs = stage("stats:n-docs")(docs.count())
+    // the corpus row count is a metadata-only job — overlap its driver-side
+    // latency with the big tf pass instead of paying it serially
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nDocsF = Future(docs.count())
     // one pass yields both the per-(tb, shard) doc counts (manifest
     // quartet) and the token total; the result is <= shards*termBuckets
-    // rows, so collect ONCE and write the tiny table from the driver
-    // (write-then-re-aggregate would run the shuffle agg twice)
+    // rows, so collect ONCE and persist the tiny table as a LOCAL json —
+    // a Spark write job for <=256 rows is pure serial overhead
     val partDocs = stage("stats:partition-docs")(
       tfBack.groupBy("tb", "shard").agg(countDistinct("doc_id").as("docs"),
         sum("tf").as("tokens")).collect())
-    writePartDocs(spark, dir, partDocs)
+    writePartDocs(dir, partDocs)
     val totalTokens = partDocs.map(_.getLong(3)).sum
+    val nDocs = stage("stats:n-docs")(
+      Await.result(nDocsF, scala.concurrent.duration.Duration.Inf))
     val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
@@ -129,8 +141,12 @@ object IndexBuilder {
     val idfUdf = udf((df: Long) => BM25.idf(n, df.toDouble))
     val stats = tfBack.groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"), col("df"), idfUdf(col("df")).as("idf"))
-    stage("stats:stats-write")(stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats"))
-    val vocabSize = stage("stats:vocab-count")(spark.read.parquet(s"$dir/stats").count())
+    // vocabulary size observed DURING the stats write — a read-back count
+    // is a whole extra job of pure serial time per build
+    val obs = new org.apache.spark.sql.Observation("graft-vocab")
+    stage("stats:stats-write")(stats.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats"))
+    val vocabSize = stage("stats:vocab-count")(obs.get("n").asInstanceOf[Long])
 
 
     val g = IndexGlobals(
@@ -143,11 +159,13 @@ object IndexBuilder {
       blockSize = cfg.blockSize, k1 = cfg.params.k1, b = cfg.params.b,
       stem = cfg.stem)
     writeGlobals(dir, g)
+    partDocs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
   }
 
   /** Stage 2: compute weights, encode blocks, commit per-(tb, shard). */
   def buildPostings(spark: SparkSession, dir: String, cfg: IndexConfig,
-                    g: IndexGlobals): Unit = {
+                    g: IndexGlobals,
+                    freshDocCounts: Option[Map[(Int, Int), Long]] = None): Unit = {
     import spark.implicits._
     val committed0 = Manifest.committed(dir)
     val all = for (t <- 0 until cfg.termBuckets; s <- 0 until cfg.shards) yield (t, s)
@@ -158,12 +176,10 @@ object IndexBuilder {
     // commitWaves trades kill granularity against per-wave job overhead.
     val waves = math.max(1, math.min(cfg.commitWaves, cfg.termBuckets))
     // per-partition distinct-doc counts precomputed in the stats stage —
-    // read ONCE for all waves (it is a tiny table; re-reading per wave was
-    // measurable serial overhead)
-    val docCounts = stage("postings:doc-counts")(
-      spark.read.parquet(s"$dir/partition_docs")
-        .select("tb", "shard", "docs")
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap)
+    // handed over in-memory when the stats stage ran in this JVM, parsed
+    // from the local json on resume
+    val docCounts = freshDocCounts.getOrElse(
+      stage("postings:doc-counts")(readPartDocs(dir)))
     (0 until waves).foreach { w =>
       val tbsInWave = (0 until cfg.termBuckets).filter(_ % waves == w)
       val committed = Manifest.committed(dir)
@@ -286,13 +302,26 @@ object IndexBuilder {
     }
   }
 
-  private def writePartDocs(spark: SparkSession, dir: String,
+  /** partition_docs is internal build state (<= shards*termBuckets rows),
+    * persisted as local JSON-lines so neither writing nor resume-reading it
+    * costs a Spark job.
+    */
+  private def writePartDocs(dir: String,
                             rows: Array[org.apache.spark.sql.Row]): Unit = {
-    import spark.implicits._
-    rows.toSeq
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      .toDF("tb", "shard", "docs", "tokens")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/partition_docs")
+    val body = rows.map(r =>
+      s"""{"tb":${r.getInt(0)},"shard":${r.getInt(1)},"docs":${r.getLong(2)},"tokens":${r.getLong(3)}}""")
+      .mkString("", "\n", "\n")
+    Files.writeString(Paths.get(dir, "partition_docs.json"), body)
+  }
+
+  private[index] def readPartDocs(dir: String): Map[(Int, Int), Long] = {
+    val p = Paths.get(dir, "partition_docs.json")
+    if (!Files.exists(p)) return Map.empty
+    val Line =
+      """\{"tb":(\d+),"shard":(\d+),"docs":(\d+),"tokens":(\d+)\}""".r
+    Files.readString(p).linesIterator.collect {
+      case Line(tb, sh, docs, _) => (tb.toInt, sh.toInt) -> docs.toLong
+    }.toMap
   }
 
   // --- small fs helpers ----------------------------------------------------

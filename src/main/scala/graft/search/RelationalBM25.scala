@@ -59,15 +59,33 @@ object RelationalBM25 {
 
   /** A1: deterministic vocabulary ids by sorted term (SURVEY.md §7.4 —
     * Variant B's sort over Variant A's nondeterministic first-seen order).
-    * The single-partition window is driver-side-small only at test scale;
-    * the scalable id assignment (zipWithIndex-free) is
-    * `row_number over (orderBy term)` which Spark plans as a global sort —
-    * acceptable for a vocabulary ~1e6 rows even at full corpus scale.
+    *
+    * Ids are identical to `row_number() OVER (ORDER BY term)` but assigned
+    * in two stages so no single task ever sorts the whole vocabulary:
+    * range-partition by term (parallel sort), count per partition (tiny
+    * collect), then rank within each partition plus the broadcast running
+    * offset. The localCheckpoint pins the range partitioning so the offsets
+    * and the ranked rows see the same partition boundaries.
     */
-  def vocabulary(tf: DataFrame): DataFrame =
-    docFreqs(tf).withColumn(
-      "term_id", row_number().over(Window.orderBy("term")).cast("long"))
+  def vocabulary(tf: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val ranged = docFreqs(tf)
+      .repartitionByRange(col("term"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) =>
+      val o = acc; acc += cnt; (pid, o)
+    }
+    ranged.join(broadcast(offsets.toSeq.toDF("pid", "offset")), "pid")
+      .withColumn("term_id",
+        row_number().over(Window.partitionBy("pid").orderBy("term"))
+          .cast("long") + col("offset"))
       .select("term", "term_id", "df")
+  }
 
   /** A8 (BM25 form): per-document token count (length norm statistic). */
   def docLens(tf: DataFrame): DataFrame =

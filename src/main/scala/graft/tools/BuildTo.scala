@@ -25,7 +25,12 @@ import graft.index.{IndexBuilder, IndexConfig, Manifest}
   * the sandbox's host-load noise).
   */
 object BuildTo {
+  private val t0 = System.nanoTime()
+  private def el: String = f"${(System.nanoTime() - t0) / 1e9}%.1f"
+
   def main(args: Array[String]): Unit = {
+    val jvmStart = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    println(s"BUILDTO main jvmBootMs=${System.currentTimeMillis() - jvmStart}")
     val corpusDir = args(0)
     val idxDir = args(1)
     val cpus = if (args.length > 2) args(2).toInt else 16
@@ -44,6 +49,8 @@ object BuildTo {
       // tiny-file tasks per stage put seconds of non-scaling work on the
       // scheduler at every parallelism level
       .config("spark.sql.files.openCostInBytes", "0")
+      // parallel task-side commit (see ScalePair)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,12 +62,14 @@ object BuildTo {
       shards = sys.env.getOrElse("GRAFT_SHARDS", "32").toInt,
       termBuckets = sys.env.getOrElse("GRAFT_TB", "8").toInt,
       commitWaves = waves)
-    println(s"BUILDTO start committed=${Manifest.committed(idxDir).size}")
+    println(s"BUILDTO start committed=${Manifest.committed(idxDir).size} el=$el")
     val docs = Corpus.fromCodeDocs(spark.read.parquet(corpusDir))
     if (warmFrac > 0) {
       val warmDir = java.nio.file.Files
         .createTempDirectory("graft-buildto-warm").toString
+      val t0 = System.nanoTime()
       IndexBuilder.build(spark, docs.where(s"docId % $warmFrac = 0"), warmDir, cfg)
+      println(f"BUILDTO warm secs=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     if (pin.nonEmpty) {
       val pid = ProcessHandle.current().pid()
@@ -84,7 +93,8 @@ object BuildTo {
       if (secs < best) best = secs
       r += 1
     }
-    println(f"BUILDTO done secs=$best%.3f committed=${Manifest.committed(idxDir).size} totals=${Manifest.totals(idxDir)}")
+    println(f"BUILDTO done secs=$best%.3f committed=${Manifest.committed(idxDir).size} totals=${Manifest.totals(idxDir)} el=$el")
     spark.stop()
+    println(s"BUILDTO exit el=$el")
   }
 }

@@ -65,6 +65,20 @@ class IndexSpec extends AnyFunSuite {
     assert(Manifest.committed(dir).size == 16)
     val (terms, postings, bytes) = Manifest.totals(dir)
     assert(terms > 0 && postings > 0 && bytes > 0)
+    // accumulator-derived manifest counters == ground truth recomputed from
+    // the committed segments (the build no longer re-reads the index; this
+    // pins the two paths equal)
+    import org.apache.spark.sql.functions._
+    val truth = spark.read.parquet(s"$dir/postings")
+      .agg(
+        count(lit(1)).as("blocks"), // not in manifest; sanity only
+        sum(when(col("block_id") === 0, 1L).otherwise(0L)).as("terms"),
+        sum("n").as("postings"),
+        sum(length(col("docs_bin")) + length(col("wts_bin")) +
+          length(col("tfs_bin"))).as("bytes"))
+      .head()
+    assert(truth.getLong(1) == terms && truth.getLong(2) == postings &&
+      truth.getLong(3) == bytes)
   }
 
   test("index content is invariant to shard/bucket/block configuration") {
