@@ -64,8 +64,14 @@ object Similarity {
       }
       .toDF("id", "v")
     // B needs the row count — one aggregate job, not a collect of rows.
+    // Floor B at ~2x the session's parallelism: a small corpus in one block
+    // would put every pair in a single task (blockSize only caps per-task
+    // work for LARGE corpora).
     val n = normed.count()
-    val b = math.max(1, math.ceil(n.toDouble / blockSize).toInt)
+    val minBlocks = math.min(
+      2 * embeddings.sparkSession.sparkContext.defaultParallelism, n / 8 + 1)
+    val b = math.max(math.max(1L, minBlocks),
+      math.ceil(n.toDouble / blockSize).toLong).toInt
     // deterministic balanced block id (xxhash64 scrambles sequential ids)
     val withBlk = normed
       .withColumn("blk", pmod(xxhash64(col("id")), lit(b.toLong)).cast("int"))

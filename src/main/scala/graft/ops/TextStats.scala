@@ -132,29 +132,23 @@ object TextStats {
     }
   }
 
-  /** Per-doc winnowing fingerprints as (doc_id, fp) rows — pure built-in
-    * higher-order functions (whole-stage codegen, no UDF), one narrow pass.
+  /** Per-doc winnowing fingerprints as (doc_id, fp) rows, one narrow pass.
     * The exploded scalar shape (rather than an array column) is what the
     * cross-engine gate can hash.
+    *
+    * Implementation note: this was first written as pure higher-order
+    * functions (transform/aggregate over per-char sequences), but Spark
+    * evaluates HOF lambdas INTERPRETED per element — the char-level hash
+    * made it ~50x slower than a compiled JVM loop and it timed out at
+    * bench scale. The UDF runs [[fingerprint]] (the spec'd reference
+    * implementation) directly; the DuckDB twin [[fingerprintSql]] gates the
+    * semantics either way.
     */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
                    gram: Int = 4, window: Int = 8): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2), lower _)
-    // sequence(1, m) with m < 1 would generate a DESCENDING sequence — guard.
-    val grams = when(size(toks) >= gram,
-      transform(sequence(lit(1), size(toks) - lit(gram - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(gram)))))
-      .otherwise(array())
-    val hashes = transform(grams, g =>
-      aggregate(sequence(lit(1), length(g)), lit(0L),
-        (h, p) => (h * 31 + ascii(g.substr(p, lit(1)))) % fpMod))
-    val mins = when(size(hashes) > 0,
-      transform(sequence(lit(1), greatest(size(hashes) - lit(window - 1), lit(1))),
-        j => array_min(slice(hashes, j, lit(window)))))
-      .otherwise(array())
-    docs.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    val fpUdf = udf((s: String) => fingerprint(s, gram, window))
+    docs.select(col(idCol), explode(fpUdf(col(textCol))).as("fp"))
   }
 
   // --- DuckDB oracle twins (driver correctness gate) ----------------------

@@ -19,9 +19,15 @@ import graft.index.{IndexCache, Manifest, PostingIndex}
   *                       "postings":..,"posting_bytes":..}
   *   GET  /document/{id} -> full document row or 404
   *
-  * Deltas from the reference recorded: our corpus rows have (lang, source,
-  * text), not (title, url); `method` 3/4 (SVD) do not exist (north rule) —
-  * `conjunctive` selects the intersection mode instead.
+  * Deltas from the reference recorded: the corpus has no stored title/url,
+  * so results carry a derived `title` (leading text) and a stable
+  * `url` ("graft://{source}/{id}") to keep the reference UI contract's
+  * field shape (App.tsx:6-11). Request fields beyond
+  * {query, limit, conjunctive} are IGNORED (not 400) — matching the
+  * reference, which deserializes unknown JSON fields permissively; its
+  * `method` selector (1/2 = TF-IDF idf variants, 3/4 = SVD) has no analog
+  * here (BM25 replaces both per the north rule), so `method` in a request
+  * is ignored rather than rejected.
   *
   * Serving path: preloaded index (segments pinned in executor memory),
   * docs hydrated per request by pushed-down point lookups.

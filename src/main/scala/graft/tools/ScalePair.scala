@@ -29,7 +29,10 @@ object ScalePair {
   private val t0 = System.nanoTime()
   private def el: Double = (System.nanoTime() - t0) / 1e9
 
-  private val localDir = "/dev/shm/graft-scalepair-local"
+  // per-process scratch: two ScalePair instances must never share (or
+  // startup-clean) each other's LIVE shuffle dirs
+  private val localDir =
+    s"/dev/shm/graft-scalepair-local-${ProcessHandle.current().pid()}"
 
   private def session(n: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -72,11 +75,15 @@ object ScalePair {
       termBuckets = sys.env.getOrElse("GRAFT_TB", "4").toInt,
       commitWaves = 1)
 
-    // stale scratch/indexes from destroyed prior runs: tmpfs delete is free
+    // stale scratch/indexes from destroyed prior runs: tmpfs delete is free.
+    // Age-gated (>20 min) so a concurrently-running instance's LIVE dirs
+    // are never touched.
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val cutoff = System.currentTimeMillis() - 20 * 60 * 1000
     java.nio.file.Files.list(shm).forEach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("graft-scalepair") || n.startsWith("graft-bench-sp")) {
+      if ((n.startsWith("graft-scalepair") || n.startsWith("graft-bench-sp")) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
         java.nio.file.Files.walk(p)
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => java.nio.file.Files.deleteIfExists(f))
