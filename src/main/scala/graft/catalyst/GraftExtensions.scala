@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.functionDescription)
+    ext.injectFunction(GraftExtensions.dotDescription)
   }
 }
 
@@ -25,14 +26,28 @@ object GraftExtensions {
       "code_analyze(text[, stem: boolean literal])")
   }
 
+  private def buildDot(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => DotProduct(a, b)
+    case _ => throw new IllegalArgumentException("graft_dot(a, b)")
+  }
+
   val functionDescription: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("code_analyze"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[CodeAnalyze].getName, "code_analyze"),
     build)
 
+  val dotDescription: (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DotProduct].getName, "graft_dot"),
+    buildDot)
+
   /** Register on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "code_analyze", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", buildDot, "built-in")
+  }
 }
