@@ -38,4 +38,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.lastProgress == null || q.lastProgress.batchId >= 1,
       "expected multiple micro-batches")
   }
+
+  test("streaming sessionization (flatMapGroupsWithState) equals the batch form") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val events = Events.load(spark, src)
+    val want = graft.ops.Events.sessions(events).collect()
+      .map(_.toSeq).sortBy(_.toString)
+
+    // feed the stream as ts-ordered chunks (append-mode sessionization is
+    // exact when micro-batches respect time order; see StreamingSessions)
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    val sorted = events.orderBy("ts")
+    val n = sorted.count()
+    val chunkRows = (n / 3 + 1).toInt
+    val all = sorted.collect()
+    val schema = events.schema
+
+    def writeChunk(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-stream-chunk").toString
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, name))
+    }
+
+    val q = StreamingSessions.sessionStream(spark, dir, schema)
+      .writeStream
+      .format("memory")
+      .queryName("sess_test")
+      .outputMode("append")
+      .start()
+    try {
+      all.grouped(chunkRows).zipWithIndex.foreach { case (rows, i) =>
+        writeChunk(rows.toSeq, f"chunk-$i%03d.parquet")
+        q.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark past every
+      // open session's timeout, the second lets the timeouts FIRE (timeouts
+      // use the watermark computed at the previous batch's end)
+      val maxTs = events.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+      (1 to 2).foreach { k =>
+        val far = new java.sql.Timestamp(maxTs.getTime + k * 10L * 24 * 3600 * 1000)
+        val sentinel = org.apache.spark.sql.Row(
+          -1L, java.time.LocalDateTime.ofInstant(far.toInstant,
+            java.time.ZoneOffset.UTC), -1L, "sentinel", 0.0, "{}")
+        writeChunk(Seq(sentinel), s"sentinel-$k.parquet")
+        q.processAllAvailable()
+      }
+      val got = spark.table("sess_test")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == want.toSeq,
+        s"stream ${got.size} rows vs batch ${want.size}")
+    } finally q.stop()
+  }
 }
