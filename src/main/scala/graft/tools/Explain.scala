@@ -43,6 +43,17 @@ object Explain {
       RelationalBM25.hydrate(
         RelationalBM25.topK(docs, "table scan merge", 10, stem = false), docs)
     }
+    val rawDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    show("cosinePairs blocked join (expect broadcast grid + graft_dot, NO driver collect / NestedLoop over rows)") {
+      graft.ops.Similarity.cosinePairs(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), 0.45)
+    }
+    show("ngramJaccard (expect broadcast LEFT-ANTI hot-shingle guard before the pair join)") {
+      graft.ops.Dedup.ngramJaccard(rawDocs, n = 3, minJaccard = 0.5)
+    }
+    show("fingerprints (expect one narrow Generate/Project pass, no shuffle)") {
+      graft.ops.TextStats.fingerprints(rawDocs)
+    }
     spark.stop()
   }
 }
