@@ -143,7 +143,7 @@ final class SearchServer(spark: SparkSession, sfDir: String, port: Int) {
     // title/url parity with the reference result contract (App.tsx:6-11,
     // main.rs:93-100): the synthetic corpus has no stored title/url, so
     // title = leading text (to 60 chars) and url = a stable doc URI.
-    val meta = docs.filter(col("doc_id").isin(hits.map(_._1): _*))
+    val meta = docs.filter(col("doc_id").isin(hits.map(_._1).toIndexedSeq: _*))
       .select(col("doc_id"), col("lang"), col("source"),
         substring(col("text"), 1, 60).as("title"),
         substring(col("text"), 1, 150).as("snippet"))
