@@ -84,6 +84,21 @@ object Bench {
 
   private var keptIdxDir: String = _
 
+  /** Fixed single-thread CPU spin (~1 s on an idle core): the sandbox is a
+    * shared host whose load swings identical builds by 2-3x run-to-run, so
+    * every JSON line carries this calibration — a reader can tell "slow
+    * engine" from "loaded host" (idle baseline ~0.9-1.1 s; >1.5 s means the
+    * host was contended during the run).
+    */
+  private def hostCal(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < 400000000) { h ^= i; h *= 0x100000001b3L; i += 1 }
+    if (h == 42L) println("") // keep the loop alive
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -358,7 +373,7 @@ object Bench {
         s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
         s""""queries_skipped":$skipped,"sf":"$sfDir","scale_docs":$scaleDocs,""" +
         errNote + buildJson + latJson +
-        s""""elapsed_sec":${jn(elapsed)}}""")
+        s""""host_cal_sec":${jn(hostCal())},"elapsed_sec":${jn(elapsed)}}""")
       System.out.flush()
       // halt WITHOUT shutdown hooks: Spark's exit-time temp cleanup TRIMs
       // hundreds of MB on this `discard`-mounted fs and can eat >30 s of
