@@ -209,7 +209,10 @@ object SparkEntry {
     "w1_event_tumbling" -> ((s, dir) =>
       ops.Events.tumblingCounts(ops.Events.load(s, dir))),
     "w2_event_sessions" -> ((s, dir) =>
-      ops.Events.sessions(ops.Events.load(s, dir))))
+      ops.Events.sessions(ops.Events.load(s, dir))),
+    // semi-structured: JSON-path extraction + rollup over the props column
+    "w3_event_props" -> ((s, dir) =>
+      ops.Events.propsRollup(ops.Events.load(s, dir))))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
@@ -343,7 +346,8 @@ FROM documents ORDER BY media_id""",
       "lang_id" -> ops.TextStats.langIdSql,
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "w1_event_tumbling" -> ops.Events.tumblingSql,
-      "w2_event_sessions" -> ops.Events.sessionsSql())
+      "w2_event_sessions" -> ops.Events.sessionsSql(),
+      "w3_event_props" -> ops.Events.propsRollupSql)
   }
 
   /** DuckDB twin of the multimodal feature stub: h = first 15 hex chars of

@@ -53,7 +53,30 @@ object Events {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Semi-structured extraction + rollup: parse the `props` JSON column
+    * (`get_json_object` is codegen'd, no UDF), bucket the extracted key,
+    * aggregate per (event_type, bucket) — the classic web-scale
+    * "JSON-blob column you only ever need two fields of" shape; the JSON
+    * path evaluates inside the scan projection, so column pruning still
+    * reads only (event_type, value, props).
+    */
+  def propsRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") / 10).cast("int")
+          .as("k_bucket"),
+        col("value"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type", "k_bucket")
+
   /** DuckDB twins. */
+  val propsRollupSql: String =
+    """SELECT event_type,
+       CAST(CAST(props->>'$.k' AS INTEGER) // 10 AS INTEGER) AS k_bucket,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket"""
+
   val tumblingSql: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
        count(*) AS n, round(sum(value), 4) AS sum_value
