@@ -84,19 +84,40 @@ object Bench {
 
   private var keptIdxDir: String = _
 
-  /** Fixed single-thread CPU spin (~1 s on an idle core): the sandbox is a
-    * shared host whose load swings identical builds by 2-3x run-to-run, so
-    * every JSON line carries this calibration — a reader can tell "slow
-    * engine" from "loaded host" (idle baseline ~0.9-1.1 s; >1.5 s means the
-    * host was contended during the run).
+  /** Host calibration pair, printed with every JSON line — the sandbox is
+    * a shared host whose load swings identical builds 2-3x run-to-run, so a
+    * reader must be able to tell "slow engine" from "loaded host":
+    *
+    *  - cpu: fixed single-thread FNV spin (~0.5 s idle) — CPU steal;
+    *  - mem: 8 threads streaming 32 MB each x8 passes (~0.2-0.4 s idle) —
+    *    shared-memory-bus contention, which is what actually throttles the
+    *    shuffle/sort phases (observed: cpu cal normal while builds ran
+    *    2.7x slow — the bus was saturated by neighbors, not the cores).
     */
-  private def hostCal(): Double = {
+  private def hostCal(): (Double, Double) = {
     val t0 = System.nanoTime()
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < 400000000) { h ^= i; h *= 0x100000001b3L; i += 1 }
     if (h == 42L) println("") // keep the loop alive
-    (System.nanoTime() - t0) / 1e9
+    val cpu = (System.nanoTime() - t0) / 1e9
+    val threads = 8
+    val words = 4 * 1024 * 1024 // 32 MB of longs per thread
+    val arrs = Array.fill(threads)(Array.tabulate(words)(_.toLong))
+    val sums = new java.util.concurrent.atomic.AtomicLong()
+    val t1 = System.nanoTime()
+    val ts = arrs.map { a =>
+      val t = new Thread(() => {
+        var s = 0L
+        var p = 0
+        while (p < 8) { var j = 0; while (j < a.length) { s += a(j); j += 1 }; p += 1 }
+        sums.addAndGet(s)
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    if (sums.get() == 42L) println("")
+    (cpu, (System.nanoTime() - t1) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {
@@ -372,8 +393,11 @@ object Bench {
       println(
         s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
         s""""queries_skipped":$skipped,"sf":"$sfDir","scale_docs":$scaleDocs,""" +
-        errNote + buildJson + latJson +
-        s""""host_cal_sec":${jn(hostCal())},"elapsed_sec":${jn(elapsed)}}""")
+        errNote + buildJson + latJson + {
+          val (cpu, mem) = hostCal()
+          s""""host_cal_cpu_sec":${jn(cpu)},"host_cal_mem_sec":${jn(mem)},"""
+        } +
+        s""""elapsed_sec":${jn(elapsed)}}""")
       System.out.flush()
       // halt WITHOUT shutdown hooks: Spark's exit-time temp cleanup TRIMs
       // hundreds of MB on this `discard`-mounted fs and can eat >30 s of
