@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
+
+/** The spark-submit entry point (north rule: "runs via spark-submit on
+  * multi-executor clusters"). Unlike the sandbox tools in [[graft.tools]],
+  * this main NEVER sets a master — cluster manager, executor count and
+  * memory come from spark-submit, so the same jar runs at N and 4N
+  * executors unchanged:
+  *
+  * {{{
+  * spark-submit --class graft.Main app.jar \
+  *   build  <corpusParquet> <indexDir> [shards=32] [termBuckets=8] [stem=true]
+  * spark-submit --class graft.Main app.jar \
+  *   search <indexDir> <query...> [--k 10] [--conjunctive]
+  * spark-submit --class graft.Main app.jar \
+  *   serve  <sfDir> <port>
+  * }}}
+  *
+  * The corpus is any parquet with the input-hint shape
+  * (repo, path, commit, lang, content) — [[Corpus.fromCodeDocs]] derives
+  * stable 64-bit docIds — and the index directory should be shared storage
+  * (every stage reads/writes it through the Hadoop filesystem layer).
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-search-engine")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "build" :: corpus :: idxDir :: rest =>
+      val shards = rest.headOption.map(_.toInt).getOrElse(32)
+      val tb = rest.lift(1).map(_.toInt).getOrElse(8)
+      val stem = rest.lift(2).forall(_.toBoolean)
+      val spark = session()
+      val t0 = System.nanoTime()
+      val g = IndexBuilder.build(spark,
+        Corpus.fromCodeDocs(spark.read.parquet(corpus)), idxDir,
+        IndexConfig(shards = shards, termBuckets = tb, stem = stem))
+      println(f"built index at $idxDir: docs=${g.nDocs} vocab=${g.vocabularySize} " +
+        f"tokens=${g.totalTokens} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+
+    case "search" :: idxDir :: rest if rest.nonEmpty =>
+      val (flags, words) = rest.partition(a => a.startsWith("--") || a.forall(_.isDigit))
+      val k = flags.sliding(2).collectFirst {
+        case Seq("--k", v) => v.toInt
+      }.orElse(flags.find(_.forall(_.isDigit)).map(_.toInt)).getOrElse(10)
+      val conj = flags.contains("--conjunctive")
+      val query = words.mkString(" ")
+      val spark = session()
+      val idx = new PostingIndex(spark, idxDir)
+      val top = if (conj) idx.searchConjunctive(query, k) else idx.search(query, k)
+      top.collect().foreach(r => println(f"${r.getLong(0)}%20d  ${r.getDouble(1)}%.6f"))
+      spark.stop()
+
+    case "serve" :: sfDir :: port :: Nil =>
+      val spark = session()
+      val srv = new server.SearchServer(spark, sfDir, port.toInt)
+      srv.start()
+      println(s"graft /search serving on :${srv.boundPort} (corpus $sfDir)")
+      Thread.currentThread().join()
+
+    case _ =>
+      System.err.println(
+        """usage: graft.Main build  <corpusParquet> <indexDir> [shards] [termBuckets] [stem]
+          |       graft.Main search <indexDir> <query words...> [--k N] [--conjunctive]
+          |       graft.Main serve  <sfDir> <port>""".stripMargin)
+      sys.exit(2)
+  }
+}
