@@ -36,15 +36,26 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "build" :: corpus :: idxDir :: rest =>
+    case "build" :: corpus :: idxDir :: rest0 =>
+      // --warm: untimed 1/24-slice build first (JIT-compiles the hot paths
+      // in the SAME executor JVMs so the reported time measures the job,
+      // not JVM warm-up — a long-lived cluster pays JIT once per executor)
+      val warm = rest0.contains("--warm")
+      val rest = rest0.filterNot(_ == "--warm")
       val shards = rest.headOption.map(_.toInt).getOrElse(32)
       val tb = rest.lift(1).map(_.toInt).getOrElse(8)
       val stem = rest.lift(2).forall(_.toBoolean)
       val spark = session()
+      val cfg = IndexConfig(shards = shards, termBuckets = tb, stem = stem)
+      val docs = Corpus.fromCodeDocs(spark.read.parquet(corpus))
+      if (warm) {
+        val warmDir = java.nio.file.Files
+          .createTempDirectory("graft-main-warm").toString
+        IndexBuilder.build(spark, docs.where("docId % 24 = 0"), warmDir, cfg)
+        println("warm-up build done")
+      }
       val t0 = System.nanoTime()
-      val g = IndexBuilder.build(spark,
-        Corpus.fromCodeDocs(spark.read.parquet(corpus)), idxDir,
-        IndexConfig(shards = shards, termBuckets = tb, stem = stem))
+      val g = IndexBuilder.build(spark, docs, idxDir, cfg)
       println(f"built index at $idxDir: docs=${g.nDocs} vocab=${g.vocabularySize} " +
         f"tokens=${g.totalTokens} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.stop()
