@@ -61,12 +61,21 @@ object Main {
       spark.stop()
 
     case "search" :: idxDir :: rest if rest.nonEmpty =>
-      val (flags, words) = rest.partition(a => a.startsWith("--") || a.forall(_.isDigit))
-      val k = flags.sliding(2).collectFirst {
-        case Seq("--k", v) => v.toInt
-      }.orElse(flags.find(_.forall(_.isDigit)).map(_.toInt)).getOrElse(10)
-      val conj = flags.contains("--conjunctive")
-      val query = words.mkString(" ")
+      // only `--k N` selects k — a bare number is a QUERY WORD ("2001
+      // space odyssey" must not become k=2001)
+      var k = 10
+      var conj = false
+      val words = List.newBuilder[String]
+      var r = rest
+      while (r.nonEmpty) {
+        r match {
+          case "--k" :: v :: tail => k = v.toInt; r = tail
+          case "--conjunctive" :: tail => conj = true; r = tail
+          case w :: tail => words += w; r = tail
+          case Nil => ()
+        }
+      }
+      val query = words.result().mkString(" ")
       val spark = session()
       val idx = new PostingIndex(spark, idxDir)
       val top = if (conj) idx.searchConjunctive(query, k) else idx.search(query, k)
