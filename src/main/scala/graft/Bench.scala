@@ -25,11 +25,13 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   *     (breadth surface; includes the DuckDB-gated forms).
   *
   * THE WHOLE RUN IS DEADLINE-BOXED (SPARK_GRAFT_BENCH_BUDGET seconds,
-  * default 170): the driver kills the bench harness at ~240 s wall
+  * default 175): the driver kills the bench harness at ~240 s wall
   * including sbt startup, so every section checks the remaining budget
   * before starting more work, and the JSON line is ALWAYS printed — with
   * whatever sections completed — rather than dying mid-measurement
   * (round-1 failure mode: 5 × 400k-doc builds alone exceeded the budget).
+  * The scaling measurement itself runs in ONE child JVM
+  * ([[graft.tools.ScalePair]]) so boot/session/JIT are paid once.
   *
   * Reference baseline (BASELINE.md): 0.2–0.84 s/query at 223k docs with the
   * whole CSR index in RAM, single thread.
