@@ -203,18 +203,43 @@ object IndexBuilder {
       if (waveCommitted.isEmpty) tfAll
       else tfAll.filter(!struct(col("tb"), col("shard")).isin(
         waveCommitted.map(p => struct(lit(p._1), lit(p._2))): _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    // Wave-local term DICTIONARY (term -> dense id + idf), broadcast once:
+    // the postings shuffle then moves an int per row instead of the raw
+    // term string — on a realistic long-tail vocabulary (unique
+    // identifiers) the string column dominated shuffle bytes and the
+    // within-partition sort compared long strings. The dict also replaces
+    // the per-term stats JOIN with a map-side lookup. Terms are restored
+    // from the broadcast inverse table inside the encode task, so the
+    // on-disk format is unchanged. Scale note: the dict is the WAVE's
+    // vocabulary (vocab / commitWaves entries) — at extreme vocabularies
+    // raise commitWaves so each wave's dict stays broadcast-sized.
+    val waveStats = stage(s"postings:dict:tb=$wave")(
+      spark.read.parquet(s"$dir/stats")
+        .filter(tbUdf(cfg.termBuckets)(col("term")).isin(tbsInWave: _*))
+        .select("term", "idf").collect())
+    val termToId = new java.util.HashMap[String, Integer](waveStats.length * 2)
+    val idToTerm = new Array[String](waveStats.length)
+    val idToIdf = new Array[Double](waveStats.length)
+    var ti = 0
+    while (ti < waveStats.length) {
+      val r = waveStats(ti)
+      termToId.put(r.getString(0), ti)
+      idToTerm(ti) = r.getString(0)
+      idToIdf(ti) = r.getDouble(1)
+      ti += 1
+    }
+    val bDict = spark.sparkContext.broadcast((termToId, idToTerm, idToIdf))
     val params = cfg.params
     val avgdl = g.avgdl
     // weight via BM25.weight (same JVM ops as the oracle — bit-exactness);
-    // dl rides on every tf row (computed row-locally in the stats pass), so
-    // the only join is the broadcast-sized per-term stats table.
-    val wUdf = udf((tf: Long, dlv: Long, idf: Double) =>
-      BM25.weight(tf.toDouble, dlv.toDouble, avgdl, idf, params))
+    // dl rides on every tf row (computed row-locally in the stats pass)
+    val tidUdf = udf((term: String) => bDict.value._1.get(term).intValue())
+    val wUdf = udf((tid: Int, tf: Long, dlv: Long) =>
+      BM25.weight(tf.toDouble, dlv.toDouble, avgdl, bDict.value._3(tid), params))
     val postings = tf
-      .join(stats.select("term", "idf"), "term")
-      .select(col("tb"), col("shard"), col("term"), col("doc_id"), col("tf"),
-        wUdf(col("tf"), col("dl"), col("idf")).as("w"))
+      .withColumn("tid", tidUdf(col("term")))
+      .select(col("tb"), col("shard"), col("tid"), col("doc_id"), col("tf"),
+        wUdf(col("tid"), col("tf"), col("dl")).as("w"))
 
     val blockSize = cfg.blockSize
     // One shuffle partition per (tb, shard): every encode task then writes
@@ -222,16 +247,21 @@ object IndexBuilder {
     // moves O(partitions) files instead of O(partitions * tasks) — this was
     // the dominant serial cost at bench scale. Hot terms are still split
     // by shard; within a partition the sort keeps (tb, shard, term) groups
-    // contiguous and docId-ordered for the streaming encoder.
+    // contiguous and docId-ordered for the streaming encoder. The sort key
+    // uses the DICTIONARY id; ids are assigned in stats-row order, which is
+    // arbitrary but a bijection with terms, so per-term grouping (all the
+    // encoder needs) is preserved and the sort compares ints, not strings.
     val parts = cfg.shards * math.max(1, tbsInWave.size)
     val acc = new PartCounters
     spark.sparkContext.register(acc, s"graft-part-counters-w$wave")
     val blocks: Dataset[BlockRow] = postings
       .repartition(parts, col("tb"), col("shard"))
-      .sortWithinPartitions("tb", "shard", "term", "doc_id")
-      .select("tb", "shard", "term", "doc_id", "w", "tf")
-      .as[(Int, Int, String, Long, Double, Long)]
-      .mapPartitions { rows => new BlockEncodeIterator(rows, blockSize, acc) }
+      .sortWithinPartitions("tb", "shard", "tid", "doc_id")
+      .select("tb", "shard", "tid", "doc_id", "w", "tf")
+      .as[(Int, Int, Int, Long, Double, Long)]
+      .mapPartitions { rows =>
+        new BlockEncodeIterator(rows, blockSize, acc, bDict.value._2)
+      }
 
     val staging = s"$dir/.staging-postings-$wave"
     stage(s"postings:encode-write:tb=$wave")(blocks.write.mode(SaveMode.Overwrite)
@@ -259,16 +289,18 @@ object IndexBuilder {
     deleteRecursive(stagingPath)
   }
 
-  /** Streaming block encoder over (tb, shard, term, doc_id, w, tf) rows that
-    * arrive clustered by (tb, shard, term) and docId-sorted within a term
-    * (guaranteed by repartition + sortWithinPartitions). Holds at most one
-    * block in memory — a hot term never materializes its full list.
+  /** Streaming block encoder over (tb, shard, termId, doc_id, w, tf) rows
+    * that arrive clustered by (tb, shard, termId) and docId-sorted within a
+    * term (guaranteed by repartition + sortWithinPartitions). Holds at most
+    * one block in memory — a hot term never materializes its full list.
+    * Term strings are restored from the broadcast dictionary only at block
+    * emission (once per block, not per posting).
     */
   private final class BlockEncodeIterator(
-      rows: Iterator[(Int, Int, String, Long, Double, Long)], blockSize: Int,
-      acc: PartCounters)
+      rows: Iterator[(Int, Int, Int, Long, Double, Long)], blockSize: Int,
+      acc: PartCounters, idToTerm: Array[String])
       extends Iterator[BlockRow] {
-    private var cur: (Int, Int, String, Long, Double, Long) = _
+    private var cur: (Int, Int, Int, Long, Double, Long) = _
     private var hasCur = false
     private var blockId = 0L
     private val docs = new Array[Long](blockSize)
@@ -280,16 +312,17 @@ object IndexBuilder {
     override def hasNext: Boolean = hasCur
 
     override def next(): BlockRow = {
-      val (tb, shard, term) = (cur._1, cur._2, cur._3)
+      val (tb, shard, tid) = (cur._1, cur._2, cur._3)
+      val term = idToTerm(tid)
       var n = 0
       var maxW = Double.NegativeInfinity
-      while (hasCur && n < blockSize && cur._1 == tb && cur._2 == shard && cur._3 == term) {
+      while (hasCur && n < blockSize && cur._1 == tb && cur._2 == shard && cur._3 == tid) {
         docs(n) = cur._4; wts(n) = cur._5; tfs(n) = cur._6
         if (cur._5 > maxW) maxW = cur._5
         n += 1
         advance()
       }
-      val sameTerm = hasCur && cur._1 == tb && cur._2 == shard && cur._3 == term
+      val sameTerm = hasCur && cur._1 == tb && cur._2 == shard && cur._3 == tid
       val id = blockId
       blockId = if (sameTerm) blockId + 1 else 0L
       val docsBin = Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n))
