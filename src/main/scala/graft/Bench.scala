@@ -150,11 +150,11 @@ object Bench {
           .write.mode("overwrite").parquet(corpusDir)
         finally s.stop()
       }
-      // page-cache warm (replaces round-1's full warm build: children are
-      // fresh JVMs anyway, only the file cache carries over)
-      java.nio.file.Files.list(java.nio.file.Paths.get(corpusDir)).forEach { p =>
-        if (p.toString.endsWith(".parquet")) java.nio.file.Files.readAllBytes(p)
-      }
+      // NO driver-side page-cache pre-read here: a single-threaded
+      // readAllBytes over the ~600 MB corpus took 2+ MINUTES when the
+      // host's disk was contended (nearly the whole harness budget). The
+      // child's untimed warm-up build reads the corpus through parallel
+      // Spark scans and warms the cache as a side effect.
 
       // bench index layout: shards sized to the corpus (production holds
       // docs-per-shard roughly constant; see BuildTo scaladoc)
