@@ -125,6 +125,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // 300k docs: big enough that serial per-build overhead (~2-3 s of job
+    // setup/commit) stays a small fraction of the 2-core rep — at 224k the
+    // measured efficiency dropped ~0.08 from Amdahl on that fixed cost.
+    // Affordable inside the budget because the corpus lives on tmpfs.
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "175").toDouble
     def remaining: Double = budget - elapsed
@@ -139,16 +143,41 @@ object Bench {
 
     try {
       // --- materialize the scaling corpus once (all builds read these files)
-      // deterministic location: reused across bench invocations
-      val corpusDir = s"/tmp/graft-bench-corpus-$scaleDocs-f64"
-      if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
+      // deterministic location, on tmpfs: reused across bench invocations,
+      // written and read at RAM speed (the discard-mounted /tmp disk paid
+      // both writeback TRIMs on generation and page-cache misses on the
+      // first child read — ~45 s of round-1's budget); ~600 MB per variant
+      // in a 64 GiB /dev/shm, age-gated cleanup below
+      val corpusDir = s"/dev/shm/graft-bench-corpus-$scaleDocs-f64"
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val cutoff = System.currentTimeMillis() - 60 * 60 * 1000
+      java.nio.file.Files.list(shm).forEach { p =>
+        val nm = p.getFileName.toString
+        if (nm.startsWith("graft-bench-corpus") && !p.toString.startsWith(corpusDir) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      // warm corpus: a SEPARATE small dir (1/16 of the docs) whose build has
+      // the exact plan shape of the timed reps — see ScalePair's scaladoc
+      val warmDir = s"$corpusDir-warm${scaleDocs / 32}"
+      if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS")) ||
+          !Files.exists(java.nio.file.Paths.get(warmDir, "_SUCCESS"))) {
         val s = session(cpus)
         // ~2 KB docs (realistic corpus scale), 64 input files: enough scan
         // task depth at every parallelism level without putting hundreds of
         // serial task launches on the driver per stage
-        try SyntheticCorpus.generate(s, scaleDocs, 42L, 160, 480).repartition(64)
-          .write.mode("overwrite").parquet(corpusDir)
-        finally s.stop()
+        try {
+          SyntheticCorpus.generate(s, scaleDocs, 42L, 160, 480, parts = 64)
+            .write.mode("overwrite").parquet(corpusDir)
+          // 1/32: big enough to JIT the hot loops (probe evidence: a ~9k-doc
+          // warm left 2-core reps within 0.3% of each other), small enough
+          // that the 2-core warm build costs ~10 s, not 19
+          SyntheticCorpus.generate(s, scaleDocs / 32, 43L, 160, 480, parts = 8)
+            .write.mode("overwrite").parquet(warmDir)
+        } finally s.stop()
       }
       // NO driver-side page-cache pre-read here: a single-threaded
       // readAllBytes over the ~600 MB corpus took 2+ MINUTES when the
@@ -276,7 +305,7 @@ object Bench {
           cmd.add("-XX:CICompilerCount=4"); cmd.add("-XX:ParallelGCThreads=4")
           cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
           cmd.add("graft.tools.ScalePair"); cmd.add(corpusDir); cmd.add(outBase)
-          cmd.add(jn(budgetSec, 1)); cmd.add("24")
+          cmd.add(jn(budgetSec, 1)); cmd.add(warmDir)
           val pb = new ProcessBuilder(cmd)
           pb.environment().put("GRAFT_SHARDS", benchShards.toString)
           pb.environment().put("GRAFT_TB", benchTb.toString)
@@ -317,7 +346,10 @@ object Bench {
       // emit a complete JSON line before the driver's kill.
       val t2 = ArrayBuffer.empty[Double]
       val t8 = ArrayBuffer.empty[Double]
-      runScalePair(math.max(60, math.min(remaining - 32, 160))) match {
+      // reserve ~45 s after the child for latency + breadth + the JSON line
+      // (round 1 reserved 32 s, the child's mandatory reps overran its own
+      // budget by ~22 s, and both sections were squeezed out)
+      runScalePair(math.max(60, remaining - 45)) match {
         case Some((r8, r2, idx)) =>
           t8 ++= r8; t2 ++= r2; keptIdxDir = idx
         case None =>

@@ -66,11 +66,17 @@ object SyntheticCorpus {
     * bench corpus uses ~2 KB docs (realistic web/corpus scale) so analysis
     * compute, not per-file overhead, dominates.
     */
+  /** `parts > 0` repartitions the id RANGE before content generation — the
+    * shuffle then moves 8 bytes/row instead of the generated ~2 KB/row
+    * (a post-generation `.repartition(64)` on the bench corpus shuffled
+    * 600 MB through disk; this form shuffles ~2 MB).
+    */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
                minWords: Int = 20, maxWords: Int = 80,
-               vocabSpread: Int = 0): DataFrame = {
+               vocabSpread: Int = 0, parts: Int = 0): DataFrame = {
     val genContent = udf((id: Long) => contentFor(seed, id, minWords, maxWords, vocabSpread))
-    spark.range(n).select(
+    val ids = if (parts > 0) spark.range(n).repartition(parts) else spark.range(n)
+    ids.select(
       format_string("org%d/repo%d", col("id") % 7, col("id") % 13).as("repo"),
       format_string("src/m%d/f%d.scala", col("id") % 5, col("id")).as("path"),
       substring(sha2(concat_ws("#", lit(seed), col("id")), 256), 1, 40).as("commit"),
