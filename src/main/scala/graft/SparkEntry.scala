@@ -343,6 +343,11 @@ FROM q2 ORDER BY doc_id""",
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS sha
 FROM documents ORDER BY media_id""",
       "multimodal_features" -> multimodalFeaturesSql,
+      // hash-based dedup twins: FNV-1a + universal-hash lanes re-expressed
+      // in HUGEINT modular arithmetic (see DedupOracleSql) — converts both
+      // from rows-only checks to value-exact gates
+      "dedup_simhash" -> ops.DedupOracleSql.simhashSql(maxHamming = 3),
+      "dedup_minhash_lsh" -> ops.DedupOracleSql.minhashLshSql(tau = 0.5),
       "lang_id" -> ops.TextStats.langIdSql,
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "w1_event_tumbling" -> ops.Events.tumblingSql,

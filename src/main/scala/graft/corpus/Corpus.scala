@@ -54,4 +54,17 @@ object Corpus {
         .as("docId"),
       col("content"),
       col("lang"))
+
+  /** The production entry point (north rule: an ICEBERG table of
+    * source-code repositories): any catalog table whose schema matches the
+    * `input_hint` quintuple. `spark.table` resolves through the session
+    * catalog, so with the Iceberg runtime + catalog configured
+    * (`spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`)
+    * this reads an Iceberg table with snapshot isolation, partition pruning
+    * and column pruning intact; the engine itself is format-agnostic — the
+    * sandbox (no Iceberg jar in /opt/spark/jars, zero egress) exercises the
+    * identical plan shape through parquet dirs.
+    */
+  def fromTable(spark: SparkSession, table: String): DataFrame =
+    fromCodeDocs(spark.table(table))
 }

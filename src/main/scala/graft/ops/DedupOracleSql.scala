@@ -1,0 +1,120 @@
+package graft.ops
+
+/** DuckDB twins for the hash-based dedup operators ([[Dedup.simhashPairs]],
+  * [[Dedup.minhashLsh]]) — an INDEPENDENT re-implementation of the same
+  * pinned hash arithmetic in SQL, so the driver's gate can verify the
+  * distributed plans value-exactly (these shipped round 1 as weaker
+  * rows-only checks because "SQL can't stem/hash" — but FNV-1a and the
+  * universal-hash lanes ARE expressible with HUGEINT modular arithmetic).
+  *
+  * Exactness notes:
+  *  - fnv1a64 runs in UBIGINT with the multiply lifted to HUGEINT and
+  *    reduced mod 2^64 per step (DuckDB integer overflow throws; Scala
+  *    wraps) — bit-identical to [[Dedup.fnv1a64]] for ASCII/UTF-16-BMP
+  *    text (unicode(c) == charAt semantics on the synthetic corpora).
+  *  - the minhash lane update a*x+b needs a 64x64->64 wrapping multiply;
+  *    HUGEINT is SIGNED 128-bit and a*x can reach 2^128, so the multiply
+  *    is split into 32-bit halves (a_lo*x + ((a_hi*x) mod 2^32) << 32).
+  *  - lane minima compare SIGNED (Scala Long order): the UBIGINT value is
+  *    re-centered to [-2^63, 2^63) in HUGEINT before min().
+  *  - the band bucket hashes the SIGNED decimal rendering of the 4-lane
+  *    slice joined with "," — exactly `slice.mkString(",")`.
+  */
+object DedupOracleSql {
+
+  private val alnum =
+    "list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2)"
+
+  private val M64 = "18446744073709551616" // 2^64
+
+  /** FNV-1a 64 over the characters of SQL string expression `s`. */
+  private def fnvSql(s: String): String =
+    s"""list_reduce(
+  list_prepend(CAST(14695981039346656037 AS UBIGINT),
+    list_transform(string_split($s, ''), c -> CAST(unicode(c) AS UBIGINT))),
+  (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % $M64 AS UBIGINT))"""
+
+  /** Brute-force SimHash oracle: per-doc 64-bit simhash from tf-weighted
+    * FNV term hashes, then ALL pairs with Hamming <= maxHamming. The Spark
+    * side's pigeonhole banding is exact (any pair within the radius shares
+    * one exact slice), so brute force over the same hashes is a fair,
+    * plan-independent oracle.
+    */
+  def simhashSql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(list_transform($alnum, x -> lower(x))) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, c, ${fnvSql("tok")} AS h FROM tc),
+bits AS (
+  SELECT doc_id, bb.b,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb GROUP BY 1, 2),
+shx AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INTEGER) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sh
+  FROM bits GROUP BY doc_id),
+sh AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh FROM documents d LEFT JOIN shx s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
+ORDER BY id_a, id_b"""
+
+  /** MinHash+LSH oracle: 64 universal-hash lanes with THE SAME coefficients
+    * as the Spark UDF (same seeded generator), banded 16x4, candidates from
+    * the band-bucket equi-join, verified at n-gram Jaccard >= tau.
+    */
+  def minhashLshSql(shingle: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                    seed: Long = 42L, tau: Double = 0.5): String = {
+    val (as, bs) = Dedup.minhashCoeffs(bands * rowsPerBand, seed)
+    val lanesRows = as.indices.map { i =>
+      s"  ($i, CAST(${java.lang.Long.toUnsignedString(as(i))} AS UBIGINT), " +
+        s"CAST(${java.lang.Long.toUnsignedString(bs(i))} AS UBIGINT))"
+    }.mkString(",\n")
+    // wrapping 64x64->64 multiply via 32-bit split (see class doc)
+    val mulmod =
+      s"""CAST((
+    CAST(a_lo AS HUGEINT) * CAST(x AS HUGEINT)
+    + (CAST((CAST(a_hi AS HUGEINT) * CAST(x % 4294967296 AS HUGEINT)) % 4294967296 AS HUGEINT)) * 4294967296
+  ) % $M64 AS UBIGINT)"""
+    val ngramConcat = (0 until shingle).map(j =>
+      if (j == 0) "arr[i]" else s"arr[i+$j]").mkString(" || ' ' || ")
+    s"""WITH lanes(lane, a, b) AS (VALUES
+$lanesRows),
+lane2 AS (SELECT lane, a, b, a % 4294967296 AS a_lo, a // 4294967296 AS a_hi FROM lanes),
+toks AS (SELECT doc_id, list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id, $ngramConcat AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - ${shingle - 1}),
+ngh AS (SELECT doc_id, ${fnvSql("ngram")} AS x FROM ng),
+lv AS (
+  SELECT doc_id, lane,
+         min(CASE WHEN v >= 9223372036854775808 THEN CAST(v AS HUGEINT) - $M64
+                  ELSE CAST(v AS HUGEINT) END) AS vmin
+  FROM (
+    SELECT doc_id, lane,
+           CAST((CAST($mulmod AS HUGEINT) + b) % $M64 AS UBIGINT) AS v
+    FROM ngh CROSS JOIN lane2) GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(CAST(vmin AS BIGINT) ORDER BY lane) AS sig FROM lv GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id, bb.band,
+         ${fnvSql(s"array_to_string(sig[bb.band*$rowsPerBand+1 : bb.band*$rowsPerBand+$rowsPerBand], ',')")} AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS band) bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+szj AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+prj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+  FROM prj JOIN szj sa ON sa.doc_id = id_a JOIN szj sb ON sb.doc_id = id_b
+  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= $tau)
+SELECT c.id_a AS id_a, c.id_b AS id_b, j.jaccard AS jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+ORDER BY c.id_a, c.id_b"""
+  }
+}

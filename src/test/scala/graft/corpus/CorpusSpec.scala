@@ -27,6 +27,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaSpark == local)
   }
 
+  test("fromTable (catalog entry point) == fromCodeDocs on the same rows") {
+    SyntheticCorpus.generate(spark, 200, 7L)
+      .createOrReplaceTempView("code_docs_v")
+    val viaTable = Corpus.fromTable(spark, "code_docs_v")
+      .orderBy("docId").collect().toSeq
+    val direct = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 200, 7L))
+      .orderBy("docId").collect().toSeq
+    assert(viaTable == direct)
+    assert(viaTable.nonEmpty)
+  }
+
   test("CodeDoc ingest: deterministic docIds, no collisions at test scale") {
     val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 5000, 42L))
     val ids = docs.select("docId").collect().map(_.getLong(0))
