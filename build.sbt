@@ -28,5 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
+  // NO -XX:+AlwaysPreTouch: page-zeroing on this host is contended and
+  // wildly variable — pretouching a 4-8 GiB heap measured 10-40 s wall
+  // (vs <1 s on idle RAM), paid before main() on EVERY forked JVM (tests,
+  // bench, bench children). Warm-up builds touch the heap lazily instead.
 )

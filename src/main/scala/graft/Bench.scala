@@ -142,6 +142,7 @@ object Bench {
     var errNote = ""
 
     try {
+      System.err.println(s"[bench] main entry elapsed=${jn(elapsed)}")
       // --- materialize the scaling corpus once (all builds read these files)
       // deterministic location, on tmpfs: reused across bench invocations,
       // written and read at RAM speed (the discard-mounted /tmp disk paid
@@ -185,6 +186,7 @@ object Bench {
       // child's untimed warm-up build reads the corpus through parallel
       // Spark scans and warms the cache as a side effect.
 
+      System.err.println(s"[bench] corpus ready elapsed=${jn(elapsed)}")
       // bench index layout: shards sized to the corpus (production holds
       // docs-per-shard roughly constant; see BuildTo scaladoc)
       val benchShards = 16
@@ -221,11 +223,12 @@ object Bench {
             .getInputArguments
           val cmd = new java.util.ArrayList[String]()
           cmd.add(javaBin)
-          // drop agent + heap flags; a 4g pretouched heap is plenty for the
-          // bench build and pretouching 8g wastes child-startup seconds
+          // drop agent + heap + pretouch flags; a 4g heap is plenty for the
+          // bench build, and pretouch costs 10-40 s of contended page-zeroing
+          // before main() on this host (the warm build touches pages instead)
           jvmArgs.forEach(a =>
             if (!a.startsWith("-agentlib") && !a.startsWith("-Xmx") &&
-                !a.startsWith("-Xms")) cmd.add(a))
+                !a.startsWith("-Xms") && a != "-XX:+AlwaysPreTouch") cmd.add(a))
           cmd.add("-Xmx4g"); cmd.add("-Xms4g")
           // size GC/compiler pools for the pinned state, not the 32-core box
           // (but keep enough JIT threads that the unpinned warm-up compiles
@@ -235,7 +238,7 @@ object Bench {
           cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
           cmd.add("graft.tools.BuildTo"); cmd.add(corpusDir); cmd.add(dir)
           cmd.add(n.toString); cmd.add(reps.toString)
-          cmd.add("16") // warmFrac: untimed 1/16-slice JIT warm-up build
+          cmd.add(warmDir) // same-plan warm corpus (see ScalePair scaladoc)
           cmd.add(s"0-${n - 1}") // self-pin AFTER warm-up
           cmd.add("1") // single commit wave (same job shape at both levels)
           val pb = new ProcessBuilder(cmd)
@@ -300,7 +303,7 @@ object Bench {
           cmd.add(javaBin)
           jvmArgs.forEach(a =>
             if (!a.startsWith("-agentlib") && !a.startsWith("-Xmx") &&
-                !a.startsWith("-Xms")) cmd.add(a))
+                !a.startsWith("-Xms") && a != "-XX:+AlwaysPreTouch") cmd.add(a))
           cmd.add("-Xmx4g"); cmd.add("-Xms4g")
           cmd.add("-XX:CICompilerCount=4"); cmd.add("-XX:ParallelGCThreads=4")
           cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
@@ -310,6 +313,7 @@ object Bench {
           pb.environment().put("GRAFT_SHARDS", benchShards.toString)
           pb.environment().put("GRAFT_TB", benchTb.toString)
           pb.redirectErrorStream(true)
+          System.err.println(s"[bench] spawning scalepair elapsed=${jn(elapsed)}")
           val proc = pb.start()
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
             proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
@@ -354,10 +358,12 @@ object Bench {
           t8 ++= r8; t2 ++= r2; keptIdxDir = idx
         case None =>
           System.err.println("[bench] ScalePair failed; per-level children")
-          val (s8, _) = buildAt(8, 1)
-          t8 += s8
+          // order mirrors ScalePair for comparability (each child is its
+          // own JVM and self-warms from the same-plan warm corpus)
           val (s2, _) = buildAt(2, 1)
           t2 += s2
+          val (s8, _) = buildAt(8, 1)
+          t8 += s8
       }
 
       // --- query latency over the prebuilt compressed index ---------------

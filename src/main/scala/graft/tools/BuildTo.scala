@@ -35,9 +35,14 @@ object BuildTo {
     val idxDir = args(1)
     val cpus = if (args.length > 2) args(2).toInt else 16
     val reps = if (args.length > 3) args(3).toInt else 1
-    // warm fraction: docId is a content hash (not sequential), so a modulus
-    // selects a uniform ~1/warmFrac corpus slice for the untimed JIT warm-up
-    val warmFrac = if (args.length > 4) args(4).toLong else 0L
+    // warm spec: a NUMBER selects a uniform ~1/warmFrac corpus slice
+    // (docId is a content hash, so a modulus is uniform); a PATH names a
+    // small separate corpus dir whose build has the exact plan shape of the
+    // timed build (a slice filter changes the plan and generates different
+    // codegen classes — the warm then warms the wrong code; see ScalePair)
+    val warmSpec = if (args.length > 4) args(4) else "0"
+    val warmFrac = warmSpec.toLongOption.getOrElse(0L)
+    val warmCorpus = if (warmSpec.toLongOption.isEmpty) warmSpec else ""
     val pin = if (args.length > 5) args(5) else ""
     val waves = if (args.length > 6) args(6).toInt else 2
     val spark = SparkSession.builder()
@@ -64,11 +69,14 @@ object BuildTo {
       commitWaves = waves)
     println(s"BUILDTO start committed=${Manifest.committed(idxDir).size} el=$el")
     val docs = Corpus.fromCodeDocs(spark.read.parquet(corpusDir))
-    if (warmFrac > 0) {
+    if (warmFrac > 0 || warmCorpus.nonEmpty) {
       val warmDir = java.nio.file.Files
         .createTempDirectory("graft-buildto-warm").toString
       val t0 = System.nanoTime()
-      IndexBuilder.build(spark, docs.where(s"docId % $warmFrac = 0"), warmDir, cfg)
+      val warmDocs =
+        if (warmCorpus.nonEmpty) Corpus.fromCodeDocs(spark.read.parquet(warmCorpus))
+        else docs.where(s"docId % $warmFrac = 0")
+      IndexBuilder.build(spark, warmDocs, warmDir, cfg)
       println(f"BUILDTO warm secs=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     if (pin.nonEmpty) {

@@ -72,6 +72,7 @@ object ScalePair {
   }
 
   def main(args: Array[String]): Unit = {
+    println(f"SCALEPAIR main el=$el%.1f")
     val corpusDir = args(0)
     val outBase = args(1)
     val budget = args(2).toDouble
@@ -121,13 +122,19 @@ object ScalePair {
     // runs in a fully-JIT'd JVM (codegen classes are cached per-JVM across
     // sessions) and is cheap enough for best-of-2/3.
     val s2 = session(2)
-    pin("0-1")
     if (warmDir.nonEmpty) {
-      // small pinned settle-build with the exact plan shape of the reps
+      // warm build with the exact plan shape of the reps, UNPINNED: the
+      // 2 executor threads do the same JIT-triggering work, but the C2/
+      // Janino compiler threads run on free cores — the same compiled code
+      // lands in ~8 s instead of ~20 (a real executor JVM also JITs while
+      // the cluster is otherwise busy; the timed reps below run fully
+      // compiled either way). Pin AFTER: cache-migration settle is
+      // negligible against a ~60 s rep.
       val docs = Corpus.fromCodeDocs(s2.read.parquet(warmDir))
       IndexBuilder.build(s2, docs, s"$outBase-warm2", cfg)
       println(f"SCALEPAIR warm2 el=$el%.1f")
     }
+    pin("0-1")
     var r2min = timedRep(s2, 2)
     // optional second 2-core rep only when the budget still covers the
     // mandatory 8-core tail (~2 reps at ~r2/3.2 each + switch overhead)
