@@ -126,9 +126,16 @@ object IndexBuilder {
     // quartet) and the token total; the result is <= shards*termBuckets
     // rows, so collect ONCE and persist the tiny table as a LOCAL json —
     // a Spark write job for <=256 rows is pure serial overhead
+    // two-phase instead of countDistinct: a single agg mixing distinct and
+    // plain aggregates plans an Expand (every row duplicated), and the
+    // distinct-on-doc_id shuffle moves all 11M+ tf rows. Grouping by
+    // (tb, shard, doc_id) first partial-aggregates map-side (docs emit
+    // their terms contiguously, so partial agg collapses ~all duplicates
+    // before the shuffle), then the tiny second agg counts rows.
     val partDocs = stage("stats:partition-docs")(
-      tfBack.groupBy("tb", "shard").agg(countDistinct("doc_id").as("docs"),
-        sum("tf").as("tokens")).collect())
+      tfBack.groupBy("tb", "shard", "doc_id").agg(sum("tf").as("t"))
+        .groupBy("tb", "shard")
+        .agg(count(lit(1)).as("docs"), sum("t").as("tokens")).collect())
     writePartDocs(dir, partDocs)
     val totalTokens = partDocs.map(_.getLong(3)).sum
     val nDocs = stage("stats:n-docs")(
@@ -258,7 +265,8 @@ object IndexBuilder {
       .repartition(parts, col("tb"), col("shard"))
       .sortWithinPartitions("tb", "shard", "tid", "doc_id")
       .select("tb", "shard", "tid", "doc_id", "w", "tf")
-      .as[(Int, Int, Int, Long, Double, Long)]
+      .as[PostingRow] // primitive-field case class: a Tuple6 here boxes all
+      // six values per row — measurable GC drag at 11M+ rows per wave
       .mapPartitions { rows =>
         new BlockEncodeIterator(rows, blockSize, acc, bDict.value._2)
       }
@@ -297,10 +305,10 @@ object IndexBuilder {
     * emission (once per block, not per posting).
     */
   private final class BlockEncodeIterator(
-      rows: Iterator[(Int, Int, Int, Long, Double, Long)], blockSize: Int,
+      rows: Iterator[PostingRow], blockSize: Int,
       acc: PartCounters, idToTerm: Array[String])
       extends Iterator[BlockRow] {
-    private var cur: (Int, Int, Int, Long, Double, Long) = _
+    private var cur: PostingRow = _
     private var hasCur = false
     private var blockId = 0L
     private val docs = new Array[Long](blockSize)
@@ -312,17 +320,17 @@ object IndexBuilder {
     override def hasNext: Boolean = hasCur
 
     override def next(): BlockRow = {
-      val (tb, shard, tid) = (cur._1, cur._2, cur._3)
+      val (tb, shard, tid) = (cur.tb, cur.shard, cur.tid)
       val term = idToTerm(tid)
       var n = 0
       var maxW = Double.NegativeInfinity
-      while (hasCur && n < blockSize && cur._1 == tb && cur._2 == shard && cur._3 == tid) {
-        docs(n) = cur._4; wts(n) = cur._5; tfs(n) = cur._6
-        if (cur._5 > maxW) maxW = cur._5
+      while (hasCur && n < blockSize && cur.tb == tb && cur.shard == shard && cur.tid == tid) {
+        docs(n) = cur.doc_id; wts(n) = cur.w; tfs(n) = cur.tf
+        if (cur.w > maxW) maxW = cur.w
         n += 1
         advance()
       }
-      val sameTerm = hasCur && cur._1 == tb && cur._2 == shard && cur._3 == tid
+      val sameTerm = hasCur && cur.tb == tb && cur.shard == shard && cur.tid == tid
       val id = blockId
       blockId = if (sameTerm) blockId + 1 else 0L
       val docsBin = Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n))

@@ -57,6 +57,18 @@ final case class IndexGlobals(
     b: Double,
     stem: Boolean)
 
+/** Shuffled posting row consumed by the block encoder. Primitive fields on
+  * purpose: the deserializer then calls the constructor with unboxed values,
+  * where a Tuple6 would box all six per row (11M+ rows per wave).
+  */
+final case class PostingRow(
+    tb: Int,
+    shard: Int,
+    tid: Int,
+    doc_id: Long,
+    w: Double,
+    tf: Long)
+
 /** One posting block row as stored in parquet. */
 final case class BlockRow(
     tb: Int,

@@ -56,6 +56,10 @@ object BuildTo {
       .config("spark.sql.files.openCostInBytes", "0")
       // parallel task-side commit (see ScalePair)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // shuffle scratch on tmpfs, same as ScalePair: the default /tmp is a
+      // discard-mounted disk whose writeback/TRIM noise dominates timings
+      .config("spark.local.dir",
+        s"/dev/shm/graft-buildto-local-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,6 +107,13 @@ object BuildTo {
     }
     println(f"BUILDTO done secs=$best%.3f committed=${Manifest.committed(idxDir).size} totals=${Manifest.totals(idxDir)} el=$el")
     spark.stop()
+    val scratch = java.nio.file.Paths.get(
+      s"/dev/shm/graft-buildto-local-${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(scratch)) {
+      java.nio.file.Files.walk(scratch)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     println(s"BUILDTO exit el=$el")
   }
 }
