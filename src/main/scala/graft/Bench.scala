@@ -71,18 +71,28 @@ object Bench {
     "longest river", "best complexity", "world war one",
     "artificial intelligence", "climate change", "science", "return")
 
-  /** Breadth pass order: the index/BM25 headline surface first, then the
-    * ops suite — so a deadline cut drops the cheapest-to-lose tail.
+  /** Breadth pass order, three tiers so a deadline cut drops the least:
+    * (0) one CHEAP representative of every operator family — search, BM25,
+    * scan, stats, text analysis, exact+simhash dedup, brute similarity,
+    * windows, multimodal — then (1) the remaining cheap variants, then
+    * (2) the measured-expensive tail (shingle-join/minhash dedup, LSH ANN:
+    * 2-7 s each at sf0.1). Round 2's family-sequential ordering dropped the
+    * whole LLM-pipeline suite when the budget ran short; coverage-first with
+    * the expensive ops early instead dropped 22 cheap variants.
     */
-  private def breadthOrder(name: String): (Int, String) = {
-    val prio =
-      if (name.startsWith("ep2_")) 0
-      else if (name.startsWith("t1_")) 1
-      else if (name.startsWith("s") || name.startsWith("a") ||
-               name.startsWith("f") || name.startsWith("j")) 2
-      else 3
-    (prio, name)
-  }
+  private val breadthCheapCoverage = Seq(
+    "ep2_wand_tsm", "t1_bm25_tsm", "s1_scan_docs", "a9_stats",
+    "token_counts", "text_quality", "lang_id", "dedup_exact",
+    "w1_event_tumbling", "w2_event_sessions", "w3_event_props",
+    "multimodal_sha", "multimodal_features", "doc_fingerprint",
+    "ann_brute_cosine", "dedup_simhash").zipWithIndex.toMap
+  private val breadthExpensive = Seq(
+    "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard").zipWithIndex.toMap
+  private def breadthOrder(name: String): (Int, Int, String) =
+    breadthCheapCoverage.get(name).map((0, _, name))
+      .orElse(breadthExpensive.get(name).map((2, _, name)))
+      .getOrElse((1, 0, name))
 
   private var keptIdxDir: String = _
 
@@ -130,7 +140,10 @@ object Bench {
     // measured efficiency dropped ~0.08 from Amdahl on that fixed cost.
     // Affordable inside the budget because the corpus lives on tmpfs.
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "175").toDouble
+    // Default sized against the observed driver kill at ~239 s wall: ~25 s
+    // sbt boot + 188 s bench + JSON flush leaves ~20 s of host-load margin.
+    // (175 s left the breadth tail systematically squeezed out.)
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "188").toDouble
     def remaining: Double = budget - elapsed
 
     // section payloads, filled as sections complete; JSON printed in finally
