@@ -96,6 +96,82 @@ object Bench {
 
   private var keptIdxDir: String = _
 
+  // --- section payloads, shared with the watchdog thread -------------------
+  // The contract is ONE JSON line, ALWAYS. Two paths can print it: the main
+  // thread's finally block, or the watchdog below if a section wedges past
+  // the budget (a hung child JVM / stuck Spark job would otherwise ride
+  // straight into the driver's SIGKILL with nothing on stdout — the round-1
+  // failure). AtomicBoolean makes the print exactly-once.
+  @volatile private var buildJson = ""
+  @volatile private var latJson = ""
+  @volatile private var qJson = "{}"
+  @volatile private var total = 0.0
+  @volatile private var skipped = 0
+  @volatile private var errNote = ""
+  @volatile private var tailJson = "" // sf/scale_docs context, set early
+  @volatile private var liveChild: Process = _
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def emitAndHalt(code: Int): Unit = {
+    if (emitted.compareAndSet(false, true)) {
+      val c = liveChild
+      if (c != null) c.destroyForcibly() // stop it competing with hostCal
+      println(
+        s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
+        s""""queries_skipped":$skipped,""" + tailJson +
+        errNote + buildJson + latJson + {
+          val (cpu, mem) = hostCal()
+          s""""host_cal_cpu_sec":${jn(cpu)},"host_cal_mem_sec":${jn(mem)},"""
+        } +
+        s""""elapsed_sec":${jn(elapsed)}}""")
+      System.out.flush()
+      // halt WITHOUT shutdown hooks: Spark's exit-time temp cleanup TRIMs
+      // hundreds of MB on this `discard`-mounted fs and can eat >30 s of
+      // the harness budget after all measurements are already printed
+      Runtime.getRuntime.halt(code)
+    }
+  }
+
+  /** Wall seconds already burned by the sbt/java ancestor chain before this
+    * JVM's main() — the driver's kill timer starts at `sbt` launch, and sbt
+    * boot + incremental compile swings 20–100+ s with host load. Walk
+    * /proc ppid links upward through java/sbt/shell/timeout ancestors and
+    * return the age of the oldest one (stop at anything else, e.g. the
+    * driver's python — its age is the whole round). Best-effort: 0 on any
+    * parse failure or non-Linux.
+    */
+  private def ancestorAgeSec(): Double = {
+    try {
+      val uptime = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/uptime")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+      val allowed = Set("java", "sbt", "sh", "bash", "dash", "timeout", "sbt-launch")
+      var pid = "self"
+      var oldest = 0.0
+      var hops = 0
+      var done = false
+      while (!done && hops < 12) {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/$pid/stat")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // comm is parenthesized and may contain spaces; fields after it
+        val close = stat.lastIndexOf(')')
+        val comm = stat.substring(stat.indexOf('(') + 1, close)
+        val rest = stat.substring(close + 2).split(" ")
+        val ppid = rest(1) // field 4 overall
+        val startTicks = rest(19).toLong // field 22 overall
+        val age = uptime - startTicks / 100.0
+        val ok = pid == "self" || allowed.exists(comm.startsWith)
+        if (ok) {
+          if (age > oldest) oldest = age
+          if (ppid == "1" || ppid == "0") done = true else pid = ppid
+        } else done = true
+        hops += 1
+      }
+      math.max(0.0, oldest)
+    } catch { case _: Throwable => 0.0 }
+  }
+
   /** Host calibration pair, printed with every JSON line — the sandbox is
     * a shared host whose load swings identical builds 2-3x run-to-run, so a
     * reader must be able to tell "slow engine" from "loaded host":
@@ -143,19 +219,40 @@ object Bench {
     // Default sized against the observed driver kill at ~239 s wall: ~25 s
     // sbt boot + 188 s bench + JSON flush leaves ~20 s of host-load margin.
     // (175 s left the breadth tail systematically squeezed out.)
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "188").toDouble
+    // The env default is additionally clamped by the MEASURED sbt-chain age:
+    // when boot/compile ran long (contended host, cold zinc cache), the
+    // fixed default would sail past the driver's wall kill.
+    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "226").toDouble
+    val sbtAge = ancestorAgeSec()
+    val budget = math.max(30.0,
+      math.min(sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "188").toDouble,
+        wallBudget - sbtAge - 13)) // 13 s: emit + hostCal + flush reserve
     def remaining: Double = budget - elapsed
 
-    // section payloads, filled as sections complete; JSON printed in finally
-    var buildJson = ""
-    var latJson = ""
-    var qJson = "{}"
-    var total = 0.0
-    var skipped = 0
-    var errNote = ""
+    tailJson = s""""sf":"$sfDir","scale_docs":$scaleDocs,""" +
+      s""""sbt_boot_sec":${jn(sbtAge, 1)},"budget_sec":${jn(budget, 1)},"""
+
+    // Watchdog: if any section wedges (hung child JVM, stuck Spark job,
+    // cancellation that never returns), print the line with whatever
+    // completed and halt — BEFORE the driver's external kill.
+    val watchdog = new Thread(() => {
+      try {
+        while (elapsed < budget + 6 && !emitted.get())
+          Thread.sleep(250)
+      } catch { case _: InterruptedException => () }
+      if (!emitted.get()) {
+        System.err.println(s"[bench] WATCHDOG fired at elapsed=${jn(elapsed)}")
+        emitAndHalt(0)
+      }
+    }, "bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
 
     try {
-      System.err.println(s"[bench] main entry elapsed=${jn(elapsed)}")
+      System.err.println(
+        s"[bench] main entry elapsed=${jn(elapsed)} sbtAge=${jn(sbtAge, 1)} budget=${jn(budget, 1)}")
+      if (sys.env.contains("GRAFT_BENCH_HANG")) // watchdog self-test hook
+        Thread.sleep(3600 * 1000L)
       // --- materialize the scaling corpus once (all builds read these files)
       // deterministic location, on tmpfs: reused across bench invocations,
       // written and read at RAM speed (the discard-mounted /tmp disk paid
@@ -259,6 +356,7 @@ object Bench {
           pb.environment().put("GRAFT_TB", benchTb.toString)
           pb.redirectErrorStream(true)
           val proc = pb.start()
+          liveChild = proc
           // Read the child's stream INCREMENTALLY and kill it the moment the
           // result line appears: after `spark.stop()` the child spends tens
           // of seconds in shutdown-hook temp cleanup (this box's ext4 is
@@ -333,6 +431,7 @@ object Bench {
           pb.redirectErrorStream(true)
           System.err.println(s"[bench] spawning scalepair elapsed=${jn(elapsed)}")
           val proc = pb.start()
+          liveChild = proc
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
             proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
           val Rep = """SCALEPAIR rep n=(\d+) secs=([0-9.]+)""".r.unanchored
@@ -433,8 +532,11 @@ object Bench {
       val results = ArrayBuffer.empty[(String, Double)]
       val ordered = SparkEntry.queries.toSeq.sortBy(p => breadthOrder(p._1))
       ordered.foreach { case (name, fn) =>
-        if (remaining > 12) {
-          val qTimeout = math.min(remaining - 8, 30.0)
+        if (remaining > 10) {
+          // cap 15 s: under host load one normally-cheap query blowing up
+          // must cost at most its cap, not the whole tail (observed: a 21 s
+          // t1 timeout left 39 queries unmeasured)
+          val qTimeout = math.min(remaining - 6, 15.0)
           val sec = try {
             val fut = Future(timed(fn(spark, sfDir).count())._2)
             Await.result(fut, qTimeout.seconds)
@@ -455,19 +557,8 @@ object Bench {
           Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(200)}","""
     } finally {
       // the contract line — ALWAYS printed, with whatever sections finished
-      println(
-        s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
-        s""""queries_skipped":$skipped,"sf":"$sfDir","scale_docs":$scaleDocs,""" +
-        errNote + buildJson + latJson + {
-          val (cpu, mem) = hostCal()
-          s""""host_cal_cpu_sec":${jn(cpu)},"host_cal_mem_sec":${jn(mem)},"""
-        } +
-        s""""elapsed_sec":${jn(elapsed)}}""")
-      System.out.flush()
-      // halt WITHOUT shutdown hooks: Spark's exit-time temp cleanup TRIMs
-      // hundreds of MB on this `discard`-mounted fs and can eat >30 s of
-      // the harness budget after all measurements are already printed
-      Runtime.getRuntime.halt(0)
+      // (exactly-once vs the watchdog; halts without shutdown hooks)
+      emitAndHalt(0)
     }
   }
 }
