@@ -212,7 +212,14 @@ object SparkEntry {
       ops.Events.sessions(ops.Events.load(s, dir))),
     // semi-structured: JSON-path extraction + rollup over the props column
     "w3_event_props" -> ((s, dir) =>
-      ops.Events.propsRollup(ops.Events.load(s, dir))))
+      ops.Events.propsRollup(ops.Events.load(s, dir))),
+    // W4: as-of join (no native Spark operator; union-marker window form)
+    "w4_event_asof" -> ((s, dir) =>
+      ops.Events.asOfAttribution(ops.Events.load(s, dir))),
+    // transitive dedup clustering: large-star/small-star connected
+    // components over the Jaccard pair graph
+    "dedup_components" -> ((s, dir) =>
+      ops.Components.dedupComponents(rawDocs(s, dir), n = 3, minJaccard = 0.5)))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
@@ -352,7 +359,35 @@ FROM documents ORDER BY media_id""",
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "w1_event_tumbling" -> ops.Events.tumblingSql,
       "w2_event_sessions" -> ops.Events.sessionsSql(),
-      "w3_event_props" -> ops.Events.propsRollupSql)
+      "w3_event_props" -> ops.Events.propsRollupSql,
+      "w4_event_asof" -> ops.Events.asOfAttributionSql(),
+      // transitive closure of the Jaccard pair graph (same pair CTEs as
+      // dedup_ngram_jaccard), component = min reachable id
+      "dedup_components" ->
+        s"""WITH RECURSIVE toks AS (SELECT doc_id,
+  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id,
+  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM pr
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (SELECT a, b FROM sym
+  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a WHERE s.b <> r.n),
+comp AS (SELECT n, least(min(m), n) AS comp_id FROM reach GROUP BY n),
+lab AS (SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS comp_id
+        FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+szc AS (SELECT comp_id, count(*) AS comp_size FROM lab GROUP BY comp_id)
+SELECT lab.doc_id, lab.comp_id, szc.comp_size,
+       CASE WHEN lab.doc_id <> lab.comp_id THEN 1 ELSE 0 END AS is_dup
+FROM lab JOIN szc USING (comp_id) ORDER BY doc_id""")
   }
 
   /** DuckDB twin of the multimodal feature stub: h = first 15 hex chars of

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step that
+  * turns pairwise dedup output (exact/Jaccard/MinHash/SimHash pairs) into
+  * KEEP/DROP decisions: every document in a component except its canonical
+  * representative (min doc_id) is a duplicate, including transitive chains
+  * A~B~C where the A–C pair was never emitted.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * production-scale choice: O(log n) rounds independent of component
+  * diameter, each round key-partitioned aggregations + a co-partitioned
+  * join (Catalyst reuses the groupBy exchange for the join on the same
+  * key), no driver-side graph state. Label propagation would need
+  * O(diameter) rounds; at web scale a single chained-crawl component can
+  * have diameter in the thousands.
+  *
+  * Reference scope note: the reference engine (mcjwsn/Search-Engine) has no
+  * dedup stage; this operator is part of the training-data pipeline suite
+  * layered on top of the same corpus tables.
+  */
+object Components {
+
+  /** (node, comp) for every node present in `edges` (first two columns —
+    * any numeric type; self-loops and duplicate edges tolerated).
+    * comp = min node id of the connected component.
+    *
+    * Each round materializes the shrinking edge set via localCheckpoint
+    * (lineage otherwise doubles per round — the classic iterative-Spark
+    * trap; executor-local storage, nothing pulled to the driver).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val aCol = edges.columns(0)
+    val bCol = edges.columns(1)
+    // canonical undirected edge (big, small), self-loops dropped
+    var e = edges
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // LARGE-STAR: per node n over SYMMETRIZED edges, link every strictly
+      // larger neighbor to m = min(N(n) ∪ {n}).
+      val sym = e.select(col("u").as("n"), col("v").as("nb"))
+        .union(e.select(col("v").as("n"), col("u").as("nb")))
+      val lsMins = sym.groupBy("n").agg(least(min("nb"), min("n")).as("m"))
+      val ls = sym.join(lsMins, "n")
+        .filter(col("nb") > col("n"))
+        .select(col("nb").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: ls edges point big -> small (u > v); per larger
+      // endpoint n, link every smaller neighbor AND n itself to
+      // m = min(N(n) ∪ {n}) (= min(v) here since all v < n).
+      val ssMins = ls.groupBy(col("u").as("n")).agg(min("v").as("m"))
+      val ss = ls.select(col("u").as("n"), col("v").as("nb"))
+        .join(ssMins, "n")
+        .select(col("nb").as("u"), col("m").as("v"))
+        .union(ssMins.select(col("n").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // Converged iff the edge set is a star forest: no parent is also a
+      // child, and each child has one distinct parent. Star forests are
+      // fixed points of both operations, and since every round preserves
+      // connectivity and parents are always the smaller endpoint, the
+      // star centers at convergence are the component minima.
+      val chains = ss.select(col("v").as("p"))
+        .join(ss.select(col("u").as("p")), Seq("p"), "left_semi")
+        .count()
+      val multiParent = ss.groupBy("u").agg(countDistinct("v").as("np"))
+        .filter(col("np") > 1).count()
+      converged = chains == 0L && multiParent == 0L
+      e = ss
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // star edges (child -> root) + the roots themselves
+    e.select(col("u").as("node"), col("v").as("comp"))
+      .union(e.select(col("v").as("node"), col("v").as("comp")))
+      .distinct()
+  }
+
+  /** Query surface: every document labelled with its duplicate-component
+    * id and size. Documents with no near-dup pair form singleton
+    * components (comp = own id). Edges come from [[Dedup.ngramJaccard]],
+    * so chains created by ~τ-similar neighbours collapse transitively.
+    */
+  def dedupComponents(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+                      idCol: String = "doc_id"): DataFrame = {
+    val pairs = Dedup.ngramJaccard(docs, n, minJaccard, idCol = idCol)
+      .select("id_a", "id_b")
+    val cc = connectedComponents(pairs)
+    val labelled = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp_id"))
+    val sizes = labelled.groupBy("comp_id").agg(count(lit(1)).as("comp_size"))
+    labelled.join(sizes, "comp_id")
+      .select(col("doc_id"), col("comp_id"), col("comp_size"),
+        (col("doc_id") =!= col("comp_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+}

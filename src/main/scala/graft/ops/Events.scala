@@ -70,6 +70,62 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("event_type", "k_bucket")
 
+  /** AS-OF JOIN — Spark has no native asof operator; the scalable form is
+    * the union-marker trick: tag both sides, union on (key, ts), and take
+    * `last(right-payload, ignoreNulls)` over a per-key ordered window.
+    * ONE shuffle on the key and a per-key ordered scan — crucially NOT a
+    * range join (`l.ts >= r.ts` as a join condition explodes to
+    * O(|L|·|R|) per key before the argmax; the window form is
+    * O(|L|+|R| log) per key and survives any per-user event count).
+    *
+    * Semantics match DuckDB `ASOF LEFT JOIN ... ON l.user_id = r.user_id
+    * AND l.ts >= r.ts`: each left event of `leftType` gets the payload of
+    * the latest `rightType` event with r.ts <= l.ts (ties included — the
+    * right marker sorts before the left marker at equal ts). The right
+    * side is pre-aggregated to one row per (user_id, ts) so the result is
+    * deterministic even if two right events share a timestamp.
+    */
+  def asOfAttribution(events: DataFrame, leftType: String = "purchase",
+                      rightType: String = "click"): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"))
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .groupBy("user_id", "ts")
+      .agg(round(max("value"), 4).as("r_value"))
+    val tagged = right
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("ts").as("r_ts0"), col("r_value").as("r_value0"))
+      .union(left.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("timestamp").as("r_ts0"),
+        lit(null).cast("double").as("r_value0")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("r_ts", last("r_ts0", ignoreNulls = true).over(w))
+      .withColumn("r_value", last("r_value0", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ets"),
+        round(col("value"), 4).as("value"), unix_timestamp(col("r_ts")).as("click_ts"),
+        col("r_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
+  def asOfAttributionSql(leftType: String = "purchase",
+                         rightType: String = "click"): String =
+    s"""WITH l AS (SELECT event_id, user_id, ts, round(value, 4) AS value
+           FROM events WHERE event_type = '$leftType'),
+     r AS (SELECT user_id, ts, round(max(value), 4) AS r_value
+           FROM events WHERE event_type = '$rightType' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS ets, l.value,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS click_ts, r.r_value AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
   /** DuckDB twins. */
   val propsRollupSql: String =
     """SELECT event_type,

@@ -54,6 +54,10 @@ object Explain {
     show("fingerprints (expect one narrow Generate/Project pass, no shuffle)") {
       graft.ops.TextStats.fingerprints(rawDocs)
     }
+    show("asOfAttribution (expect ONE exchange on user_id + window, no range join)") {
+      graft.ops.Events.asOfAttribution(
+        graft.ops.Events.load(spark, sfDir))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Connected components (large-star/small-star) and the as-of join:
+  * fixtures plus randomized equivalence against local reference
+  * implementations (union-find / linear argmax scan).
+  */
+class ComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Local union-find with min-id roots. */
+  private def ufMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("transitive chain collapses to one component with min root") {
+    val m = ccMap(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("self-loops, duplicates and reversed edges are tolerated") {
+    val m = ccMap(Seq((5L, 5L), (2L, 7L), (7L, 2L), (2L, 7L), (7L, 9L)))
+    assert(m == Map(2L -> 2L, 7L -> 2L, 9L -> 2L))
+  }
+
+  test("empty edge set yields empty components") {
+    assert(ccMap(Seq.empty) == Map.empty)
+  }
+
+  test("long path (diameter > 2 log rounds would fail label-prop budget)") {
+    // a 40-node path: exercises multi-round convergence, not just cliques
+    val edges = (1L until 40L).map(i => (i, i + 1))
+    val m = ccMap(edges)
+    assert(m.keySet == (1L to 40L).toSet && m.values.forall(_ == 1L))
+  }
+
+  test("randomized graphs match local union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(20 + rnd.nextInt(50))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(ccMap(edges) == ufMap(edges), s"trial $trial n=$n")
+    }
+  }
+
+  test("dedupComponents merges a transitive near-dup chain the pairwise " +
+    "operator cannot: J(A,B)>=tau, J(B,C)>=tau, J(A,C)<tau -> one component") {
+    // A and C each share half their 3-gram set with B but little with
+    // each other: classic drifted-duplicate chain
+    def ws(lo: Int, hi: Int) = (lo to hi).map(i => f"word$i%02d").mkString(" ")
+    val a = ws(1, 12)
+    val b = ws(5, 16)
+    val c = ws(9, 20)
+    val docs = Seq((1L, a), (2L, b), (3L, c),
+      (4L, "totally unrelated text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), s"fixture drifted: $pairs")
+    val comp = Components.dedupComponents(docs, n = 3, minJaccard = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(comp(1L) == (1L, 3L, 0))
+    assert(comp(2L) == (1L, 3L, 1))
+    assert(comp(3L) == (1L, 3L, 1)) // transitively merged despite J(A,C)<tau
+    assert(comp(4L) == (4L, 1L, 0)) // singleton keeps its own id
+  }
+
+  test("as-of join matches a local argmax scan on random events") {
+    val rnd = new Random(7)
+    val types = Seq("purchase", "click", "view")
+    val rows = (1L to 600L).map { id =>
+      (id, new java.sql.Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L),
+        rnd.nextInt(8).toLong, types(rnd.nextInt(3)), rnd.nextDouble() * 100)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val got = Events.asOfAttribution(df).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // local reference: right side deduped to max(value) per (user, ts),
+    // then latest right ts <= left ts
+    val right = rows.filter(_._4 == "click")
+      .groupBy(r => (r._3, r._2.getTime))
+      .map { case ((u, t), rs) =>
+        (u, t, BigDecimal(rs.map(_._5).max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    val expected = rows.filter(_._4 == "purchase").map { l =>
+      val cands = right.filter(r => r._1 == l._3 && r._2 <= l._2.getTime)
+      val best = if (cands.isEmpty) None else Some(cands.maxBy(_._2))
+      l._1 -> (best.map(_._2 / 1000L), best.map(_._3))
+    }.toMap
+    assert(got == expected)
+  }
+}
