@@ -219,7 +219,10 @@ object SparkEntry {
     // transitive dedup clustering: large-star/small-star connected
     // components over the Jaccard pair graph
     "dedup_components" -> ((s, dir) =>
-      ops.Components.dedupComponents(rawDocs(s, dir), n = 3, minJaccard = 0.5)))
+      ops.Components.dedupComponents(rawDocs(s, dir), n = 3, minJaccard = 0.5)),
+    // LSH clustering without pair materialization (star edges per bucket)
+    "dedup_minhash_clusters" -> ((s, dir) =>
+      ops.Components.minhashClusters(rawDocs(s, dir))))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
@@ -355,6 +358,7 @@ FROM documents ORDER BY media_id""",
       // from rows-only checks to value-exact gates
       "dedup_simhash" -> ops.DedupOracleSql.simhashSql(maxHamming = 3),
       "dedup_minhash_lsh" -> ops.DedupOracleSql.minhashLshSql(tau = 0.5),
+      "dedup_minhash_clusters" -> ops.DedupOracleSql.minhashClustersSql(),
       "lang_id" -> ops.TextStats.langIdSql,
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "w1_event_tumbling" -> ops.Events.tumblingSql,

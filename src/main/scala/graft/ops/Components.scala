@@ -94,7 +94,41 @@ object Components {
                       idCol: String = "doc_id"): DataFrame = {
     val pairs = Dedup.ngramJaccard(docs, n, minJaccard, idCol = idCol)
       .select("id_a", "id_b")
-    val cc = connectedComponents(pairs)
+    label(docs, connectedComponents(pairs), idCol)
+  }
+
+  /** MinHash-LSH dedup clustering WITHOUT pair materialization — the
+    * 100-TB form. [[Dedup.minhashLsh]] emits every pair inside a band
+    * bucket: a boilerplate document repeated m times makes one bucket of
+    * size m and m²/2 join rows (m=10⁶ → 5·10¹¹ rows from a single
+    * template page). Here each bucket instead emits m-1 STAR EDGES to its
+    * min member — linear in bucket size — and connected components
+    * restores exactly the connectivity the pairwise join would have
+    * produced (two docs sharing a bucket are linked through its root, and
+    * CC is closed under that relinking), so cluster labels are identical.
+    * Precision is LSH-candidate level (no Jaccard verification — at this
+    * scale verification runs per CLUSTER on the representatives, not per
+    * candidate pair).
+    */
+  def minhashClusters(docs: DataFrame, shingle: Int = 3, bands: Int = 16,
+                      rowsPerBand: Int = 4, seed: Long = 42L,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val buckets =
+      Dedup.bandBuckets(docs, shingle, bands, rowsPerBand, seed, textCol, idCol)
+    val roots = buckets.groupBy("band", "bucket")
+      .agg(min("doc_id").as("root"))
+    val star = buckets.join(roots, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("id_a"), col("root").as("id_b"))
+      .distinct()
+    label(docs, connectedComponents(star), idCol)
+  }
+
+  /** (doc_id, comp_id, comp_size, is_dup) for every document; docs absent
+    * from the component edges are singletons.
+    */
+  private def label(docs: DataFrame, cc: DataFrame, idCol: String): DataFrame = {
     val labelled = docs.select(col(idCol).cast("long").as("doc_id"))
       .join(cc, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),

@@ -134,10 +134,13 @@ object Dedup {
     * docs colliding in >= 1 band are candidates, optionally verified with
     * exact n-gram Jaccard. Returns (id_a, id_b [, jaccard]).
     */
-  def minhashLsh(docs: DataFrame, shingle: Int = 3, bands: Int = 16,
-                 rowsPerBand: Int = 4, seed: Long = 42L,
-                 verifyMinJaccard: Option[Double] = None,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** (doc_id, band, bucket) LSH band-bucket memberships — the shared stage
+    * of [[minhashLsh]] (pairwise) and [[Components.minhashClusters]]
+    * (linear star edges).
+    */
+  private[ops] def bandBuckets(docs: DataFrame, shingle: Int, bands: Int,
+                               rowsPerBand: Int, seed: Long,
+                               textCol: String, idCol: String): DataFrame = {
     val numPerms = bands * rowsPerBand
     val (as, bs) = minhashCoeffs(numPerms, seed)
     val sigUdf = udf((s: String) => minhashSig(s, shingle, as, bs))
@@ -147,13 +150,20 @@ object Dedup {
         val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
         (b, fnv1a64(slice.mkString(",")))
       })
-    val buckets = docs
+    docs
       .select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
       // docs with no shingles have all-MaxValue signatures: they are not
       // near-duplicates of each other, drop before banding
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .select(col("doc_id"), explode(bandsUdf(col("sig"))).as("bb"))
       .select(col("doc_id"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+  }
+
+  def minhashLsh(docs: DataFrame, shingle: Int = 3, bands: Int = 16,
+                 rowsPerBand: Int = 4, seed: Long = 42L,
+                 verifyMinJaccard: Option[Double] = None,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val buckets = bandBuckets(docs, shingle, bands, rowsPerBand, seed, textCol, idCol)
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -60,12 +60,12 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
 ORDER BY id_a, id_b"""
 
-  /** MinHash+LSH oracle: 64 universal-hash lanes with THE SAME coefficients
-    * as the Spark UDF (same seeded generator), banded 16x4, candidates from
-    * the band-bucket equi-join, verified at n-gram Jaccard >= tau.
+  /** Shared CTE chain (no leading WITH) from the raw documents to the
+    * `bandkeys` relation (doc_id, band, bucket) — the SQL twin of
+    * [[Dedup.bandBuckets]], used by both minhash oracles.
     */
-  def minhashLshSql(shingle: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                    seed: Long = 42L, tau: Double = 0.5): String = {
+  private def bandkeysCtes(shingle: Int, bands: Int, rowsPerBand: Int,
+                           seed: Long): String = {
     val (as, bs) = Dedup.minhashCoeffs(bands * rowsPerBand, seed)
     val lanesRows = as.indices.map { i =>
       s"  ($i, CAST(${java.lang.Long.toUnsignedString(as(i))} AS UBIGINT), " +
@@ -79,7 +79,7 @@ ORDER BY id_a, id_b"""
   ) % $M64 AS UBIGINT)"""
     val ngramConcat = (0 until shingle).map(j =>
       if (j == 0) "arr[i]" else s"arr[i+$j]").mkString(" || ' ' || ")
-    s"""WITH lanes(lane, a, b) AS (VALUES
+    s"""lanes(lane, a, b) AS (VALUES
 $lanesRows),
 lane2 AS (SELECT lane, a, b, a % 4294967296 AS a_lo, a // 4294967296 AS a_hi FROM lanes),
 toks AS (SELECT doc_id, list_transform($alnum, x -> lower(x)) AS arr FROM documents),
@@ -99,7 +99,16 @@ sig AS (SELECT doc_id, list(CAST(vmin AS BIGINT) ORDER BY lane) AS sig FROM lv G
 bandkeys AS (
   SELECT doc_id, bb.band,
          ${fnvSql(s"array_to_string(sig[bb.band*$rowsPerBand+1 : bb.band*$rowsPerBand+$rowsPerBand], ',')")} AS bucket
-  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS band) bb),
+  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS band) bb)"""
+  }
+
+  /** MinHash+LSH oracle: 64 universal-hash lanes with THE SAME coefficients
+    * as the Spark UDF (same seeded generator), banded 16x4, candidates from
+    * the band-bucket equi-join, verified at n-gram Jaccard >= tau.
+    */
+  def minhashLshSql(shingle: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                    seed: Long = 42L, tau: Double = 0.5): String =
+    s"""WITH ${bandkeysCtes(shingle, bands, rowsPerBand, seed)},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandkeys a JOIN bandkeys b
@@ -116,5 +125,27 @@ jac AS (
 SELECT c.id_a AS id_a, c.id_b AS id_b, j.jaccard AS jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
 ORDER BY c.id_a, c.id_b"""
-  }
+
+  /** Oracle for [[Components.minhashClusters]]: star edges to each band
+    * bucket's min member, transitive closure by recursive CTE, component
+    * label = min reachable doc_id; every document labelled (absent from
+    * banding -> singleton).
+    */
+  def minhashClustersSql(shingle: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${bandkeysCtes(shingle, bands, rowsPerBand, seed)},
+roots AS (SELECT band, bucket, min(doc_id) AS root FROM bandkeys GROUP BY 1, 2),
+star AS (SELECT DISTINCT bk.doc_id AS a, r.root AS b
+         FROM bandkeys bk JOIN roots r USING (band, bucket)
+         WHERE bk.doc_id <> r.root),
+sym AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+reach(n, m) AS (SELECT a, b FROM sym
+  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a WHERE s.b <> r.n),
+comp AS (SELECT n, least(min(m), n) AS comp_id FROM reach GROUP BY n),
+lab AS (SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS comp_id
+        FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+szc AS (SELECT comp_id, count(*) AS comp_size FROM lab GROUP BY comp_id)
+SELECT lab.doc_id, lab.comp_id, szc.comp_size,
+       CASE WHEN lab.doc_id <> lab.comp_id THEN 1 ELSE 0 END AS is_dup
+FROM lab JOIN szc USING (comp_id) ORDER BY doc_id"""
 }

@@ -90,6 +90,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comp(4L) == (4L, 1L, 0)) // singleton keeps its own id
   }
 
+  test("minhashClusters: star edges give the SAME labels as CC over the " +
+    "pairwise bucket join, incl. a 30x-repeated template (the quadratic case)") {
+    val template = "the same boilerplate navigation header appears on every " +
+      "page of this site with identical footer text and copyright notice"
+    val rnd = new Random(11)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golfing", "hotel", "indigo", "juliet", "kilo", "lima")
+    val docs = ((1L to 30L).map(i => (i, template)) ++ // one huge bucket
+      (31L to 60L).map { i =>
+        (i, Seq.fill(15)(words(rnd.nextInt(words.size))).mkString(" "))
+      }).toDF("doc_id", "text")
+    val viaStars = Components.minhashClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: CC over the pairwise LSH candidate join (unverified)
+    val pairs = Dedup.minhashLsh(docs, verifyMinJaccard = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaPairs = ufMap(pairs)
+    val expected = docs.collect().map(_.getLong(0))
+      .map(id => id -> viaPairs.getOrElse(id, id)).toMap
+    assert(viaStars == expected)
+    // the template clique really collapsed to one component rooted at 1
+    assert((1L to 30L).forall(viaStars(_) == 1L))
+  }
+
   test("as-of join matches a local argmax scan on random events") {
     val rnd = new Random(7)
     val types = Seq("purchase", "click", "view")
