@@ -85,10 +85,12 @@ object Bench {
     "token_counts", "text_quality", "lang_id", "dedup_exact",
     "w1_event_tumbling", "w2_event_sessions", "w3_event_props",
     "multimodal_sha", "multimodal_features", "doc_fingerprint",
-    "ann_brute_cosine", "dedup_simhash").zipWithIndex.toMap
+    "ann_brute_cosine", "dedup_simhash", "w4_event_asof").zipWithIndex.toMap
   private val breadthExpensive = Seq(
     "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard").zipWithIndex.toMap
+    "dedup_ngram_jaccard",
+    // iterative connected-components queries: many short jobs each
+    "dedup_components", "dedup_minhash_clusters").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
       .orElse(breadthExpensive.get(name).map((2, _, name)))
