@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's ONE-line JSON contract from sbt's stdout:
+// the default LoggedOutput strategy prefixes every forked-process line with
+// "[info] " (round-2 failure: BENCH rc=0 but parsed=null), and the trailing
+// "[success] Total time" banner steals the last-line slot. StdoutOutput
+// passes the child's stdout through verbatim; showSuccess drops the banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

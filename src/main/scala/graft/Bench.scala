@@ -71,14 +71,17 @@ object Bench {
     "longest river", "best complexity", "world war one",
     "artificial intelligence", "climate change", "science", "return")
 
-  /** Breadth pass order, three tiers so a deadline cut drops the least:
+  /** Breadth pass order, four tiers so a deadline cut drops the least:
     * (0) one CHEAP representative of every operator family — search, BM25,
     * scan, stats, text analysis, exact+simhash dedup, brute similarity,
     * windows, multimodal — then (1) the remaining cheap variants, then
-    * (2) the measured-expensive tail (shingle-join/minhash dedup, LSH ANN:
-    * 2-7 s each at sf0.1). Round 2's family-sequential ordering dropped the
-    * whole LLM-pipeline suite when the budget ran short; coverage-first with
-    * the expensive ops early instead dropped 22 cheap variants.
+    * (2) the measured-expensive tail (shingle-join/minhash dedup, LSH ANN,
+    * iterative CC: 2-7 s each at sf0.1), then (3) s8_index_stats, the
+    * single most expensive query (full-postings completeness scan, 13.6 s
+    * at sf0.1 in round 2 — it crowded out the whole expensive tier).
+    * Round 2's family-sequential ordering dropped the LLM-pipeline suite
+    * when the budget ran short; coverage-first with the expensive ops
+    * early instead dropped 22 cheap variants.
     */
   private val breadthCheapCoverage = Seq(
     "ep2_wand_tsm", "t1_bm25_tsm", "s1_scan_docs", "a9_stats",
@@ -94,7 +97,7 @@ object Bench {
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
       .orElse(breadthExpensive.get(name).map((2, _, name)))
-      .getOrElse((1, 0, name))
+      .getOrElse(if (name == "s8_index_stats") (3, 0, name) else (1, 0, name))
 
   private var keptIdxDir: String = _
 
@@ -118,14 +121,20 @@ object Bench {
     if (emitted.compareAndSet(false, true)) {
       val c = liveChild
       if (c != null) c.destroyForcibly() // stop it competing with hostCal
-      println(
+      val line =
         s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
         s""""queries_skipped":$skipped,""" + tailJson +
         errNote + buildJson + latJson + {
           val (cpu, mem) = hostCal()
           s""""host_cal_cpu_sec":${jn(cpu)},"host_cal_mem_sec":${jn(mem)},"""
         } +
-        s""""elapsed_sec":${jn(elapsed)}}""")
+        s""""elapsed_sec":${jn(elapsed)}}"""
+      // belt-and-braces for the driver's parse: the line on stdout (bare —
+      // build.sbt routes forked run output through StdoutOutput, no sbt
+      // prefix) AND a file next to the other round artifacts
+      try Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+      catch { case _: Throwable => () }
+      println(line)
       System.out.flush()
       // halt WITHOUT shutdown hooks: Spark's exit-time temp cleanup TRIMs
       // hundreds of MB on this `discard`-mounted fs and can eat >30 s of
@@ -163,7 +172,12 @@ object Bench {
         val ppid = rest(1) // field 4 overall
         val startTicks = rest(19).toLong // field 22 overall
         val age = uptime - startTicks / 100.0
-        val ok = pid == "self" || allowed.exists(comm.startsWith)
+        // A boot chain (timeout -> sbt -> java) is minutes old at most; a
+        // MANUAL launch from a long-lived interactive shell would otherwise
+        // count that shell's hours as "sbt boot" and collapse the budget to
+        // the 30 s floor — stop the walk at the first implausibly-old
+        // ancestor instead of counting it.
+        val ok = (pid == "self" || allowed.exists(comm.startsWith)) && age < 600
         if (ok) {
           if (age > oldest) oldest = age
           if (ppid == "1" || ppid == "0") done = true else pid = ppid
@@ -273,9 +287,11 @@ object Bench {
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
         }
       }
-      // warm corpus: a SEPARATE small dir (1/16 of the docs) whose build has
-      // the exact plan shape of the timed reps — see ScalePair's scaladoc
-      val warmDir = s"$corpusDir-warm${scaleDocs / 32}"
+      // warm corpus: a SEPARATE small dir (1/warmDivisor of the docs) whose
+      // build has the exact plan shape of the timed reps — see ScalePair's
+      // scaladoc for why a slice filter would warm the wrong codegen classes
+      val warmDivisor = 32 // big enough to JIT the hot loops, ~10 s at 2 cores
+      val warmDir = s"$corpusDir-warm${scaleDocs / warmDivisor}"
       if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS")) ||
           !Files.exists(java.nio.file.Paths.get(warmDir, "_SUCCESS"))) {
         val s = session(cpus)
@@ -285,10 +301,10 @@ object Bench {
         try {
           SyntheticCorpus.generate(s, scaleDocs, 42L, 160, 480, parts = 64)
             .write.mode("overwrite").parquet(corpusDir)
-          // 1/32: big enough to JIT the hot loops (probe evidence: a ~9k-doc
-          // warm left 2-core reps within 0.3% of each other), small enough
-          // that the 2-core warm build costs ~10 s, not 19
-          SyntheticCorpus.generate(s, scaleDocs / 32, 43L, 160, 480, parts = 8)
+          // probe evidence for the divisor: a ~9k-doc warm left 2-core reps
+          // within 0.3% of each other
+          SyntheticCorpus.generate(s, scaleDocs / warmDivisor, 43L, 160, 480,
+              parts = 8)
             .write.mode("overwrite").parquet(warmDir)
         } finally s.stop()
       }
@@ -469,10 +485,24 @@ object Bench {
       // emit a complete JSON line before the driver's kill.
       val t2 = ArrayBuffer.empty[Double]
       val t8 = ArrayBuffer.empty[Double]
-      // reserve ~40 s after the child for latency + breadth + the JSON line
-      // (latency is itself time-boxed to <=16 s; round 1 reserved 32 s, the
-      // child's mandatory reps overran, and both sections were squeezed out)
-      runScalePair(math.max(60, remaining - 40)) match {
+      // (re)publish the scaling section after EVERY pair measurement — the
+      // watchdog may fire during any later section and must still emit it
+      def setBuildJson(): Unit = if (t2.nonEmpty && t8.nonEmpty) {
+        val secN = t2.min
+        val sec4N = t8.min
+        val rN = scaleDocs / secN
+        val r4N = scaleDocs / sec4N
+        val eff = (r4N / rN) / 4.0
+        buildJson =
+          s""""build":{"localN_cores":2,"local4N_cores":8,"repsN":${t2.size},"reps4N":${t8.size},""" +
+          s""""localN_sec":${jn(secN)},"localN_docs_per_sec":${jn(rN, 1)},""" +
+          s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
+          s""""scaling_efficiency":${jn(eff)}},"""
+      }
+      // reserve ~75 s after the child for latency (<=18 s) + the FULL
+      // breadth pass + the JSON line: round 2 reserved only 40 and the
+      // expensive dedup/CC breadth tier was squeezed out two rounds running
+      runScalePair(math.max(60, remaining - 75)) match {
         case Some((r8, r2, idx)) =>
           t8 ++= r8; t2 ++= r2; keptIdxDir = idx
         case None =>
@@ -484,50 +514,62 @@ object Bench {
           val (s8, _) = buildAt(8, 1)
           t8 += s8
       }
+      setBuildJson()
 
-      // --- query latency over the prebuilt compressed index ---------------
+      // --- query latency over the prebuilt compressed index, per mode:
+      // disjunctive (the reference's semantics), conjunctive (leapfrog
+      // DAAT AND), and the searchMany batch path (all 7 queries per job) --
       val spark = session(cpus)
       if (remaining > 15 && keptIdxDir != null) {
         val idx = new PostingIndex(spark, keptIdxDir).preload() // serving mode (reference holds its index in RAM too)
-        referenceQueries.foreach(q => idx.search(q, 10).collect()) // warm
+        referenceQueries.foreach { q => // warm all three plan shapes
+          idx.search(q, 10).collect(); idx.searchConjunctive(q, 10).collect()
+        }
+        idx.searchMany(referenceQueries, 10).collect()
         // time-boxed sampling: a 14-sample p95 is one GC pause / load spike
         // away from garbage (observed: 2.27 s p95 in a run whose standalone
         // probe measured 0.25) — keep sampling whole query-set rounds until
-        // ~35 samples or the box is spent, whichever first
-        val buf = ArrayBuffer.empty[Double]
-        val latDeadline = elapsed + math.min(remaining - 12, 16.0)
-        while (buf.size < 35 && elapsed < latDeadline) {
-          referenceQueries.foreach(q =>
-            buf += timed(idx.search(q, 10).collect())._2)
+        // ~35 disjunctive samples or the box is spent, whichever first
+        val bufOr = ArrayBuffer.empty[Double]
+        val bufAnd = ArrayBuffer.empty[Double]
+        val bufMany = ArrayBuffer.empty[Double]
+        val latDeadline = elapsed + math.min(remaining - 12, 18.0)
+        while (bufOr.size < 35 && elapsed < latDeadline) {
+          referenceQueries.foreach { q =>
+            bufOr += timed(idx.search(q, 10).collect())._2
+            if (elapsed < latDeadline)
+              bufAnd += timed(idx.searchConjunctive(q, 10).collect())._2
+          }
+          if (elapsed < latDeadline)
+            bufMany += timed(idx.searchMany(referenceQueries, 10).collect())._2
         }
-        val lat = buf.sorted.toIndexedSeq
+        def pcts(buf: ArrayBuffer[Double]): String =
+          if (buf.isEmpty) """{"samples":0}"""
+          else {
+            val lat = buf.sorted.toIndexedSeq
+            val p50 = lat(lat.size / 2)
+            val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+            s"""{"samples":${lat.size},"p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}}"""
+          }
+        val lat = bufOr.sorted.toIndexedSeq
         val p50 = lat(lat.size / 2)
         val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+        // top-level p50/p95 stay the disjunctive mode (round-over-round
+        // comparability); per-mode percentiles nested under "modes"
+        // (many_batch7 times ONE job answering all 7 queries)
         latJson =
           s""""query_latency":{"corpus_docs":$scaleDocs,"samples":${lat.size},""" +
-          s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}},"""
+          s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)},""" +
+          s""""modes":{"or":${pcts(bufOr)},"and":${pcts(bufAnd)},""" +
+          s""""many_batch7":${pcts(bufMany)}}},"""
       }
-
-      // extra scaling reps, noise hedge (deadline-guarded second pair run)
-      if (remaining > 130) {
-        runScalePair(math.min(remaining - 40, 110)).foreach { case (r8, r2, _) =>
-          t8 ++= r8; t2 ++= r2
-        }
-      }
-      val secN = t2.min
-      val sec4N = t8.min
-      val rN = scaleDocs / secN
-      val r4N = scaleDocs / sec4N
-      val eff = (r4N / rN) / 4.0
-      buildJson =
-        s""""build":{"localN_cores":2,"local4N_cores":8,"repsN":${t2.size},"reps4N":${t8.size},""" +
-        s""""localN_sec":${jn(secN)},"localN_docs_per_sec":${jn(rN, 1)},""" +
-        s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
-        s""""scaling_efficiency":${jn(eff)}},"""
 
       // --- breadth: SparkEntry queries at the driver's SF, deadline-boxed
       // with a per-query timeout (a single heavy query must not blow the
-      // whole budget; timed-out jobs are cancelled and reported as -2) -----
+      // whole budget; timed-out jobs are cancelled and reported as -2).
+      // Runs BEFORE the optional scaling hedge: a timed pass over the whole
+      // operator surface (incl. the expensive dedup/CC tier) outranks extra
+      // noise-shield reps of an already-measured ratio. ------------------
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -548,11 +590,20 @@ object Bench {
             case _: Throwable => -1.0
           }
           results += name -> sec
+          qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
+            .mkString("{", ",", "}") // keep the watchdog's view current
         } else skipped += 1
       }
-      qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
-        .mkString("{", ",", "}")
       total = results.map(_._2).filter(_ >= 0).sum
+
+      // extra scaling reps, noise hedge (deadline-guarded second pair run,
+      // only with the whole breadth pass already banked)
+      if (remaining > 70) {
+        runScalePair(math.min(remaining - 30, 110)).foreach { case (r8, r2, _) =>
+          t8 ++= r8; t2 ++= r2
+        }
+        setBuildJson()
+      }
     } catch {
       case t: Throwable =>
         errNote = s""""error":"${t.getClass.getSimpleName}: ${

@@ -24,17 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds the last [[connectedComponents]] call took — test hook for the
+    * jobs-per-round budget (2: materialize + fused convergence check).
+    */
+  @volatile private[ops] var lastRounds: Int = 0
+
   /** (node, comp) for every node present in `edges` (first two columns —
     * any numeric type; self-loops and duplicate edges tolerated).
     * comp = min node id of the connected component.
     *
-    * Each round materializes the shrinking edge set via localCheckpoint
-    * (lineage otherwise doubles per round — the classic iterative-Spark
-    * trap; executor-local storage, nothing pulled to the driver).
+    * Each round materializes the shrinking edge set (lineage otherwise
+    * doubles per round — the classic iterative-Spark trap):
+    *
+    *  - default: `localCheckpoint` (executor-local blocks, nothing pulled
+    *    to the driver, no extra write job). NOT fault-tolerant: on a real
+    *    cluster an executor loss mid-loop loses its checkpointed partitions
+    *    and fails the job (recoverable only by restarting the whole CC).
+    *  - `reliableCheckpointDir = Some(path)`: reliable `checkpoint()` into
+    *    that directory (HDFS/S3 in production) — each round pays a write
+    *    job, but executor loss only recomputes from the last round's files.
+    *    The right trade for a 100-TB run where a round costs minutes and
+    *    an executor loss over a multi-hour loop is near-certain.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          reliableCheckpointDir: Option[String] = None): DataFrame = {
     val aCol = edges.columns(0)
     val bCol = edges.columns(1)
+    val materialize: DataFrame => DataFrame = reliableCheckpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint() // eager, reliable storage
+      case None => df => df.localCheckpoint(true)
+    }
     // canonical undirected edge (big, small), self-loops dropped
     var e = edges
       .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
@@ -63,21 +84,32 @@ object Components {
         .union(ssMins.select(col("n").as("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+      val mat = materialize(ss)
       // Converged iff the edge set is a star forest: no parent is also a
       // child, and each child has one distinct parent. Star forests are
       // fixed points of both operations, and since every round preserves
       // connectivity and parents are always the smaller endpoint, the
       // star centers at convergence are the component minima.
-      val chains = ss.select(col("v").as("p"))
-        .join(ss.select(col("u").as("p")), Seq("p"), "left_semi")
-        .count()
-      val multiParent = ss.groupBy("u").agg(countDistinct("v").as("np"))
-        .filter(col("np") > 1).count()
-      converged = chains == 0L && multiParent == 0L
-      e = ss
+      //
+      // ONE Spark action for both tests (round 2 ran two jobs per round;
+      // at many-component scale per-job driver latency dominated round
+      // time): tag each endpoint role, group by node — a node with both
+      // roles is a parent-that-is-also-a-child (chain), a node with >1
+      // child-role rows has multiple parents (mat rows are distinct, so
+      // the row count IS the distinct parent count).
+      val conv = mat.select(col("u").as("n"), lit(1).as("c"))
+        .union(mat.select(col("v").as("n"), lit(0).as("c")))
+        .groupBy("n").agg(sum("c").as("np"), max("c").as("mx"), min("c").as("mn"))
+        .agg(
+          coalesce(sum(when(col("mx") === 1 && col("mn") === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("chains"),
+          coalesce(sum(when(col("np") > 1, 1L).otherwise(0L)), lit(0L)).as("multi"))
+        .first()
+      converged = conv.getLong(0) == 0L && conv.getLong(1) == 0L
+      e = mat
       it += 1
     }
+    lastRounds = it
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // star edges (child -> root) + the roots themselves
     e.select(col("u").as("node"), col("v").as("comp"))

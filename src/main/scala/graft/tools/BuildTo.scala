@@ -105,15 +105,22 @@ object BuildTo {
       if (secs < best) best = secs
       r += 1
     }
+    // RAM-backed scratch cleanup BEFORE the done line: Bench.buildAt kills
+    // this child the moment "BUILDTO done" appears, so anything after it
+    // never runs and hundreds of MB of shuffle scratch would leak into
+    // tmpfs (reclaimed only by ScalePair's 20-min-cutoff sweep, which may
+    // not run). Deleting in-use files is safe on Linux; all reps finished.
+    try {
+      val scratch = java.nio.file.Paths.get(
+        s"/dev/shm/graft-buildto-local-${ProcessHandle.current().pid()}")
+      if (java.nio.file.Files.exists(scratch)) {
+        java.nio.file.Files.walk(scratch)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    } catch { case _: Throwable => () }
     println(f"BUILDTO done secs=$best%.3f committed=${Manifest.committed(idxDir).size} totals=${Manifest.totals(idxDir)} el=$el")
     spark.stop()
-    val scratch = java.nio.file.Paths.get(
-      s"/dev/shm/graft-buildto-local-${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(scratch)) {
-      java.nio.file.Files.walk(scratch)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
     println(s"BUILDTO exit el=$el")
   }
 }

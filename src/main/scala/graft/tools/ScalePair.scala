@@ -72,7 +72,12 @@ object ScalePair {
   }
 
   def main(args: Array[String]): Unit = {
-    println(f"SCALEPAIR main el=$el%.1f")
+    // Captured BEFORE any taskset self-pin: the JDK reads sched_getaffinity,
+    // so after pin("0-1") availableProcessors() returns 2 and an "unpin"
+    // computed from it would re-pin to cores 0-1 (the 8-core session init
+    // would then run on 2 cores, burning bench budget).
+    val allCores = Runtime.getRuntime.availableProcessors()
+    println(f"SCALEPAIR main el=$el%.1f cores=$allCores")
     val corpusDir = args(0)
     val outBase = args(1)
     val budget = args(2).toDouble
@@ -146,8 +151,9 @@ object ScalePair {
     org.apache.spark.sql.SparkSession.clearDefaultSession()
 
     // --- level 4N = 8 cores ------------------------------------------------
-    // session init at full speed; timed work re-pins below
-    pin(s"0-${Runtime.getRuntime.availableProcessors() - 1}")
+    // session init at full speed; timed work re-pins below (allCores was
+    // captured pre-pin — availableProcessors() here would report 2)
+    pin(s"0-${allCores - 1}")
     val s8 = session(8)
     pin("0-7")
     if (warmDir.nonEmpty) {
