@@ -285,6 +285,11 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
     val stop = OracleSql.stopList
     val alnum = "list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2)"
     val kept = s"list_filter(list_transform($alnum, x -> lower(x)), x -> x NOT IN ($stop))"
+    // mirror of Dedup.ngramJaccard's derived hot-shingle cap
+    // (max(1000, nDocs/100), integer division in both engines): shingles
+    // above the cap leave BOTH the pair join and the per-doc set sizes —
+    // without this the gate would diverge on any corpus with a >cap shingle
+    val ngCapCtes = ops.DedupOracleSql.ngramCapCtes
     Map(
       "dedup_exact" ->
         """WITH h AS (SELECT doc_id, sha256(text) AS hsh FROM documents),
@@ -299,9 +304,10 @@ ng AS (SELECT DISTINCT doc_id,
   arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
   FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
   WHERE i <= len(arr) - 2),
-sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+$ngCapCtes,
+sz AS (SELECT doc_id, count(*) AS sz FROM ngk GROUP BY doc_id),
 pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       FROM ngk a JOIN ngk b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
        GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
@@ -374,9 +380,10 @@ ng AS (SELECT DISTINCT doc_id,
   arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
   FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
   WHERE i <= len(arr) - 2),
-sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+$ngCapCtes,
+sz AS (SELECT doc_id, count(*) AS sz FROM ngk GROUP BY doc_id),
 pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       FROM ngk a JOIN ngk b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
        GROUP BY 1, 2),
 pairs AS (SELECT id_a, id_b FROM pr
   JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b

@@ -63,15 +63,26 @@ object Dedup {
     * cap from BOTH the join and the per-doc set sizes (Jaccard is then
     * computed over the capped shingle universe — the standard production
     * near-dup approximation; a hot shingle shared by >cap docs carries no
-    * pair information anyway). With cap >= corpus size the result is exact;
-    * the default keeps the join bounded at ~cap * df rows per hot shingle.
+    * pair information anyway). With cap >= corpus size the result is exact.
+    *
+    * `maxShingleDf <= 0` (the default) derives the cap from the corpus:
+    * max(1000, nDocs / 100). A FIXED generous cap does not survive a
+    * scale-up — round 2 shipped 100k, which at its own bench scale already
+    * admitted ~10^10 join rows from one at-cap shingle; the derived cap
+    * bounds any single shingle's join contribution at ~(nDocs/100)^2 / 2
+    * rows, 10^-4 of the all-pairs grid, at every corpus size. The DuckDB
+    * oracle twins mirror the same formula (SparkEntry / DedupOracleSql).
     */
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    textCol: String = "text", idCol: String = "doc_id",
-                   maxShingleDf: Long = 100000L): DataFrame = {
+                   maxShingleDf: Long = 0L): DataFrame = {
+    // the derivation count() is one metadata-cheap job, paid only when the
+    // caller did not pin a cap
+    val cap = if (maxShingleDf > 0) maxShingleDf
+              else math.max(1000L, docs.count() / 100)
     val ngAll = docNgrams(docs, n, textCol, idCol)
     val hot = ngAll.groupBy("ngram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
+      .filter(col("df") > cap)
       .select("ngram")
     // left-anti: drop the hot shingles everywhere (broadcast — the hot set
     // is tiny by construction: at most |corpus postings| / maxShingleDf)

@@ -25,6 +25,18 @@ object DedupOracleSql {
   private val alnum =
     "list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2)"
 
+  /** SQL twin of [[Dedup.ngramJaccard]]'s derived hot-shingle cap
+    * (max(1000, nDocs/100), integer division in both engines): `ngk` is the
+    * `ng` relation with >cap shingles dropped, mirroring the Spark side's
+    * broadcast left-anti guard. Every Jaccard oracle must size and join on
+    * `ngk`, not `ng` — otherwise the gate diverges on any corpus where a
+    * shingle exceeds the cap.
+    */
+  val ngramCapCtes: String =
+    """hot AS (SELECT ngram FROM ng GROUP BY ngram
+  HAVING count(*) > greatest(1000, (SELECT count(*) FROM documents) // 100)),
+ngk AS (SELECT * FROM ng WHERE ngram NOT IN (SELECT ngram FROM hot))"""
+
   private val M64 = "18446744073709551616" // 2^64
 
   /** FNV-1a 64 over the characters of SQL string expression `s`. */
@@ -113,9 +125,10 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandkeys a JOIN bandkeys b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-szj AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+$ngramCapCtes,
+szj AS (SELECT doc_id, count(*) AS sz FROM ngk GROUP BY doc_id),
 prj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       FROM ngk a JOIN ngk b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
        GROUP BY 1, 2),
 jac AS (
   SELECT id_a, id_b,
