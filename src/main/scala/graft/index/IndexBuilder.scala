@@ -62,6 +62,23 @@ object IndexBuilder {
 
   private val timings = sys.env.contains("GRAFT_TIMINGS")
 
+  /** Whether the most recent postings wave used the broadcast-dictionary
+    * encode path (vs the large-vocabulary stats-join fallback) — test hook
+    * for the auto-fallback decision.
+    */
+  @volatile private[index] var lastWaveUsedDict: Boolean = true
+
+  /** The shared shuffle shape of both encode paths: one partition per
+    * (tb, shard), rows clustered by term key and docId-sorted within it —
+    * exactly what the streaming block encoder requires.
+    */
+  private def postingsShape(postings: DataFrame, parts: Int,
+                            termKey: String): DataFrame =
+    postings
+      .repartition(parts, col("tb"), col("shard"))
+      .sortWithinPartitions("tb", "shard", termKey, "doc_id")
+      .select("tb", "shard", termKey, "doc_id", "w", "tf")
+
   private[index] def stage[A](name: String)(f: => A): A = {
     if (!timings) f
     else {
@@ -210,66 +227,90 @@ object IndexBuilder {
       if (waveCommitted.isEmpty) tfAll
       else tfAll.filter(!struct(col("tb"), col("shard")).isin(
         waveCommitted.map(p => struct(lit(p._1), lit(p._2))): _*))
-    // Wave-local term DICTIONARY (term -> dense id + idf), broadcast once:
-    // the postings shuffle then moves an int per row instead of the raw
-    // term string — on a realistic long-tail vocabulary (unique
-    // identifiers) the string column dominated shuffle bytes and the
-    // within-partition sort compared long strings. The dict also replaces
-    // the per-term stats JOIN with a map-side lookup. Terms are restored
-    // from the broadcast inverse table inside the encode task, so the
-    // on-disk format is unchanged. Scale note: the dict is the WAVE's
-    // vocabulary (vocab / commitWaves entries) — at extreme vocabularies
-    // raise commitWaves so each wave's dict stays broadcast-sized.
-    val waveStats = stage(s"postings:dict:tb=$wave")(
-      spark.read.parquet(s"$dir/stats")
-        .filter(tbUdf(cfg.termBuckets)(col("term")).isin(tbsInWave: _*))
-        .select("term", "idf").collect())
-    val termToId = new java.util.HashMap[String, Integer](waveStats.length * 2)
-    val idToTerm = new Array[String](waveStats.length)
-    val idToIdf = new Array[Double](waveStats.length)
-    var ti = 0
-    while (ti < waveStats.length) {
-      val r = waveStats(ti)
-      termToId.put(r.getString(0), ti)
-      idToTerm(ti) = r.getString(0)
-      idToIdf(ti) = r.getDouble(1)
-      ti += 1
-    }
-    val bDict = spark.sparkContext.broadcast((termToId, idToTerm, idToIdf))
     val params = cfg.params
     val avgdl = g.avgdl
-    // weight via BM25.weight (same JVM ops as the oracle — bit-exactness);
-    // dl rides on every tf row (computed row-locally in the stats pass)
-    val tidUdf = udf((term: String) => bDict.value._1.get(term).intValue())
-    val wUdf = udf((tid: Int, tf: Long, dlv: Long) =>
-      BM25.weight(tf.toDouble, dlv.toDouble, avgdl, bDict.value._3(tid), params))
-    val postings = tf
-      .withColumn("tid", tidUdf(col("term")))
-      .select(col("tb"), col("shard"), col("tid"), col("doc_id"), col("tf"),
-        wUdf(col("tid"), col("tf"), col("dl")).as("w"))
-
     val blockSize = cfg.blockSize
     // One shuffle partition per (tb, shard): every encode task then writes
     // into exactly ~one output directory, so the dynamic-partition commit
     // moves O(partitions) files instead of O(partitions * tasks) — this was
     // the dominant serial cost at bench scale. Hot terms are still split
     // by shard; within a partition the sort keeps (tb, shard, term) groups
-    // contiguous and docId-ordered for the streaming encoder. The sort key
-    // uses the DICTIONARY id; ids are assigned in stats-row order, which is
-    // arbitrary but a bijection with terms, so per-term grouping (all the
-    // encoder needs) is preserved and the sort compares ints, not strings.
+    // contiguous and docId-ordered for the streaming encoder.
     val parts = cfg.shards * math.max(1, tbsInWave.size)
     val acc = new PartCounters
     spark.sparkContext.register(acc, s"graft-part-counters-w$wave")
-    val blocks: Dataset[BlockRow] = postings
-      .repartition(parts, col("tb"), col("shard"))
-      .sortWithinPartitions("tb", "shard", "tid", "doc_id")
-      .select("tb", "shard", "tid", "doc_id", "w", "tf")
-      .as[PostingRow] // primitive-field case class: a Tuple6 here boxes all
-      // six values per row — measurable GC drag at 11M+ rows per wave
-      .mapPartitions { rows =>
-        new BlockEncodeIterator(rows, blockSize, acc, bDict.value._2)
+    val waveStatsDf = spark.read.parquet(s"$dir/stats")
+      .filter(tbUdf(cfg.termBuckets)(col("term")).isin(tbsInWave: _*))
+      .select("term", "idf")
+    // The wave's vocabulary share: term buckets are hash buckets, so each
+    // wave's share concentrates tightly around vocab * |tbs| / termBuckets
+    // (relative deviation ~1/sqrt(share) — negligible at any size where the
+    // threshold matters). Estimating from globals costs zero extra jobs.
+    val waveVocabEst =
+      g.vocabularySize * math.max(1, tbsInWave.size) / math.max(1, cfg.termBuckets)
+    val dictPath = waveVocabEst <= cfg.maxDictTerms
+    lastWaveUsedDict = dictPath
+    val blocks: Dataset[BlockRow] = if (dictPath) {
+      // Wave-local term DICTIONARY (term -> dense id + idf), broadcast once:
+      // the postings shuffle then moves an int per row instead of the raw
+      // term string — on a realistic long-tail vocabulary (unique
+      // identifiers) the string column dominated shuffle bytes and the
+      // within-partition sort compared long strings. The dict also replaces
+      // the per-term stats JOIN with a map-side lookup. Terms are restored
+      // from the broadcast inverse table inside the encode task, so the
+      // on-disk format is unchanged.
+      val waveStats = stage(s"postings:dict:tb=$wave")(waveStatsDf.collect())
+      val termToId = new java.util.HashMap[String, Integer](waveStats.length * 2)
+      val idToTerm = new Array[String](waveStats.length)
+      val idToIdf = new Array[Double](waveStats.length)
+      var ti = 0
+      while (ti < waveStats.length) {
+        val r = waveStats(ti)
+        termToId.put(r.getString(0), ti)
+        idToTerm(ti) = r.getString(0)
+        idToIdf(ti) = r.getDouble(1)
+        ti += 1
       }
+      val bDict = spark.sparkContext.broadcast((termToId, idToTerm, idToIdf))
+      // weight via BM25.weight (same JVM ops as the oracle — bit-exactness);
+      // dl rides on every tf row (computed row-locally in the stats pass)
+      val tidUdf = udf((term: String) => bDict.value._1.get(term).intValue())
+      val wUdf = udf((tid: Int, tf: Long, dlv: Long) =>
+        BM25.weight(tf.toDouble, dlv.toDouble, avgdl, bDict.value._3(tid), params))
+      postingsShape(tf
+        .withColumn("tid", tidUdf(col("term")))
+        .select(col("tb"), col("shard"), col("tid"), col("doc_id"), col("tf"),
+          wUdf(col("tid"), col("tf"), col("dl")).as("w")),
+        parts, "tid")
+        // The sort key is the DICTIONARY id; ids are assigned in stats-row
+        // order, which is arbitrary but a bijection with terms, so per-term
+        // grouping (all the encoder needs) is preserved and the sort
+        // compares ints, not strings.
+        .as[PostingRow] // primitive-field case class: a Tuple6 here boxes
+        // all six values per row — GC drag at 11M+ rows per wave
+        .mapPartitions { rows =>
+          new BlockEncodeIterator(rows, blockSize, acc, bDict.value._2)
+        }
+    } else {
+      // LARGE-VOCABULARY FALLBACK: the wave's dictionary would exceed
+      // maxDictTerms (a 100-TB code corpus has ~10^9 identifiers — a
+      // driver collect would OOM silently). Degrade to the shuffle
+      // stats-join path: idf arrives by an equi-join on term (no driver
+      // state of any size), the shuffle carries the term string, and the
+      // within-partition sort compares strings. Strictly slower per row
+      // than the dictionary path, never wrong, never memory-unsafe.
+      val wUdf = udf((tf: Long, dlv: Long, idf: Double) =>
+        BM25.weight(tf.toDouble, dlv.toDouble, avgdl, idf, params))
+      postingsShape(tf
+        .join(waveStatsDf, "term")
+        .select(col("tb"), col("shard"), col("term"), col("doc_id"), col("tf"),
+          wUdf(col("tf"), col("dl"), col("idf")).as("w")),
+        parts, "term")
+        .as[TermPostingRow]
+        .mapPartitions { rows =>
+          new TermBlockEncodeIterator(rows, blockSize, acc)
+        }
+    }
 
     val staging = s"$dir/.staging-postings-$wave"
     stage(s"postings:encode-write:tb=$wave")(blocks.write.mode(SaveMode.Overwrite)
@@ -331,6 +372,49 @@ object IndexBuilder {
         advance()
       }
       val sameTerm = hasCur && cur.tb == tb && cur.shard == shard && cur.tid == tid
+      val id = blockId
+      blockId = if (sameTerm) blockId + 1 else 0L
+      val docsBin = Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n))
+      val wtsBin = Codec.encodeDoubles(java.util.Arrays.copyOf(wts, n))
+      val tfsBin = Codec.encodeVarLongs(java.util.Arrays.copyOf(tfs, n))
+      // manifest quartet: a term counts once (its block 0), postings by n
+      acc.add(((tb, shard), (if (id == 0L) 1L else 0L, n.toLong,
+        (docsBin.length + wtsBin.length + tfsBin.length).toLong)))
+      BlockRow(tb, shard, term, id, n, docs(n - 1), maxW, docsBin, wtsBin, tfsBin)
+    }
+  }
+
+  /** The large-vocabulary fallback's twin of [[BlockEncodeIterator]]: rows
+    * carry the term string (no dictionary exists on that path), so the
+    * group key is the string itself. Identical block/counter semantics;
+    * per-posting cost adds one string equality check.
+    */
+  private final class TermBlockEncodeIterator(
+      rows: Iterator[TermPostingRow], blockSize: Int, acc: PartCounters)
+      extends Iterator[BlockRow] {
+    private var cur: TermPostingRow = _
+    private var hasCur = false
+    private var blockId = 0L
+    private val docs = new Array[Long](blockSize)
+    private val wts = new Array[Double](blockSize)
+    private val tfs = new Array[Long](blockSize)
+    private def advance(): Unit = { hasCur = rows.hasNext; if (hasCur) cur = rows.next() }
+    advance()
+
+    override def hasNext: Boolean = hasCur
+
+    override def next(): BlockRow = {
+      val (tb, shard, term) = (cur.tb, cur.shard, cur.term)
+      var n = 0
+      var maxW = Double.NegativeInfinity
+      while (hasCur && n < blockSize && cur.tb == tb && cur.shard == shard &&
+          cur.term == term) {
+        docs(n) = cur.doc_id; wts(n) = cur.w; tfs(n) = cur.tf
+        if (cur.w > maxW) maxW = cur.w
+        n += 1
+        advance()
+      }
+      val sameTerm = hasCur && cur.tb == tb && cur.shard == shard && cur.term == term
       val id = blockId
       blockId = if (sameTerm) blockId + 1 else 0L
       val docsBin = Codec.encodeDocIds(java.util.Arrays.copyOf(docs, n))

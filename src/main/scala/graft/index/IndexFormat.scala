@@ -41,7 +41,17 @@ final case class IndexConfig(
     blockSize: Int = 128,
     params: BM25Params = BM25Params(),
     stem: Boolean = true,
-    commitWaves: Int = 2)
+    commitWaves: Int = 2,
+    /** Largest wave vocabulary the builder will dictionary-encode via a
+      * driver-collected broadcast map (~150 B/term of driver+executor heap:
+      * 1M ≈ 150 MB). A wave whose estimated vocabulary exceeds this falls
+      * back automatically to the shuffle stats-join encode path, which
+      * never collects the vocabulary anywhere — slower per row, but safe at
+      * any vocabulary size (a 100-TB code corpus has ~10^9 identifiers).
+      * Execution knob only: both paths produce identical index content, so
+      * it is deliberately NOT part of the resume-config identity check.
+      */
+    maxDictTerms: Long = 1000000L)
 
 final case class IndexGlobals(
     buildId: String,
@@ -65,6 +75,18 @@ final case class PostingRow(
     tb: Int,
     shard: Int,
     tid: Int,
+    doc_id: Long,
+    w: Double,
+    tf: Long)
+
+/** Shuffled posting row of the large-vocabulary fallback encode path, which
+  * carries the term string through the shuffle instead of a dictionary id
+  * (no driver-collected dictionary exists on that path).
+  */
+final case class TermPostingRow(
+    tb: Int,
+    shard: Int,
+    term: String,
     doc_id: Long,
     w: Double,
     tf: Long)

@@ -95,20 +95,67 @@ class IndexSpec extends AnyFunSuite {
     }
     // content-level invariance (FIXTURES.md §8): decoded posting lists are
     // identical term-for-term regardless of shard/bucket/block layout
-    def decoded(dir: String): Map[String, Seq[(Long, Double, Long)]] = {
-      spark.read.parquet(s"$dir/postings").collect().toSeq
-        .map { r =>
-          val term = r.getAs[String]("term")
-          val n = r.getAs[Int]("n")
-          val docs = Codec.decodeDocIds(r.getAs[Array[Byte]]("docs_bin"), n)
-          val wts = Codec.decodeDoubles(r.getAs[Array[Byte]]("wts_bin"))
-          val tfs = Codec.decodeVarLongs(r.getAs[Array[Byte]]("tfs_bin"), n)
-          term -> (0 until n).map(i => (docs(i), wts(i), tfs(i)))
-        }
-        .groupBy(_._1)
-        .view.mapValues(_.flatMap(_._2).sortBy(_._1)).toMap
-    }
     assert(decoded(dirA) == decoded(dirB))
+  }
+
+  /** Decoded posting lists keyed by term, docId-sorted — the layout-free
+    * content identity of an index dir.
+    */
+  private def decoded(dir: String): Map[String, Seq[(Long, Double, Long)]] = {
+    spark.read.parquet(s"$dir/postings").collect().toSeq
+      .map { r =>
+        val term = r.getAs[String]("term")
+        val n = r.getAs[Int]("n")
+        val docs = Codec.decodeDocIds(r.getAs[Array[Byte]]("docs_bin"), n)
+        val wts = Codec.decodeDoubles(r.getAs[Array[Byte]]("wts_bin"))
+        val tfs = Codec.decodeVarLongs(r.getAs[Array[Byte]]("tfs_bin"), n)
+        term -> (0 until n).map(i => (docs(i), wts(i), tfs(i)))
+      }
+      .groupBy(_._1)
+      .view.mapValues(_.flatMap(_._2).sortBy(_._1)).toMap
+  }
+
+  test("large-vocab fallback (stats-join path) builds identical index content") {
+    val dirDict = tmpDir("dictpath")
+    val dirJoin = tmpDir("joinpath")
+    val cfg = IndexConfig(shards = 4, termBuckets = 2, blockSize = 16)
+    IndexBuilder.build(spark, docs, dirDict, cfg)
+    assert(IndexBuilder.lastWaveUsedDict, "default config must take the dict path")
+    // maxDictTerms = 1 forces every wave onto the stats-join fallback
+    IndexBuilder.build(spark, docs, dirJoin, cfg.copy(maxDictTerms = 1L))
+    assert(!IndexBuilder.lastWaveUsedDict, "capped config must take the fallback")
+    // identical content, counters, and search results — the knob is pure
+    // execution strategy
+    assert(decoded(dirDict) == decoded(dirJoin))
+    assert(Manifest.totals(dirDict) == Manifest.totals(dirJoin))
+    val a = new PostingIndex(spark, dirDict)
+    val b = new PostingIndex(spark, dirJoin)
+    referenceQueries.foreach { q =>
+      assert(resultSeq(a.search(q, 10)) == resultSeq(b.search(q, 10)), s"query '$q'")
+    }
+  }
+
+  test("a >1M-term wave auto-falls-back and still searches exactly") {
+    // identifier-heavy synthetic corpus: ~1.17M identifier draws from a 20M
+    // space => ~1.13M distinct terms in the single wave (termBuckets = 1),
+    // exceeding the 1M default broadcast-dict cap — the silent-driver-OOM
+    // scenario of a real code corpus, at unit-test scale
+    val big = Corpus.fromCodeDocs(SyntheticCorpus.generate(
+      spark, 2800, seed = 7L, minWords = 1100, maxWords = 1400,
+      vocabSpread = 20000000, parts = 8))
+    val dir = tmpDir("bigvocab")
+    IndexBuilder.build(spark, big, dir,
+      IndexConfig(shards = 4, termBuckets = 1, blockSize = 64))
+    assert(!IndexBuilder.lastWaveUsedDict,
+      "a >1M-term wave must auto-select the stats-join fallback")
+    val g = PostingIndex.readGlobals(spark, dir)
+    assert(g.vocabularySize > 1000000L,
+      s"fixture must exceed the dict cap, got ${g.vocabularySize}")
+    // exactness through the fallback: hot skew term vs the local oracle
+    val bigLocal = big.select("docId", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = resultSeq(new PostingIndex(spark, dir).search("return", 10))
+    assert(got == OracleScorer.topK(bigLocal, "return", 10, stem = true))
   }
 
   test("resume after partial build reproduces the uninterrupted index") {
