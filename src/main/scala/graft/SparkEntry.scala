@@ -32,6 +32,20 @@ object SparkEntry {
   private def rawDocs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Fixed materialization point of the JVM-stemmed (doc_id, term, tf)
+    * rows: overwritten by each stemmed-chain query, read back by its DuckDB
+    * twin via read_parquet (same host, the driver's gate protocol). This
+    * turns the stemmed BM25 math into a hard gate; only the stemmer itself
+    * (golden-vector + rank-identity spec'd) stays outside the oracle.
+    */
+  val stemmedTfPath = "/tmp/graft_stemmed_tf.parquet"
+
+  private def stemmedTf(s: SparkSession, dir: String): DataFrame = {
+    RelationalBM25.termFreqs(Corpus.documents(s, dir), stem = true)
+      .write.mode("overwrite").parquet(stemmedTfPath)
+    s.read.parquet(stemmedTfPath)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val docs = Corpus.documents(spark, "/root/testdata/sf0.001")
@@ -104,10 +118,11 @@ object SparkEntry {
           .select("doc_id", "score", "lang", "source")
           .orderBy(col("score").desc, col("doc_id").asc)
       }),
-      // stemmed full chain — rows-only here, rank-identity gated in ScalaTest
+      // stemmed full chain, HARD-gated: the JVM-stemmed tf is materialized
+      // to parquet and both engines compute top-k from those same rows
       "bm25_stemmed_tsm" -> ((s, dir) =>
-        RelationalBM25.topK(Corpus.documents(s, dir), "table scan merge", 10,
-          stem = true)))
+        RelationalBM25.topKFromTf(stemmedTf(s, dir), Corpus.documents(s, dir),
+          RelationalBM25.queryTerms("table scan merge", stem = true), 10)))
 
     // T1/A10/EP2: BM25 top-10 per bench query (exact relational form)
     val bm25 = benchQueries.map { case (key, text) =>
@@ -127,9 +142,14 @@ object SparkEntry {
       "j3_wand_and_tsm" -> ((s, dir) =>
         new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = false))
           .searchConjunctiveRounded("table scan merge", 10)),
-      "ep2_wand_stemmed_tsm" -> ((s, dir) =>
+      // stemmed WAND over the compressed index, gated against the SAME
+      // materialized-stemmed-tf twin (WAND == exhaustive BM25; the
+      // materialize makes each gated query self-contained)
+      "ep2_wand_stemmed_tsm" -> ((s, dir) => {
+        stemmedTf(s, dir)
         new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = true))
-          .searchRounded("table scan merge", 10)),
+          .searchRounded("table scan merge", 10)
+      }),
       // S8: build counters surface (docs/terms/postings per north rule).
       // indexed_terms counts distinct terms in the COMMITTED posting
       // segments and postings comes from the MANIFEST counters — the oracle
@@ -268,6 +288,12 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
     }.toMap
     val wandAnd = Map(
       "j3_wand_and_tsm" -> OracleSql.bm25TopKConjunctive("table scan merge", 10),
+      // stemmed chain over the query-materialized stemmed tf (see
+      // stemmedTfPath) — BM25 math + WAND gated; stemmer spec-gated
+      "bm25_stemmed_tsm" ->
+        OracleSql.bm25TopKFromTfParquet("table scan merge", 10, stemmedTfPath),
+      "ep2_wand_stemmed_tsm" ->
+        OracleSql.bm25TopKFromTfParquet("table scan merge", 10, stemmedTfPath),
       // the built index's content gated against corpus-derived counts: the
       // committed segments must hold exactly the corpus vocabulary and the
       // manifest's posting total must equal |(doc, term)| pairs

@@ -9,8 +9,9 @@ import graft.analysis.Analyzer
   * The SQL tokenizer `regexp_split_to_array(text, '[^a-zA-Z0-9]+')` +
   * `length(tok) > 2` + `lower` is property-tested equivalent to the
   * engine's scanner (AnalyzerSpec); Porter stemming is NOT SQL-expressible,
-  * so oracle-gated queries run the no-stem chain and the stemmed chain is
-  * gated by the in-repo ScalaTest oracle instead (SURVEY.md §5).
+  * so the stemmed chain is gated via [[bm25TopKFromTfParquet]] over
+  * MATERIALIZED JVM-stemmed tf rows, leaving only the stemmer itself to the
+  * in-repo ScalaTest oracle (golden vectors, SURVEY.md §5).
   */
 object OracleSql {
 
@@ -96,6 +97,37 @@ w AS (
 SELECT doc_id, round(sum(w), 4) AS score
 FROM w GROUP BY doc_id
 HAVING count(*) = ${terms.size}
+ORDER BY round(sum(w), 4) DESC, doc_id ASC
+LIMIT $k"""
+  }
+
+  /** BM25 top-k over a MATERIALIZED (doc_id, term, tf) parquet instead of
+    * the SQL-tokenized `tok`/`tf` CTEs — the stemmed-chain gate: Spark
+    * writes the JVM-stemmed tf rows to `tfParquet`, both engines compute
+    * top-k from those same rows (identical math/rounding/order to
+    * [[bm25TopK]]), and the untested surface shrinks to the stemmer alone.
+    * Query terms are stemmed JVM-side and embedded as literals — the same
+    * list both engines score.
+    */
+  def bm25TopKFromTfParquet(query: String, k: Int, tfParquet: String,
+                            p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = true)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, term, tf
+  FROM read_parquet('$tfParquet/*.parquet')),
+$dfCte, $dlCte, $statsCte,
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+w AS (
+  SELECT tf.doc_id,
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (${p.k1} + 1.0))
+           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
+           * qt.qtf AS w
+  FROM tf JOIN df USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(sum(w), 4) AS score
+FROM w GROUP BY doc_id
 ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
   }

@@ -121,13 +121,25 @@ object RelationalBM25 {
   def topK(docs: DataFrame, query: String, k: Int, stem: Boolean,
            params: BM25Params = BM25.default): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val q = queryTerms(query, stem)
     if (q.isEmpty) {
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
     }
-    val tf = termFreqs(docs, stem)
+    topKFromTf(termFreqs(docs, stem), docs, q, k, params)
+  }
+
+  /** [[topK]] from a precomputed (doc_id, term, tf) relation and
+    * already-analyzed query terms. This is the surface that lets the DuckDB
+    * gate cover the STEMMED chain's BM25 math: the caller materializes the
+    * JVM-stemmed tf rows to parquet, both engines compute top-k from those
+    * same rows, and only the stemmer itself (golden-vector spec'd) stays
+    * outside the oracle.
+    */
+  def topKFromTf(tf: DataFrame, docs: DataFrame, q: Seq[(String, Double)],
+                 k: Int, params: BM25Params = BM25.default): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     val stats = corpusStats(docs, tf)
     // Catalyst pushes the term filter below the (doc_id, term) aggregation.
     val cand = tf.filter(col("term").isin(q.map(_._1): _*))
