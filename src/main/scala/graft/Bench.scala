@@ -71,17 +71,18 @@ object Bench {
     "longest river", "best complexity", "world war one",
     "artificial intelligence", "climate change", "science", "return")
 
-  /** Breadth pass order, four tiers so a deadline cut drops the least:
+  /** Breadth pass order, three tiers so a deadline cut drops the least:
     * (0) one CHEAP representative of every operator family — search, BM25,
     * scan, stats, text analysis, exact+simhash dedup, brute similarity,
-    * windows, multimodal — then (1) the remaining cheap variants, then
-    * (2) the measured-expensive tail (shingle-join/minhash dedup, LSH ANN,
-    * iterative CC: 2-7 s each at sf0.1), then (3) s8_index_stats, the
-    * single most expensive query (full-postings completeness scan, 13.6 s
-    * at sf0.1 in round 2 — it crowded out the whole expensive tier).
-    * Round 2's family-sequential ordering dropped the LLM-pipeline suite
-    * when the budget ran short; coverage-first with the expensive ops
-    * early instead dropped 22 cheap variants.
+    * windows, multimodal — then (1) the measured-expensive tail
+    * (shingle-join/minhash dedup, LSH ANN, iterative CC: 2-11 s each at
+    * sf0.1), then (2) the remaining cheap VARIANTS (t1/ep2 per-query
+    * forms — redundant with their tier-0 family representative, so they
+    * are what a loaded-host cut should drop; two rounds running the cut
+    * fell on the expensive tier instead, leaving the scale-critical
+    * dedup/CC family untimed). (s8_index_stats was last while it scanned
+    * the postings — 13.6 s; it now reads manifest counters and is
+    * ordinary-cheap.)
     */
   private val breadthCheapCoverage = Seq(
     "ep2_wand_tsm", "t1_bm25_tsm", "s1_scan_docs", "a9_stats",
@@ -96,8 +97,8 @@ object Bench {
     "dedup_components", "dedup_minhash_clusters").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
-      .orElse(breadthExpensive.get(name).map((2, _, name)))
-      .getOrElse(if (name == "s8_index_stats") (3, 0, name) else (1, 0, name))
+      .orElse(breadthExpensive.get(name).map((1, _, name)))
+      .getOrElse((2, 0, name))
 
   private var keptIdxDir: String = _
 
@@ -290,7 +291,11 @@ object Bench {
       // warm corpus: a SEPARATE small dir (1/warmDivisor of the docs) whose
       // build has the exact plan shape of the timed reps — see ScalePair's
       // scaladoc for why a slice filter would warm the wrong codegen classes
-      val warmDivisor = 32 // big enough to JIT the hot loops, ~10 s at 2 cores
+      // 48: big enough to JIT the hot loops (probe evidence below was a
+      // ~9k-doc warm; 6.25k still clears every JIT threshold by orders of
+      // magnitude), small enough that a loaded-host 2-core warm build costs
+      // ~20 s, not 32 (run-to-run child wall swings ate the breadth tail)
+      val warmDivisor = 48
       val warmDir = s"$corpusDir-warm${scaleDocs / warmDivisor}"
       if (!Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS")) ||
           !Files.exists(java.nio.file.Paths.get(warmDir, "_SUCCESS"))) {
@@ -499,10 +504,13 @@ object Bench {
           s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
           s""""scaling_efficiency":${jn(eff)}},"""
       }
-      // reserve ~75 s after the child for latency (<=18 s) + the FULL
-      // breadth pass + the JSON line: round 2 reserved only 40 and the
-      // expensive dedup/CC breadth tier was squeezed out two rounds running
-      runScalePair(math.max(60, remaining - 75)) match {
+      // reserve ~68 s after the child for latency (<=14 s) + the FULL
+      // breadth pass (~48 s incl. the expensive dedup/CC tier) + the JSON
+      // line: round 2 reserved only 40 and the expensive tier was squeezed
+      // out two rounds running; the round-3 s8/latency/CC cost cuts fund
+      // giving the child enough room for a second 8-core rep (the first
+      // full-budget run missed it by 1.6 s of child budget)
+      runScalePair(math.max(60, remaining - 68)) match {
         case Some((r8, r2, idx)) =>
           t8 ++= r8; t2 ++= r2; keptIdxDir = idx
         case None =>
@@ -516,11 +524,48 @@ object Bench {
       }
       setBuildJson()
 
+      // --- breadth: SparkEntry queries at the driver's SF, deadline-boxed
+      // with a per-query timeout (a single heavy query must not blow the
+      // whole budget; timed-out jobs are cancelled and reported as -2).
+      // Runs BEFORE the latency section: when a loaded host makes the
+      // scaling child overrun, what degrades should be latency SAMPLE
+      // COUNT (graceful: percentiles from 20 samples instead of 35), not
+      // breadth COVERAGE (binary: an operator is timed or it isn't — and
+      // the expensive dedup/CC tier went untimed two rounds running).
+      val spark = session(cpus)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = ArrayBuffer.empty[(String, Double)]
+      val ordered = SparkEntry.queries.toSeq.sortBy(p => breadthOrder(p._1))
+      ordered.foreach { case (name, fn) =>
+        // keep >= 12 s for the latency section + emit/hostCal
+        if (remaining > 12) {
+          // cap 15 s: under host load one normally-cheap query blowing up
+          // must cost at most its cap, not the whole tail (observed: a 21 s
+          // t1 timeout left 39 queries unmeasured)
+          val qTimeout = math.min(remaining - 8, 15.0)
+          val sec = try {
+            val fut = Future(timed(fn(spark, sfDir).count())._2)
+            Await.result(fut, qTimeout.seconds)
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelAllJobs(); -2.0
+            case _: Throwable => -1.0
+          }
+          results += name -> sec
+          qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
+            .mkString("{", ",", "}") // keep the watchdog's view current
+        } else skipped += 1
+      }
+      total = results.map(_._2).filter(_ >= 0).sum
+      System.err.println(
+        s"[bench] breadth done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
+
       // --- query latency over the prebuilt compressed index, per mode:
       // disjunctive (the reference's semantics), conjunctive (leapfrog
       // DAAT AND), and the searchMany batch path (all 7 queries per job) --
-      val spark = session(cpus)
-      if (remaining > 15 && keptIdxDir != null) {
+      if (remaining > 8 && keptIdxDir != null) {
         val idx = new PostingIndex(spark, keptIdxDir).preload() // serving mode (reference holds its index in RAM too)
         referenceQueries.foreach { q => // warm all three plan shapes
           idx.search(q, 10).collect(); idx.searchConjunctive(q, 10).collect()
@@ -533,15 +578,20 @@ object Bench {
         val bufOr = ArrayBuffer.empty[Double]
         val bufAnd = ArrayBuffer.empty[Double]
         val bufMany = ArrayBuffer.empty[Double]
-        val latDeadline = elapsed + math.min(remaining - 12, 18.0)
+        val latDeadline = elapsed + math.min(remaining - 4, 14.0)
+        var latRound = 0
         while (bufOr.size < 35 && elapsed < latDeadline) {
           referenceQueries.foreach { q =>
             bufOr += timed(idx.search(q, 10).collect())._2
-            if (elapsed < latDeadline)
+            // conjunctive sampled every OTHER round: ~18 and-samples bound
+            // its percentiles fine, and the box saved (~4 s) funds an extra
+            // 8-core scaling rep / the expensive breadth tier
+            if (latRound % 2 == 0 && elapsed < latDeadline)
               bufAnd += timed(idx.searchConjunctive(q, 10).collect())._2
           }
           if (elapsed < latDeadline)
             bufMany += timed(idx.searchMany(referenceQueries, 10).collect())._2
+          latRound += 1
         }
         def pcts(buf: ArrayBuffer[Double]): String =
           if (buf.isEmpty) """{"samples":0}"""
@@ -564,44 +614,14 @@ object Bench {
           s""""many_batch7":${pcts(bufMany)}}},"""
       }
 
-      // --- breadth: SparkEntry queries at the driver's SF, deadline-boxed
-      // with a per-query timeout (a single heavy query must not blow the
-      // whole budget; timed-out jobs are cancelled and reported as -2).
-      // Runs BEFORE the optional scaling hedge: a timed pass over the whole
-      // operator surface (incl. the expensive dedup/CC tier) outranks extra
-      // noise-shield reps of an already-measured ratio. ------------------
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val results = ArrayBuffer.empty[(String, Double)]
-      val ordered = SparkEntry.queries.toSeq.sortBy(p => breadthOrder(p._1))
-      ordered.foreach { case (name, fn) =>
-        if (remaining > 10) {
-          // cap 15 s: under host load one normally-cheap query blowing up
-          // must cost at most its cap, not the whole tail (observed: a 21 s
-          // t1 timeout left 39 queries unmeasured)
-          val qTimeout = math.min(remaining - 6, 15.0)
-          val sec = try {
-            val fut = Future(timed(fn(spark, sfDir).count())._2)
-            Await.result(fut, qTimeout.seconds)
-          } catch {
-            case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelAllJobs(); -2.0
-            case _: Throwable => -1.0
-          }
-          results += name -> sec
-          qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
-            .mkString("{", ",", "}") // keep the watchdog's view current
-        } else skipped += 1
-      }
-      total = results.map(_._2).filter(_ >= 0).sum
-
-      // extra scaling reps, noise hedge (deadline-guarded second pair run,
-      // only with the whole breadth pass already banked)
-      if (remaining > 70) {
-        runScalePair(math.min(remaining - 30, 110)).foreach { case (r8, r2, _) =>
-          t8 ++= r8; t2 ++= r2
-        }
+      // extra 8-CORE-only scaling rep, noise hedge: the 4N level is the
+      // noisier factor of the headline ratio and a BuildTo child pays only
+      // boot + warm + ~r8 (~30 s wall), where a full second pair (~110 s,
+      // the round-2 form) never fit after a complete breadth pass. Runs
+      // only with the whole breadth pass already banked.
+      if (remaining > 34) {
+        val (s8x, _) = buildAt(8, 1)
+        if (s8x > 0) t8 += s8x
         setBuildJson()
       }
     } catch {

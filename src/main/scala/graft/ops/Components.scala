@@ -56,12 +56,16 @@ object Components {
         df => df.checkpoint() // eager, reliable storage
       case None => df => df.localCheckpoint(true)
     }
-    // canonical undirected edge (big, small), self-loops dropped
-    var e = edges
+    // canonical undirected edge (big, small), self-loops dropped.
+    // MATERIALIZED before the loop: round 1 references the edge set four
+    // times (sym's two union legs, each feeding both the groupBy and the
+    // join); without this the whole upstream derivation — e.g. the n-gram
+    // Jaccard pair pipeline, seconds of work — re-executes per reference.
+    var e = materialize(edges
       .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -161,13 +165,19 @@ object Components {
     * from the component edges are singletons.
     */
   private def label(docs: DataFrame, cc: DataFrame, idCol: String): DataFrame = {
-    val labelled = docs.select(col(idCol).cast("long").as("doc_id"))
+    // comp sizes from the CC edges alone (cc carries root->root rows, so
+    // node count per comp is the size); docs absent from cc are singletons
+    // (size 1 via the coalesce). This references the docs scan ONCE —
+    // deriving sizes from the labelled frame re-executed the docs join.
+    val sizes = cc.groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("cc_size"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
       .join(cc, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("comp_id"))
-    val sizes = labelled.groupBy("comp_id").agg(count(lit(1)).as("comp_size"))
-    labelled.join(sizes, "comp_id")
-      .select(col("doc_id"), col("comp_id"), col("comp_size"),
+      .join(sizes, Seq("comp_id"), "left")
+      .select(col("doc_id"), col("comp_id"),
+        coalesce(col("cc_size"), lit(1L)).as("comp_size"),
         (col("doc_id") =!= col("comp_id")).cast("int").as("is_dup"))
       .orderBy("doc_id")
   }

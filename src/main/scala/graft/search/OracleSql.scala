@@ -101,6 +101,30 @@ ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
   }
 
+  /** DuckDB twin of [[graft.index.IndexFormat.docShard]] (64-bit
+    * golden-ratio multiply mix, xor of halves, signed-int32 floorMod) as a
+    * CTE pair over the distinct `tf` doc ids — HUGEINT modular arithmetic,
+    * exact vs the JVM (any divergence fails the s8 hash gate on every
+    * corpus: each doc's slice lands in a different shard). Lets the index
+    * completeness gate compare the manifest's per-partition term counters
+    * against corpus-derived distinct (term, shard) slices without any
+    * postings scan.
+    */
+  def docShardCtes(shards: Int): String =
+    s"""shardh AS (
+  SELECT doc_id,
+    CAST((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+         % 18446744073709551616 AS HUGEINT) AS h64
+  FROM (SELECT DISTINCT doc_id FROM tf)),
+shard AS (
+  SELECT doc_id,
+    ((CAST(CASE WHEN x32 >= 2147483648 THEN x32 - 4294967296 ELSE x32 END
+           AS BIGINT) % $shards) + $shards) % $shards AS shard
+  FROM (SELECT doc_id,
+          xor(CAST(h64 // 4294967296 AS BIGINT),
+              CAST(h64 % 4294967296 AS BIGINT)) AS x32
+        FROM shardh))"""
+
   /** BM25 top-k over a MATERIALIZED (doc_id, term, tf) parquet instead of
     * the SQL-tokenized `tok`/`tf` CTEs — the stemmed-chain gate: Spark
     * writes the JVM-stemmed tf rows to `tfParquet`, both engines compute

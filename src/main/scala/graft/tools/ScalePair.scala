@@ -106,6 +106,31 @@ object ScalePair {
 
     var idx8 = ""
     var rep = 0
+
+    /** Warm builds exist for their JIT/codegen side effects, not their
+      * output — so they are time-boxed: under neighbor load an UNTIMED warm
+      * was observed to balloon to 106 s (6x its quiet cost) and starve the
+      * mandatory timed reps out of the parent's whole budget. On timeout,
+      * cancel the jobs and proceed — the hot loops compiled during the
+      * partial build are retained, and the timed rep JIT-amortizes any
+      * remainder in-flight (measured: 2-core reps show no first-rep penalty
+      * even with modest warming).
+      */
+    def warmBoxed(s: SparkSession, dir: String, boxSec: Double): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val docs = Corpus.fromCodeDocs(s.read.parquet(warmDir))
+      try Await.result(Future(IndexBuilder.build(s, docs, dir, cfg)),
+        boxSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          s.sparkContext.cancelAllJobs()
+          println(f"SCALEPAIR warm TIMEOUT ${boxSec}%.0f s dir=$dir el=$el%.1f")
+          Thread.sleep(500) // let cancellation drain before pin/rep
+        case _: Throwable => () // a cancelled write may surface as SparkException
+      }
+    }
     def timedRep(s: SparkSession, n: Int): Double = {
       val dir = s"$outBase-n$n-r$rep"
       rep += 1
@@ -136,8 +161,7 @@ object ScalePair {
       // the cluster is otherwise busy; the timed reps below run fully
       // compiled either way). Pin AFTER: cache-migration settle is
       // negligible against a ~60 s rep.
-      val docs = Corpus.fromCodeDocs(s2.read.parquet(warmDir))
-      IndexBuilder.build(s2, docs, s"$outBase-warm2", cfg)
+      warmBoxed(s2, s"$outBase-warm2", math.min(math.max(20.0, 0.3 * budget), 40.0))
       println(f"SCALEPAIR warm2 el=$el%.1f")
     }
     pin("0-1")
@@ -158,8 +182,7 @@ object ScalePair {
     pin("0-7")
     if (warmDir.nonEmpty) {
       // settle-build on the new 8-core set (thread/cache migration)
-      val docs = Corpus.fromCodeDocs(s8.read.parquet(warmDir))
-      IndexBuilder.build(s8, docs, s"$outBase-warm8", cfg)
+      warmBoxed(s8, s"$outBase-warm8", 20.0)
       println(f"SCALEPAIR warm8 el=$el%.1f")
     }
     var r8min = timedRep(s8, 8)

@@ -138,10 +138,11 @@ class ComponentsSpec extends AnyFunSuite {
       assert(m == ufMap(edges))
       val rounds = Components.lastRounds
       assert(rounds >= 2, s"fixture should need multiple rounds, got $rounds")
-      // 2 per round + the final star-edge collect (ccMap's own action);
-      // round 2's unfused check ran 3 per round and would fail this budget
-      assert(jobs <= 2 * rounds + 1,
-        s"expected <= ${2 * rounds + 1} jobs for $rounds rounds, saw $jobs")
+      // input materialize + 2 per round + the final star-edge collect
+      // (ccMap's own action); the unfused check ran 3 per round and would
+      // fail this budget
+      assert(jobs <= 2 * rounds + 2,
+        s"expected <= ${2 * rounds + 2} jobs for $rounds rounds, saw $jobs")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
