@@ -202,6 +202,15 @@ object SparkEntry {
         .getSeq[Float](1).map(_.toDouble).toArray
       ops.Similarity.annTopK(emb, q, 10)
     }),
+    // IVF-flat ANN: deterministic sampled centroids -> argmax-cosine
+    // inverted lists -> nprobe-list probe; every step SQL-expressible, so
+    // unlike sign-LSH this ANN path is hard-gated end to end
+    "ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      ops.Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4)
+    }),
     "token_counts" -> ((s, dir) =>
       ops.TextStats.tokenCounts(rawDocs(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -366,6 +375,40 @@ d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot, sum(e.x * e.x) AS na
 qn AS (SELECT sum(x*x) AS nb FROM qx)
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
 FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+      // IVF twin: same centroid sample (id % (n//nlist) = 0), same rounded
+      // argmax assignment (9 dp — both engines break float-sum-order ties
+      // identically), same nprobe probe, same 6-dp rescoring
+      "ann_ivf" ->
+        """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid FROM embeddings
+  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 16) = 0),
+cex AS (SELECT c.cid, e.i, e.x FROM ex e JOIN cent c ON e.vec_id = c.cid),
+sim AS (SELECT e.vec_id, cx.cid,
+        round(sum(e.x * cx.x) / (ne.nv * nc.nv), 9) AS cs
+        FROM ex e JOIN cex cx USING (i)
+             JOIN nrm ne ON ne.vec_id = e.vec_id
+             JOIN nrm nc ON nc.vec_id = cx.cid
+        GROUP BY e.vec_id, cx.cid, ne.nv, nc.nv),
+asn AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+  FROM sim) WHERE rn = 1),
+qx AS (SELECT i, x FROM ex WHERE vec_id = 0),
+qn AS (SELECT nv AS qn FROM nrm WHERE vec_id = 0),
+qsim AS (SELECT cx.cid,
+         round(sum(cx.x * q.x) / (nc.nv * (SELECT qn FROM qn)), 9) AS qs
+         FROM cex cx JOIN qx q USING (i) JOIN nrm nc ON nc.vec_id = cx.cid
+         GROUP BY cx.cid, nc.nv),
+probe AS (SELECT cid FROM qsim ORDER BY qs DESC, cid ASC LIMIT 4),
+cand AS (SELECT vec_id FROM asn JOIN probe USING (cid)),
+d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot
+      FROM ex e JOIN qx q USING (i)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY e.vec_id)
+SELECT d.vec_id, round(dot / (nrm.nv * (SELECT qn FROM qn)), 6) AS cos
+FROM d JOIN nrm ON nrm.vec_id = d.vec_id
+ORDER BY cos DESC, d.vec_id LIMIT 10""",
       "token_counts" ->
         s"""SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,

@@ -148,6 +148,70 @@ object Similarity {
       .select(col("id"), col("v"), col("tb._1").as("table"), col("tb._2").as("bucket"))
   }
 
+  /** Inverted-list (IVF-flat) vector assignment: each vector joins the list
+    * of its nearest centroid. Centroids are a DETERMINISTIC uniform sample
+    * of the corpus — every id divisible by n/nlist — rather than k-means
+    * output: the plan shape (broadcast centroids -> argmax-cosine -> list
+    * routing) is identical to production IVF, sampling keeps the operator
+    * SQL-expressible so the DuckDB gate covers the whole path (production
+    * swaps in trained centroids without touching the plan; FAISS itself
+    * trains on a uniform sample). Assignment keys round cosine at 9
+    * decimals so both engines break float-sum-order ties identically.
+    *
+    * Returns (id, v, cid). The argmax is a map-side-partial `max(struct)`
+    * per id — no window sort; centroids broadcast (nlist is <= ~10^5 at
+    * any realistic scale: sqrt-n lists over 10^10 vectors).
+    */
+  def ivfAssign(embeddings: DataFrame, nlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (emb, cents) = embAndCentroids(embeddings, nlist, idCol, vecCol)
+    assignToLists(emb, cents)
+  }
+
+  /** (normalizable vector frame, sampled centroid frame) — one count job. */
+  private def embAndCentroids(embeddings: DataFrame, nlist: Int,
+                              idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    ensureDot(embeddings)
+    val emb = embeddings
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val stride = math.max(1L, emb.count() / nlist)
+    val cents = emb.filter(col("id") % stride === 0)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    (emb, cents)
+  }
+
+  private def assignToLists(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"),
+        struct(round(cosineFast(col("v"), col("cv")), 9).as("cs"),
+          (-col("cid")).as("nc"), col("cid").as("cid")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("best"), first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("best.cid").as("cid"))
+
+  /** ANN top-k via IVF: rank the centroids by query cosine, probe only the
+    * `nprobe` nearest inverted lists, exact-rescore their members. The
+    * 100-TB shape: the scan touches nprobe/nlist of the corpus, routing is
+    * a broadcast join on cid, and (unlike sign-LSH) every step is
+    * deterministic SQL — hard-gated against the DuckDB twin.
+    */
+  def ivfTopK(embeddings: DataFrame, query: Array[Double], k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (emb, cents) = embAndCentroids(embeddings, nlist, idCol, vecCol)
+    val q = typedLit(query.toSeq)
+    val probed = cents
+      .select(col("cid"), round(cosineFast(col("cv"), q), 9).as("qs"))
+      .orderBy(col("qs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select("cid")
+    assignToLists(emb, cents)
+      .join(broadcast(probed), "cid")
+      .select(col("id").as(idCol), round(cosineFast(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k for one query vector via LSH: scan only vectors sharing a
     * bucket with the query in any table, exact-rescore those. Recall < 1 by
     * construction; gated by a recall-floor test vs [[bruteForceTopK]].

@@ -107,6 +107,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall too low; got=$ann want=$want")
   }
 
+  test("IVF ANN: total single assignment, own-list exactness, recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val query = local(0L)
+    // every vector lands in exactly one inverted list
+    val asn = Similarity.ivfAssign(emb, nlist = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    assert(asn.length == local.size)
+    assert(asn.map(_._1).distinct.length == local.size)
+    // centroid ids are corpus members on the deterministic stride
+    val stride = math.max(1L, local.size / 16)
+    assert(asn.map(_._2).toSet.subsetOf(local.keySet.filter(_ % stride == 0)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = local.toSeq.map { case (id, v) => (id, cos(query, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val ivf = Similarity.ivfTopK(emb, query, 10).collect().map(_.getLong(0)).toSet
+    val recall = want.count(ivf).toDouble / want.size
+    assert(recall >= 0.5, s"IVF recall $recall too low; got=$ivf want=$want")
+    // results the probe DID return are exact-cosine correct (no approx score)
+    val scores = Similarity.ivfTopK(emb, query, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    scores.foreach { case (id, c) =>
+      assert(math.abs(c - cos(query, local(id))) < 1e-6, s"vec $id score drift")
+    }
+  }
+
   test("cosine near-dup pairs are found for identical vectors") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

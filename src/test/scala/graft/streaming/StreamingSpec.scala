@@ -39,6 +39,50 @@ class StreamingSpec extends AnyFunSuite {
       "expected multiple micro-batches")
   }
 
+  test("streaming exact dedup (flatMapGroupsWithState on sha) equals the batch form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = graft.ops.Dedup.exact(docs)
+      .select("doc_id", "canon_id", "is_dup")
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    // id-ordered ranged files: a duplicate's smaller id always arrives in
+    // an earlier (or the same) micro-batch, so streaming first-arrival ==
+    // batch min-id keeper; maxFilesPerTrigger=1 forces state to carry
+    // across micro-batches
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val n = docs.count()
+    val chunks = 5
+    (0 until chunks).foreach { i =>
+      val lo = i * n / chunks
+      // last chunk takes everything above its floor (ids may start at 1)
+      val hi = if (i == chunks - 1) Long.MaxValue else (i + 1) * n / chunks
+      val tmp = Files.createTempDirectory("graft-dedup-chunk").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(dir, f"chunk-$i%03d.parquet"))
+    }
+
+    val q = StreamingDedup.dedupStream(spark, dir, docs.schema)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_test")
+      .select("doc_id", "canon_id", "is_dup")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq,
+      s"stream ${got.size} rows vs batch ${want.size}")
+    assert(q.lastProgress == null || q.lastProgress.batchId >= 1,
+      "expected multiple micro-batches")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals the batch form") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001"
