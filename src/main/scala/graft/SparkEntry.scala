@@ -253,7 +253,21 @@ object SparkEntry {
       ops.Components.dedupComponents(rawDocs(s, dir), n = 3, minJaccard = 0.5)),
     // LSH clustering without pair materialization (star edges per bucket)
     "dedup_minhash_clusters" -> ((s, dir) =>
-      ops.Components.minhashClusters(rawDocs(s, dir))))
+      ops.Components.minhashClusters(rawDocs(s, dir))),
+    // deterministic, repartition-invariant train/val/test split (no rand())
+    "sample_split" -> ((s, dir) =>
+      ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
+        .select("doc_id", "split").orderBy("doc_id")),
+    // per-language hash sampling with per-stratum fractions
+    "sample_stratified" -> ((s, dir) =>
+      ops.Sampling.sampleByHash(rawDocs(s, dir), "lang", sampleFractions,
+        seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")))
+
+  private val sampleSplits =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val sampleFractions =
+    Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.25)
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
@@ -442,6 +456,13 @@ FROM documents ORDER BY media_id""",
       "dedup_minhash_clusters" -> ops.DedupOracleSql.minhashClustersSql(),
       "lang_id" -> ops.TextStats.langIdSql,
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
+      "sample_split" ->
+        s"""SELECT doc_id, ${ops.Sampling.splitLabelSql("doc_id", sampleSplits, 42L)} AS split
+FROM documents ORDER BY doc_id""",
+      "sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+WHERE ${ops.Sampling.sampleByHashSql("doc_id", "lang", sampleFractions, 7L)}
+ORDER BY doc_id""",
       "w1_event_tumbling" -> ops.Events.tumblingSql,
       "w2_event_sessions" -> ops.Events.sessionsSql(),
       "w3_event_props" -> ops.Events.propsRollupSql,

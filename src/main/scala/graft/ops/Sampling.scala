@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for training pipelines.
+  *
+  * Every operator keys its randomness on a per-row hash of (id, seed) —
+  * NEVER on `rand()` or partition ids — so the assignment is
+  * (a) reproducible run-to-run, (b) invariant under repartitioning and
+  * cluster size (the 100-TB requirement: re-running the split on different
+  * hardware must label every row identically), and (c) exactly expressible
+  * in the DuckDB gate.
+  *
+  * The hash is a two-round multiplicative congruential mix modulo the
+  * Mersenne prime 2^31-1 (Fishman–Moore multipliers): every intermediate
+  * product is <= 2^62, so the arithmetic never overflows a signed 64-bit
+  * integer — this matters twice: Spark 4 runs ANSI mode (overflow THROWS,
+  * so a 64-bit wrapping mix is not expressible as Column math), and DuckDB
+  * mirrors the formula in plain BIGINT. The final u = h / (2^31-1) is the
+  * same IEEE-754 division of the same integers in both engines, so split
+  * thresholds compare identically.
+  *
+  * Reference scope note: the reference engine has no sampling stage; these
+  * operators are part of the training-data pipeline suite layered on the
+  * same corpus tables.
+  */
+object Sampling {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val A = 742938285L // Fishman–Moore MCG multiplier mod P
+  private val B = 950706376L // second-round multiplier mod P
+
+  /** Uniform double in [0, 1) from (id, seed). */
+  private[ops] def uniformCol(id: Column, seed: Long): Column = {
+    val h0 = pmod(id + lit(seed), lit(P))
+    val h1 = pmod((h0 + lit(1L)) * lit(A), lit(P))
+    val h2 = pmod((h1 + lit(1L)) * lit(B), lit(P))
+    h2.cast("double") / lit(P.toDouble)
+  }
+
+  /** JVM twin for specs. */
+  private[ops] def uniform(id: Long, seed: Long): Double = {
+    def pm(x: Long) = ((x % P) + P) % P
+    val h0 = pm(id + seed)
+    val h1 = pm((h0 + 1) * A)
+    val h2 = pm((h1 + 1) * B)
+    h2.toDouble / P.toDouble
+  }
+
+  /** DuckDB twin of [[uniformCol]] as a scalar SQL expression. */
+  def uniformSql(idExpr: String, seed: Long): String =
+    s"(CAST((((($idExpr + $seed) % $P + $P) % $P + 1) * $A % $P + 1)" +
+      s" * $B % $P AS DOUBLE) / $P.0)"
+
+  /** Adds a `split` label column: row -> the first split whose cumulative
+    * weight exceeds the row's uniform draw. Weights need not sum to 1
+    * (normalized internally). Deterministic, repartition-invariant,
+    * single narrow pass (no shuffle).
+    */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Double)], seed: Long = 42L,
+                idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = uniformCol(col(idCol).cast("long"), seed)
+    val label = splits.zip(cum).dropRight(1).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), bound), els) =>
+      when(u < bound, name).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** DuckDB twin of [[hashSplit]]'s label as a scalar SQL expression. */
+  def splitLabelSql(idExpr: String, splits: Seq[(String, Double)],
+                    seed: Long): String = {
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = uniformSql(idExpr, seed)
+    val whens = splits.zip(cum).dropRight(1).map { case ((name, _), bound) =>
+      s"WHEN $u < $bound THEN '$name'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE '${splits.last._1}' END)"
+  }
+
+  /** Per-stratum hash sampling: keep a row iff its uniform draw is below
+    * its stratum's fraction (strata absent from the map are dropped).
+    * Proportional per stratum by hash uniformity; exactly reproducible
+    * (unlike `DataFrameStatFunctions.sampleBy`, which draws from `rand()`).
+    */
+  def sampleByHash(df: DataFrame, strataCol: String,
+                   fractions: Map[String, Double], seed: Long = 42L,
+                   idCol: String = "doc_id"): DataFrame = {
+    val u = uniformCol(col(idCol).cast("long"), seed)
+    val bound = fractions.toSeq.sortBy(_._1).foldLeft(lit(-1.0): Column) {
+      case (els, (stratum, f)) => when(col(strataCol) === stratum, f).otherwise(els)
+    }
+    df.filter(u < bound)
+  }
+
+  /** DuckDB twin of [[sampleByHash]]'s keep predicate. */
+  def sampleByHashSql(idExpr: String, strataExpr: String,
+                      fractions: Map[String, Double], seed: Long): String = {
+    val u = uniformSql(idExpr, seed)
+    val whens = fractions.toSeq.sortBy(_._1).map { case (s, f) =>
+      s"WHEN $strataExpr = '$s' THEN $f"
+    }.mkString(" ")
+    s"($u < (CASE $whens ELSE -1.0 END))"
+  }
+}

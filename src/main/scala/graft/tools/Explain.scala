@@ -58,6 +58,14 @@ object Explain {
       graft.ops.Events.asOfAttribution(
         graft.ops.Events.load(spark, sfDir))
     }
+    show("ivfTopK (expect BroadcastNestedLoopJoin vs tiny centroid set + " +
+      "partial max(struct) agg + broadcast probe join; NO window sort, " +
+      "NO all-pairs)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      graft.ops.Similarity.ivfTopK(emb, q, 10)
+    }
     spark.stop()
   }
 }

@@ -138,6 +138,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split: deterministic, repartition-invariant, near-weighted") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs, splits).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs.repartition(13), splits)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    // JVM twin agrees with the Column form
+    a.foreach { case (id, lbl) =>
+      val u = Sampling.uniform(id, 42L)
+      val want = if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+      assert(lbl == want, s"doc $id: column=$lbl jvm=$want u=$u")
+    }
+    // weights are approximately honored (uniform hash)
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    // per-stratum sampling keeps only mapped strata, deterministically
+    val s1 = Sampling.sampleByHash(docs, "lang", Map("en" -> 1.0), seed = 7L)
+      .select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(s1 == Seq("en"))
+  }
+
   test("cosine near-dup pairs are found for identical vectors") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
