@@ -98,10 +98,17 @@ object IndexBuilder {
         Some(buildStats(spark, docs, dir, cfg))
       else None
     val globals = PostingIndex.readGlobals(spark, dir)
-    // Resuming a directory built under a DIFFERENT config would silently
-    // route postings inconsistently (tf rows carry tb/shard from the old
-    // config) — fail fast instead. (IndexCache encodes config in the path;
-    // direct build() calls need this guard.)
+    checkConfig(globals, cfg, dir)
+    buildPostings(spark, dir, cfg, globals, freshDocCounts)
+    globals
+  }
+
+  /** Resuming/appending to a directory built under a DIFFERENT config would
+    * silently route postings inconsistently (tf rows carry tb/shard from
+    * the old config) — fail fast instead. (IndexCache encodes config in the
+    * path; direct build()/append() calls need this guard.)
+    */
+  private def checkConfig(globals: IndexGlobals, cfg: IndexConfig, dir: String): Unit =
     require(globals.shards == cfg.shards && globals.termBuckets == cfg.termBuckets &&
         globals.blockSize == cfg.blockSize && globals.stem == cfg.stem &&
         globals.k1 == cfg.params.k1 && globals.b == cfg.params.b,
@@ -111,8 +118,67 @@ object IndexBuilder {
         s"caller passed (shards=${cfg.shards}, tb=${cfg.termBuckets}, " +
         s"blockSize=${cfg.blockSize}, stem=${cfg.stem}, k1=${cfg.params.k1}, " +
         s"b=${cfg.params.b})")
-    buildPostings(spark, dir, cfg, globals, freshDocCounts)
-    globals
+
+  /** INCREMENTAL ingest: append a document batch to an existing index.
+    *
+    * Incremental by the stage that dominates at web scale: only the NEW
+    * batch is scanned and tokenized (on a 100-TB corpus the analysis pass
+    * is the build's long pole; the postings re-encode works from the
+    * already-materialized tf rows). BM25 bakes GLOBAL statistics
+    * (N, avgdl, df) into every posting weight, so appending docs staleness
+    * every existing weight — this operator therefore recomputes stats and
+    * re-encodes postings exactly, and the result is BIT-IDENTICAL to a
+    * from-scratch build over the union corpus (spec'd in IndexSpec).
+    * Delta-segment designs that keep old weights drift from the rebuild;
+    * that trade-off is deliberately not taken here.
+    *
+    * Idempotent per `batchId`: the batch's tf lands in its own
+    * `tf_appends/batch=<id>` directory (overwritten on re-run) and its doc
+    * count upserts into `batches.json` by key, so re-running a crashed
+    * append at ANY point converges to the same index. A crash mid-postings
+    * can alternatively resume via [[buildPostings]] without re-running the
+    * append. Serving reads should point at a finished directory (swap or
+    * copy) — mid-append the postings tree is legitimately absent.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, dir: String,
+             cfg: IndexConfig, batchId: String): IndexGlobals = {
+    require(batchId.matches("[A-Za-z0-9._-]+") && batchId != "base",
+      s"batchId must be a [A-Za-z0-9._-]+ name other than 'base', got '$batchId'")
+    val old = PostingIndex.readGlobals(spark, dir)
+    checkConfig(old, cfg, dir)
+    val tfNew = RelationalBM25.termFreqsWithDl(newDocs, cfg.stem)
+      .withColumn("tb", tbUdf(cfg.termBuckets)(col("term")))
+      .withColumn("shard", shardUdf(cfg.shards)(col("doc_id")))
+    stage(s"append:tf-write:$batchId")(tfNew.write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/tf_appends/batch=$batchId"))
+    // batch doc counts (token-less docs count toward N and the avgdl
+    // denominator, so tf rows alone cannot recover N): keyed upsert —
+    // idempotent under re-run
+    val base = readBatches(dir) match {
+      case m if m.isEmpty => Map("base" -> old.nDocs) // first-ever append
+      case m => m
+    }
+    val batches = base + (batchId -> newDocs.count())
+    writeBatches(dir, batches)
+    val docCounts = statsFromTf(spark, dir, cfg,
+      () => batches.values.sum, s"${old.sourcePath}+batch=$batchId")
+    // every baked weight is stale: wipe and re-encode from materialized tf
+    deleteRecursive(Paths.get(dir, "postings"))
+    deleteRecursive(Paths.get(dir, "manifest"))
+    val g = PostingIndex.readGlobals(spark, dir)
+    buildPostings(spark, dir, cfg, g, Some(docCounts))
+    g
+  }
+
+  /** The materialized tf relation: the base build's rows plus any appended
+    * batches (each in its own partition dir under `tf_appends`).
+    */
+  private[index] def readTf(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/tf")
+    val appends = Paths.get(dir, "tf_appends")
+    if (Files.exists(appends))
+      base.unionByName(spark.read.parquet(appends.toString).drop("batch"))
+    else base
   }
 
   private def tbUdf(buckets: Int) = udf((t: String) => IndexFormat.termBucket(t, buckets))
@@ -133,12 +199,28 @@ object IndexBuilder {
     // partition write here only multiplies small files and commit time
     stage("stats:tf-write")(tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
 
-    val tfBack = spark.read.parquet(s"$dir/tf")
     // the corpus row count is a metadata-only job — overlap its driver-side
-    // latency with the big tf pass instead of paying it serially
+    // latency with the partition-docs pass instead of paying it serially
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val nDocsF = Future(docs.count())
+    val sourcePath = docs.queryExecution.analyzed.collectLeaves().headOption
+      .map(_.simpleString(60)).getOrElse("inline")
+    statsFromTf(spark, dir, cfg,
+      () => stage("stats:n-docs")(
+        Await.result(nDocsF, scala.concurrent.duration.Duration.Inf)),
+      sourcePath)
+  }
+
+  /** Stats + globals from the MATERIALIZED tf relation — shared by the
+    * base build (fresh tf it just wrote) and [[append]] (base + batch
+    * dirs); `nDocsThunk` supplies the total doc count (token-less docs
+    * never reach tf but count toward N and the avgdl denominator).
+    */
+  private def statsFromTf(spark: SparkSession, dir: String, cfg: IndexConfig,
+                          nDocsThunk: () => Long,
+                          sourcePath: String): Map[(Int, Int), Long] = {
+    val tfBack = readTf(spark, dir)
     // one pass yields both the per-(tb, shard) doc counts (manifest
     // quartet) and the token total; the result is <= shards*termBuckets
     // rows, so collect ONCE and persist the tiny table as a LOCAL json —
@@ -155,8 +237,7 @@ object IndexBuilder {
         .agg(count(lit(1)).as("docs"), sum("t").as("tokens")).collect())
     writePartDocs(dir, partDocs)
     val totalTokens = partDocs.map(_.getLong(3)).sum
-    val nDocs = stage("stats:n-docs")(
-      Await.result(nDocsF, scala.concurrent.duration.Duration.Inf))
+    val nDocs = nDocsThunk()
     val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
@@ -167,16 +248,15 @@ object IndexBuilder {
       .select(col("term"), col("df"), idfUdf(col("df")).as("idf"))
     // vocabulary size observed DURING the stats write — a read-back count
     // is a whole extra job of pure serial time per build
-    val obs = new org.apache.spark.sql.Observation("graft-vocab")
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-vocab-${java.util.UUID.randomUUID().toString.take(8)}")
     stage("stats:stats-write")(stats.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats"))
     val vocabSize = stage("stats:vocab-count")(obs.get("n").asInstanceOf[Long])
 
-
     val g = IndexGlobals(
       buildId = java.util.UUID.randomUUID().toString,
-      sourcePath = docs.queryExecution.analyzed.collectLeaves().headOption
-        .map(_.simpleString(60)).getOrElse("inline"),
+      sourcePath = sourcePath,
       nDocs = nDocs, totalTokens = totalTokens, avgdl = avgdl,
       vocabularySize = vocabSize,
       shards = cfg.shards, termBuckets = cfg.termBuckets,
@@ -221,7 +301,7 @@ object IndexBuilder {
                                 docCounts: Map[(Int, Int), Long]): Unit = {
     import spark.implicits._
     val waveCommitted = committed.filter(p => tbsInWave.contains(p._1)).toSeq
-    val tfAll = spark.read.parquet(s"$dir/tf")
+    val tfAll = readTf(spark, dir)
       .filter(col("tb").isin(tbsInWave: _*))
     val tf =
       if (waveCommitted.isEmpty) tfAll
@@ -446,6 +526,26 @@ object IndexBuilder {
       """\{"tb":(\d+),"shard":(\d+),"docs":(\d+),"tokens":(\d+)\}""".r
     Files.readString(p).linesIterator.collect {
       case Line(tb, sh, docs, _) => (tb.toInt, sh.toInt) -> docs.toLong
+    }.toMap
+  }
+
+  /** batches.json: one line per ingested batch (base build + appends) with
+    * its TOTAL doc count (incl. token-less docs) — local JSON-lines like
+    * partition_docs, upserted by batch key so appends are idempotent.
+    */
+  private def writeBatches(dir: String, m: Map[String, Long]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (b, n) => s"""{"batch":${jsonStr(b)},"docs":$n}""" }
+      .mkString("", "\n", "\n")
+    Files.writeString(Paths.get(dir, "batches.json"), body)
+  }
+
+  private[index] def readBatches(dir: String): Map[String, Long] = {
+    val p = Paths.get(dir, "batches.json")
+    if (!Files.exists(p)) return Map.empty
+    val Line = """\{"batch":"([^"]+)","docs":(\d+)\}""".r
+    Files.readString(p).linesIterator.collect {
+      case Line(b, n) => b -> n.toLong
     }.toMap
   }
 
