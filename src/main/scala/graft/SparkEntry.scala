@@ -217,6 +217,9 @@ object SparkEntry {
       ops.TextStats.qualityScore(rawDocs(s, dir)).orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       ops.TextStats.langId(rawDocs(s, dir)).orderBy("doc_id")),
+    // Gopher-style intra-doc repetition quality signals
+    "text_repetition" -> ((s, dir) =>
+      ops.TextStats.repetitionStats(rawDocs(s, dir)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id", "fp")),
     "multimodal_sha" -> ((s, dir) =>
@@ -455,6 +458,7 @@ FROM documents ORDER BY media_id""",
       "dedup_minhash_lsh" -> ops.DedupOracleSql.minhashLshSql(tau = 0.5),
       "dedup_minhash_clusters" -> ops.DedupOracleSql.minhashClustersSql(),
       "lang_id" -> ops.TextStats.langIdSql,
+      "text_repetition" -> ops.TextStats.repetitionSql,
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "sample_split" ->
         s"""SELECT doc_id, ${ops.Sampling.splitLabelSql("doc_id", sampleSplits, 42L)} AS split

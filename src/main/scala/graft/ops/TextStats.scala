@@ -49,6 +49,91 @@ object TextStats {
         round((col("len_score") + col("punct_score") + col("content_ratio")) / 3.0, 6))
   }
 
+  /** Gopher/MassiveText-style intra-document repetition metrics — the
+    * cheap signals production pipelines use to drop degenerate/spammy
+    * documents BEFORE any cross-document dedup:
+    *
+    *  - `dup_word_frac`: 1 - distinct words / words
+    *  - `top_bigram_frac`: occurrences of the most frequent bigram / bigrams
+    *  - `dup_trigram_frac`: trigram instances whose gram occurs >1 / trigrams
+    *
+    * Pure built-ins (codegen'd): gram arrays by zip_with over shifted
+    * slices, then explode + two-level aggregation keyed by (doc, gram) —
+    * map-side partial agg collapses each document's grams locally, so the
+    * shuffle moves ~distinct grams per doc, not instances. round(.,6) for
+    * cross-engine comparison.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = transform(
+      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
+      lower _)
+    def gram(n: Int): Column = {
+      val parts = (0 until n).map(i =>
+        slice(col("arr"), lit(i + 1),
+          greatest(size(col("arr")) - lit(n - 1), lit(0))))
+      parts.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    }
+    val base = docs.select(col(idCol), toks.as("arr"))
+    def counted(n: Int, name: String): DataFrame =
+      base.select(col(idCol), explode(gram(n)).as("g"))
+        .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+        .groupBy(idCol).agg(
+          sum("c").as(s"${name}_total"),
+          max("c").as(s"${name}_top"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"${name}_dup"),
+          count(lit(1)).as(s"${name}_distinct"))
+    val w = counted(1, "w")
+    val b = counted(2, "b")
+    val t = counted(3, "t")
+    def frac(num: Column, den: Column): Column =
+      round(coalesce(num.cast("double") /
+        nullif(den, lit(0L)).cast("double"), lit(0.0)), 6)
+    docs.select(col(idCol))
+      .join(w, Seq(idCol), "left").join(b, Seq(idCol), "left")
+      .join(t, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("w_total"), lit(0L)).as("words"),
+        frac(coalesce(col("w_total"), lit(0L)) - coalesce(col("w_distinct"), lit(0L)),
+          coalesce(col("w_total"), lit(0L))).as("dup_word_frac"),
+        frac(coalesce(col("b_top"), lit(0L)), coalesce(col("b_total"), lit(0L)))
+          .as("top_bigram_frac"),
+        frac(coalesce(col("t_dup"), lit(0L)), coalesce(col("t_total"), lit(0L)))
+          .as("dup_trigram_frac"))
+  }
+
+  /** DuckDB twin of [[repetitionStats]]. */
+  def repetitionSql: String = {
+    val arr =
+      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    s"""WITH d AS (SELECT doc_id, $arr AS arr FROM documents),
+w1 AS (SELECT doc_id, unnest(arr) AS g FROM d),
+b1 AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM d)
+  WHERE i <= len(arr) - 1),
+t1 AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM d)
+  WHERE i <= len(arr) - 2),
+wc AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dis
+  FROM w1 GROUP BY doc_id),
+bc AS (SELECT doc_id, sum(c) AS total, max(c) AS topc
+  FROM (SELECT doc_id, g, count(*) AS c FROM b1 GROUP BY doc_id, g) GROUP BY doc_id),
+tc AS (SELECT doc_id, sum(c) AS total,
+  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c FROM t1 GROUP BY doc_id, g) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(wc.total, 0) AS BIGINT) AS words,
+  round(coalesce(CAST(coalesce(wc.total, 0) - coalesce(wc.dis, 0) AS DOUBLE)
+    / nullif(wc.total, 0), 0.0), 6) AS dup_word_frac,
+  round(coalesce(CAST(bc.topc AS DOUBLE) / nullif(bc.total, 0), 0.0), 6)
+    AS top_bigram_frac,
+  round(coalesce(CAST(tc.dup AS DOUBLE) / nullif(tc.total, 0), 0.0), 6)
+    AS dup_trigram_frac
+FROM d LEFT JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+  LEFT JOIN tc USING (doc_id)
+ORDER BY d.doc_id"""
+  }
+
   // --- language identification (profile heuristic) ------------------------
 
   /** Tiny per-language function-word profiles. Scores = overlap of the

@@ -138,6 +138,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats match hand-computed fixtures") {
+    // "aaa bbb aaa bbb aaa": words=5 distinct=2 -> dup 3/5; bigrams
+    // [ab, ba, ab, ba] -> top 2/4; trigrams [aba, bab, aba] -> dup 2/3
+    val docs = Seq(
+      (1L, "aaa bbb aaa bbb aaa"),
+      (2L, "one two three four"), // all unique: 0 everywhere
+      (3L, "x y"), // all tokens filtered (len<=2): empty-doc path
+      (4L, "ccc ccc")).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((5L, 0.6, 0.5, 2.0 / 3 - 1e-7 + 1e-7)) ||
+      got(1L) == ((5L, 0.6, 0.5, 0.666667)))
+    assert(got(2L) == ((4L, 0.0, 1.0 / 3, 0.0)) ||
+      got(2L) == ((4L, 0.0, 0.333333, 0.0)))
+    assert(got(3L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((2L, 0.5, 1.0, 0.0)))
+  }
+
   test("hash split: deterministic, repartition-invariant, near-weighted") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
