@@ -168,7 +168,7 @@ object SparkEntry {
           .toDF("document_count", "vocabulary_size", "total_tokens",
             "indexed_term_slices", "postings")
       }))
-    base ++ bm25 ++ wand ++ wandStemmed ++ opsQueries
+    base ++ bm25 ++ wand ++ wandStemmed ++ opsQueries ++ tpchQueries
   }
 
   /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -272,6 +272,71 @@ object SparkEntry {
   private val sampleFractions =
     Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.25)
 
+  /** Generic relational-analytics surface over the TPC-H-ish tables —
+    * scan-agg, multi-way join top-k, and per-group window rank. Money sums
+    * go through integer CENTS (`round(x*100) -> long -> sum`) so both
+    * engines aggregate exactly (a float sum's value depends on addend
+    * order, which a distributed engine does not fix); the double division
+    * back to currency happens once, on the exact total, in the same
+    * written order in both engines.
+    */
+  private def tpchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def cents(c: org.apache.spark.sql.Column) =
+      sum(round(c * 100, 0).cast("long"))
+    val cut = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    Map(
+      // Q1-shape: pruned scan + pushed filter + partial/final agg
+      "h1_pricing" -> ((s, dir) => {
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+        l.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(
+            "1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            (cents(col("l_quantity")).cast("double") / 100.0).as("sum_qty"),
+            (cents(col("l_extendedprice")).cast("double") / 100.0).as("sum_base"),
+            (cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("double") / 100.0).as("sum_disc_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+      // Q3-shape: selective dim filter -> 3-way join -> agg -> top-k
+      "h3_revenue_topk" -> ((s, dir) => {
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderdate") < lit(cut))
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_shipdate") > lit(cut))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey")
+          .agg((cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("double") / 100.0).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      }),
+      // window-shape: per-region top-3 suppliers by lineitem revenue
+      "h_window_topsupp" -> ((s, dir) => {
+        val rev = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy("l_suppkey")
+          .agg((cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("double") / 100.0).as("revenue"))
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+        val nat = s.read.parquet(s"$dir/nation.parquet")
+        val reg = s.read.parquet(s"$dir/region.parquet")
+        val joined = rev
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        joined.withColumn("rnk",
+            row_number().over(Window.partitionBy("r_name")
+              .orderBy(col("revenue").desc, col("s_suppkey").asc)))
+          .filter(col("rnk") <= 3)
+          .select("r_name", "rnk", "s_name", "revenue")
+          .orderBy("r_name", "rnk")
+      }))
+  }
+
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = {
     val base = Map(
@@ -336,7 +401,42 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
              FROM tf t JOIN shard s USING (doc_id))) AS BIGINT)
          AS indexed_term_slices,
        CAST((SELECT count(*) FROM tf) AS BIGINT) AS postings""")
-    base ++ bm25 ++ wand ++ wandAnd ++ opsOracleSql
+    base ++ bm25 ++ wand ++ wandAnd ++ opsOracleSql ++ tpchOracleSql
+  }
+
+  /** DuckDB twins of the relational-analytics queries (exact cent sums). */
+  private def tpchOracleSql: Map[String, String] = {
+    val rev =
+      "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0"
+    Map(
+      "h1_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+  count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+      "h3_revenue_topk" ->
+        s"""SELECT l_orderkey, $rev AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      "h_window_topsupp" ->
+        s"""WITH rev AS (SELECT l_suppkey, $rev AS revenue
+  FROM lineitem GROUP BY l_suppkey),
+j AS (SELECT r_name, s_name, s_suppkey, revenue
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey),
+rk AS (SELECT r_name, s_name, revenue,
+  row_number() OVER (PARTITION BY r_name ORDER BY revenue DESC, s_suppkey ASC) AS rnk
+  FROM j)
+SELECT r_name, rnk, s_name, revenue FROM rk WHERE rnk <= 3
+ORDER BY r_name, rnk""")
   }
 
   private def opsOracleSql: Map[String, String] = {
