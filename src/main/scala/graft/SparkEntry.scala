@@ -307,8 +307,11 @@ object SparkEntry {
           .filter(col("o_orderdate") < lit(cut))
         val l = s.read.parquet(s"$dir/lineitem.parquet")
           .filter(col("l_shipdate") > lit(cut))
+        // no forced broadcast on customer: 1/5 of a 100-TB corpus's
+        // customers is not broadcast-sized — AQE picks broadcast at small
+        // SF and shuffle-hash at scale on its own
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey")
           .agg((cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("double") / 100.0).as("revenue"))

@@ -198,6 +198,11 @@ object IndexBuilder {
     // plain layout (no partitionBy): tf is always read whole; a dynamic
     // partition write here only multiplies small files and commit time
     stage("stats:tf-write")(tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
+    // a FRESH base build invalidates any previously appended batches — a
+    // stale tf_appends left in a reused directory must not union into the
+    // new corpus' stats
+    deleteRecursive(Paths.get(dir, "tf_appends"))
+    Files.deleteIfExists(Paths.get(dir, "batches.json"))
 
     // the corpus row count is a metadata-only job — overlap its driver-side
     // latency with the partition-docs pass instead of paying it serially
