@@ -220,6 +220,9 @@ object SparkEntry {
     // Gopher-style intra-doc repetition quality signals
     "text_repetition" -> ((s, dir) =>
       ops.TextStats.repetitionStats(rawDocs(s, dir)).orderBy("doc_id")),
+    // PII redaction (typed placeholders + audit counts)
+    "pii_scrub" -> ((s, dir) =>
+      ops.TextStats.scrubPii(rawDocs(s, dir)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id", "fp")),
     "multimodal_sha" -> ((s, dir) =>
@@ -562,6 +565,7 @@ FROM documents ORDER BY media_id""",
       "dedup_minhash_clusters" -> ops.DedupOracleSql.minhashClustersSql(),
       "lang_id" -> ops.TextStats.langIdSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
+      "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "sample_split" ->
         s"""SELECT doc_id, ${ops.Sampling.splitLabelSql("doc_id", sampleSplits, 42L)} AS split

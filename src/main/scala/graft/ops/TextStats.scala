@@ -134,6 +134,49 @@ FROM d LEFT JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
 ORDER BY d.doc_id"""
   }
 
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val digitRunRe = "\\d{9,}"
+
+  /** PII redaction — emails, IPv4 addresses, and long digit runs
+    * (phone/account-id-like) replaced with typed placeholders, plus match
+    * counts for audit. Pure `regexp_replace`/`regexp_extract_all`
+    * built-ins (codegen'd, one narrow pass, no shuffle); patterns chosen
+    * from the regex subset where Java and RE2 (DuckDB) semantics agree, so
+    * the DuckDB twin gates the operator exactly — on PII-free corpora that
+    * gate is the NO-FALSE-POSITIVE property (byte-identical pass-through),
+    * and the planted-fixture spec gates the redactions themselves.
+    * Replacement order matters: emails first (they contain digits and
+    * dots), then IPs, then bare digit runs; placeholders contain neither
+    * digits nor '@' so later passes cannot re-match earlier output.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, digitRunRe, "<NUM>")
+    docs.select(col(idCol),
+      size(regexp_extract_all(t0, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t1, lit(ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t2, lit(digitRunRe), lit(0))).as("n_digit_runs"),
+      t3.as("clean_text"))
+  }
+
+  /** DuckDB twin of [[scrubPii]]. */
+  def scrubPiiSql: String =
+    s"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+    '$ipv4Re')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+    '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'),
+    '$digitRunRe')) AS INTEGER) AS n_digit_runs,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'),
+    '$digitRunRe', '<NUM>', 'g') AS clean_text
+FROM documents ORDER BY doc_id"""
+
   // --- language identification (profile heuristic) ------------------------
 
   /** Tiny per-language function-word profiles. Scores = overlap of the

@@ -157,6 +157,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0.5, 1.0, 0.0)))
   }
 
+  test("PII scrub redacts planted fixtures and passes clean text through") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or 10.0.0.1 ok"),
+      (2L, "account 123456789012 called from 192.168.1.100 twice: 192.168.1.100"),
+      (3L, "clean text with short 12345 digits and a.b@c (no tld match)"),
+      (4L, "plain prose, nothing to redact")).toDF("doc_id", "text")
+    val got = TextStats.scrubPii(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == ((1, 1, 0, "contact me at <EMAIL> or <IP> ok")))
+    assert(got(2L) == ((0, 2, 1,
+      "account <NUM> called from <IP> twice: <IP>")))
+    // a.b@c has no 2+-letter TLD -> not an email; 12345 is under the
+    // 9-digit floor -> untouched (the no-false-positive side)
+    assert(got(3L) ==
+      ((0, 0, 0, "clean text with short 12345 digits and a.b@c (no tld match)")))
+    assert(got(4L) == ((0, 0, 0, "plain prose, nothing to redact")))
+  }
+
   test("hash split: deterministic, repartition-invariant, near-weighted") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
