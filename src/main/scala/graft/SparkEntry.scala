@@ -223,6 +223,10 @@ object SparkEntry {
     // PII redaction (typed placeholders + audit counts)
     "pii_scrub" -> ((s, dir) =>
       ops.TextStats.scrubPii(rawDocs(s, dir)).orderBy("doc_id")),
+    // GPT-style sequence packing (per-shard contiguous chunking)
+    "pack_sequences" -> ((s, dir) =>
+      ops.Packing.packSequences(rawDocs(s, dir), budget = 512, shards = 8)
+        .orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id", "fp")),
     "multimodal_sha" -> ((s, dir) =>
@@ -566,6 +570,7 @@ FROM documents ORDER BY media_id""",
       "lang_id" -> ops.TextStats.langIdSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
+      "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "sample_split" ->
         s"""SELECT doc_id, ${ops.Sampling.splitLabelSql("doc_id", sampleSplits, 42L)} AS split

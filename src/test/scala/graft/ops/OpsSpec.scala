@@ -157,6 +157,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0.5, 1.0, 0.0)))
   }
 
+  test("sequence packing matches a local per-shard sequential reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 100
+    val shards = 4
+    val got = Packing.packSequences(docs, budget, shards).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // local reference: concat each shard's stream in doc_id order, cut
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong)
+    assert(got.size == local.length, "every document must be placed")
+    local.groupBy { case (id, _) => ((id % shards) + shards) % shards }
+      .foreach { case (shard, members) =>
+        var cum = 0L
+        members.sortBy(_._1).foreach { case (id, n) =>
+          val (s, nt, chunk, off) = got(id)
+          assert(s == shard && nt == n, s"doc $id shard/tokens")
+          assert(chunk == cum / budget && off == cum % budget,
+            s"doc $id: got ($chunk,$off) want (${cum / budget},${cum % budget})")
+          cum += n
+        }
+      }
+    // repartition invariance (the window keys on content, not partitions)
+    val re = Packing.packSequences(docs.repartition(13), budget, shards)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(re == got)
+  }
+
   test("PII scrub redacts planted fixtures and passes clean text through") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk or 10.0.0.1 ok"),
