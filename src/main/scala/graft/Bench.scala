@@ -173,12 +173,16 @@ object Bench {
         val ppid = rest(1) // field 4 overall
         val startTicks = rest(19).toLong // field 22 overall
         val age = uptime - startTicks / 100.0
-        // A boot chain (timeout -> sbt -> java) is minutes old at most; a
-        // MANUAL launch from a long-lived interactive shell would otherwise
-        // count that shell's hours as "sbt boot" and collapse the budget to
-        // the 30 s floor — stop the walk at the first implausibly-old
-        // ancestor instead of counting it.
-        val ok = (pid == "self" || allowed.exists(comm.startsWith)) && age < 600
+        // A MANUAL launch from a long-lived interactive SHELL would count
+        // that shell's hours as "sbt boot" and collapse the budget to the
+        // 30 s floor — so the age cutoff applies to shells only. It must
+        // NOT apply to sbt/java/timeout: a contended cold compile can
+        // legitimately take >10 min, and dropping that ancestor would make
+        // the bench plan past the driver's wall kill (the round-2
+        // parsed-null failure mode).
+        val isShell = Set("sh", "bash", "dash").exists(comm.startsWith)
+        val ok = (pid == "self" || allowed.exists(comm.startsWith)) &&
+          (!isShell || age < 600)
         if (ok) {
           if (age > oldest) oldest = age
           if (ppid == "1" || ppid == "0") done = true else pid = ppid
@@ -601,17 +605,22 @@ object Bench {
             val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
             s"""{"samples":${lat.size},"p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}}"""
           }
-        val lat = bufOr.sorted.toIndexedSeq
-        val p50 = lat(lat.size / 2)
-        val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
         // top-level p50/p95 stay the disjunctive mode (round-over-round
         // comparability); per-mode percentiles nested under "modes"
-        // (many_batch7 times ONE job answering all 7 queries)
-        latJson =
-          s""""query_latency":{"corpus_docs":$scaleDocs,"samples":${lat.size},""" +
-          s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)},""" +
-          s""""modes":{"or":${pcts(bufOr)},"and":${pcts(bufAnd)},""" +
-          s""""many_batch7":${pcts(bufMany)}}},"""
+        // (many_batch7 times ONE job answering all 7 queries).
+        // bufOr CAN be empty (a load spike during the warm pass can eat
+        // the whole box before the loop starts) — emit samples:0 rather
+        // than letting lat(0) throw and convert the entire run to errNote
+        if (bufOr.nonEmpty) {
+          val lat = bufOr.sorted.toIndexedSeq
+          val p50 = lat(lat.size / 2)
+          val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+          latJson =
+            s""""query_latency":{"corpus_docs":$scaleDocs,"samples":${lat.size},""" +
+            s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)},""" +
+            s""""modes":{"or":${pcts(bufOr)},"and":${pcts(bufAnd)},""" +
+            s""""many_batch7":${pcts(bufMany)}}},"""
+        } else latJson = s""""query_latency":{"corpus_docs":$scaleDocs,"samples":0},"""
       }
 
       // extra 8-CORE-only scaling rep, noise hedge: the 4N level is the

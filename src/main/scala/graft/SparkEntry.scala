@@ -40,9 +40,20 @@ object SparkEntry {
     */
   val stemmedTfPath = "/tmp/graft_stemmed_tf.parquet"
 
-  private def stemmedTf(s: SparkSession, dir: String): DataFrame = {
-    RelationalBM25.termFreqs(Corpus.documents(s, dir), stem = true)
-      .write.mode("overwrite").parquet(stemmedTfPath)
+  // one materialization per corpus dir per JVM: both stemmed queries use
+  // the same rows, and re-tokenizing+rewriting 300k docs per query doubled
+  // the bench cost of the second one. The path holds ONE dir's rows at a
+  // time, so the memo is "which dir currently owns the path" — switching
+  // dirs rewrites (each query stays self-contained across processes; a
+  // fresh JVM re-materializes once).
+  @volatile private var stemmedTfOwner: String = ""
+
+  private def stemmedTf(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (stemmedTfOwner != dir) {
+      RelationalBM25.termFreqs(Corpus.documents(s, dir), stem = true)
+        .write.mode("overwrite").parquet(stemmedTfPath)
+      stemmedTfOwner = dir
+    }
     s.read.parquet(stemmedTfPath)
   }
 

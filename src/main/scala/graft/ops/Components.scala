@@ -52,8 +52,41 @@ object Components {
     val bCol = edges.columns(1)
     val materialize: DataFrame => DataFrame = reliableCheckpointDir match {
       case Some(d) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(d)
-        df => df.checkpoint() // eager, reliable storage
+        val sc = edges.sparkSession.sparkContext
+        // unique per-run SUBdirectory: concurrent CC runs cannot collide,
+        // and the GC below cannot touch another computation's checkpoints.
+        // (setCheckpointDir is SparkContext-global — callers mixing other
+        // checkpoint() users in the same app should scope accordingly.)
+        val sub = s"$d/graft-cc-${java.util.UUID.randomUUID().toString.take(8)}"
+        sc.setCheckpointDir(sub)
+        val subPath = new org.apache.hadoop.fs.Path(sub)
+        val fs = subPath.getFileSystem(sc.hadoopConfiguration)
+        df => {
+          val out = df.checkpoint() // eager, reliable storage
+          // GC every checkpoint but the newest: a round only reads the
+          // PREVIOUS round's files while computing, so once `out` is
+          // materialized the older rounds are dead weight — a ~25-round
+          // 100-TB run would otherwise hold ~25 edge-set copies in the
+          // checkpoint bucket (Spark's cleanCheckpoints is off by default)
+          try {
+            if (fs.exists(subPath)) {
+              val rdds = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, org.apache.hadoop.fs.Path)]
+              fs.listStatus(subPath).foreach { ctx =>
+                if (ctx.isDirectory) fs.listStatus(ctx.getPath).foreach { r =>
+                  val n = r.getPath.getName
+                  if (n.startsWith("rdd-"))
+                    rdds += ((n.stripPrefix("rdd-").toLong, r.getPath))
+                }
+              }
+              if (rdds.nonEmpty) {
+                val keep = rdds.maxBy(_._1)._1
+                rdds.filter(_._1 != keep).foreach(p => fs.delete(p._2, true))
+              }
+            }
+          } catch { case _: java.io.IOException => () } // GC is best-effort
+          out
+        }
       case None => df => df.localCheckpoint(true)
     }
     // canonical undirected edge (big, small), self-loops dropped.

@@ -31,9 +31,15 @@ object Sampling {
   private val A = 742938285L // Fishman–Moore MCG multiplier mod P
   private val B = 950706376L // second-round multiplier mod P
 
-  /** Uniform double in [0, 1) from (id, seed). */
+  /** Uniform double in [0, 1) from (id, seed). The id is reduced mod P
+    * BEFORE the seed is added ((a + b) mod P == (a mod P + b mod P) mod P,
+    * so the values are unchanged where the naive form worked): `id + seed`
+    * directly would overflow a signed long for ids near Long.MaxValue —
+    * ANSI Spark and DuckDB would throw, and the JVM twin would silently
+    * wrap to a DIFFERENT value. Hash-valued doc ids span the full range.
+    */
   private[ops] def uniformCol(id: Column, seed: Long): Column = {
-    val h0 = pmod(id + lit(seed), lit(P))
+    val h0 = pmod(pmod(id, lit(P)) + lit(((seed % P) + P) % P), lit(P))
     val h1 = pmod((h0 + lit(1L)) * lit(A), lit(P))
     val h2 = pmod((h1 + lit(1L)) * lit(B), lit(P))
     h2.cast("double") / lit(P.toDouble)
@@ -42,16 +48,18 @@ object Sampling {
   /** JVM twin for specs. */
   private[ops] def uniform(id: Long, seed: Long): Double = {
     def pm(x: Long) = ((x % P) + P) % P
-    val h0 = pm(id + seed)
+    val h0 = pm(pm(id) + pm(seed))
     val h1 = pm((h0 + 1) * A)
     val h2 = pm((h1 + 1) * B)
     h2.toDouble / P.toDouble
   }
 
   /** DuckDB twin of [[uniformCol]] as a scalar SQL expression. */
-  def uniformSql(idExpr: String, seed: Long): String =
-    s"(CAST((((($idExpr + $seed) % $P + $P) % $P + 1) * $A % $P + 1)" +
+  def uniformSql(idExpr: String, seed: Long): String = {
+    val s = ((seed % P) + P) % P
+    s"(CAST((((($idExpr % $P + $P) % $P + $s) % $P + 1) * $A % $P + 1)" +
       s" * $B % $P AS DOUBLE) / $P.0)"
+  }
 
   /** Adds a `split` label column: row -> the first split whose cumulative
     * weight exceeds the row's uniform draw. Weights need not sum to 1

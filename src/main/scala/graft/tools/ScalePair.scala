@@ -121,13 +121,28 @@ object ScalePair {
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val docs = Corpus.fromCodeDocs(s.read.parquet(warmDir))
-      try Await.result(Future(IndexBuilder.build(s, docs, dir, cfg)),
-        boxSec.seconds)
+      val fut = Future(IndexBuilder.build(s, docs, dir, cfg))
+      try Await.result(fut, boxSec.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          s.sparkContext.cancelAllJobs()
           println(f"SCALEPAIR warm TIMEOUT ${boxSec}%.0f s dir=$dir el=$el%.1f")
-          Thread.sleep(500) // let cancellation drain before pin/rep
+          // DRAIN the abandoned build before returning: cancelAllJobs only
+          // kills jobs active at that instant — if the build thread is in a
+          // driver-side phase between actions it would keep submitting jobs
+          // CONCURRENTLY with the pinned timed reps (contaminating the
+          // headline ratio). Cancel repeatedly until the future completes
+          // (the next action it submits dies and the build throws out).
+          var drained = false
+          var tries = 0
+          while (!drained && tries < 30) {
+            s.sparkContext.cancelAllJobs()
+            try { Await.result(fut, 1.second); drained = true }
+            catch {
+              case _: java.util.concurrent.TimeoutException => tries += 1
+              case _: Throwable => drained = true // build aborted — done
+            }
+          }
+          if (!drained) println(s"SCALEPAIR warn: warm build not drained after $tries cancels")
         case _: Throwable => () // a cancelled write may surface as SparkException
       }
     }
