@@ -147,6 +147,15 @@ object SparkEntry {
         new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = false))
           .searchRounded(text, 10))
     }.toMap
+    // the reference UI's k options (5/10/25/50 — Frotend/src/App.tsx:232)
+    // as gated variants over the compressed index; k=10 is the default
+    // covered by ep2_wand_*
+    val wandK: Map[String, (SparkSession, String) => DataFrame] =
+      Seq(5, 25, 50).map { k =>
+        s"ep2_wand_tsm_k$k" -> ((s: SparkSession, dir: String) =>
+          new index.PostingIndex(s, index.IndexCache.dirFor(s, dir, stem = false))
+            .searchRounded("table scan merge", k))
+      }.toMap
     val wandStemmed: Map[String, (SparkSession, String) => DataFrame] = Map(
       // J3 conjunctive: posting-list intersection (leapfrog DAAT); rounded
       // BEFORE the k-cut so boundary ties break like the oracle's
@@ -179,7 +188,7 @@ object SparkEntry {
           .toDF("document_count", "vocabulary_size", "total_tokens",
             "indexed_term_slices", "postings")
       }))
-    base ++ bm25 ++ wand ++ wandStemmed ++ opsQueries ++ tpchQueries
+    base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ opsQueries ++ tpchQueries
   }
 
   /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -238,6 +247,10 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       ops.Packing.packSequences(rawDocs(s, dir), budget = 512, shards = 8)
         .orderBy("doc_id")),
+    // CCNet-style boilerplate line removal (no-false-positive gate on this
+    // corpus; planted-boilerplate behavior spec'd in OpsSpec)
+    "line_boilerplate" -> ((s, dir) =>
+      ops.Dedup.dropBoilerplateLines(rawDocs(s, dir)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       ops.TextStats.fingerprints(rawDocs(s, dir)).orderBy("doc_id", "fp")),
     "multimodal_sha" -> ((s, dir) =>
@@ -400,6 +413,9 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
     val wand = benchQueries.map { case (key, text) =>
       s"ep2_wand_$key" -> OracleSql.bm25TopK(text, 10)
     }.toMap
+    val wandK = Seq(5, 25, 50).map { k =>
+      s"ep2_wand_tsm_k$k" -> OracleSql.bm25TopK("table scan merge", k)
+    }.toMap
     val wandAnd = Map(
       "j3_wand_and_tsm" -> OracleSql.bm25TopKConjunctive("table scan merge", 10),
       // stemmed chain over the query-materialized stemmed tf (see
@@ -422,7 +438,7 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
              FROM tf t JOIN shard s USING (doc_id))) AS BIGINT)
          AS indexed_term_slices,
        CAST((SELECT count(*) FROM tf) AS BIGINT) AS postings""")
-    base ++ bm25 ++ wand ++ wandAnd ++ opsOracleSql ++ tpchOracleSql
+    base ++ bm25 ++ wand ++ wandK ++ wandAnd ++ opsOracleSql ++ tpchOracleSql
   }
 
   /** DuckDB twins of the relational-analytics queries (exact cent sums). */
@@ -582,6 +598,25 @@ FROM documents ORDER BY media_id""",
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
+      "line_boilerplate" ->
+        """WITH l AS (SELECT doc_id,
+  len(string_split(text, chr(10))) AS n_total,
+  generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+  unnest(string_split(text, chr(10))) AS line FROM documents),
+k AS (SELECT doc_id, n_total, pos, line, trim(line) AS key FROM l),
+hot AS (SELECT key FROM (SELECT DISTINCT doc_id, key FROM k
+    WHERE length(key) >= 6)
+  GROUP BY key
+  HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 100)),
+kept AS (SELECT * FROM k WHERE key NOT IN (SELECT key FROM hot)),
+a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+  count(*) AS n_lines, any_value(n_total) - count(*) AS n_dropped
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(a.n_dropped, len(string_split(d.text, chr(10)))) AS BIGINT)
+    AS n_dropped
+FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""",
       "doc_fingerprint" -> ops.TextStats.fingerprintSql(),
       "sample_split" ->
         s"""SELECT doc_id, ${ops.Sampling.splitLabelSql("doc_id", sampleSplits, 42L)} AS split

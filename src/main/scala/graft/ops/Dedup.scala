@@ -73,6 +73,48 @@ object Dedup {
     * rows, 10^-4 of the all-pairs grid, at every corpus size. The DuckDB
     * oracle twins mirror the same formula (SparkEntry / DedupOracleSql).
     */
+  /** CCNet/RefinedWeb-style BOILERPLATE LINE removal: a (trimmed) line
+    * whose document frequency exceeds `maxLineDf` is boilerplate (headers,
+    * footers, nav, license banners) and is dropped from every document;
+    * the remaining lines are reassembled in original order. Lines shorter
+    * than `minLineChars` after trimming are never candidates (code
+    * braces / blank separators are structure, not boilerplate).
+    *
+    * `maxLineDf <= 0` derives the cap from the corpus (max(5, nDocs/100) —
+    * same scale-aware pattern as [[ngramJaccard]]'s shingle cap). Plan
+    * shape: one shuffle for the line-df aggregate, a LEFT-ANTI join
+    * against the (small by construction) hot-line set, one shuffle for
+    * the per-doc reassembly — no self-join anywhere.
+    */
+  def dropBoilerplateLines(docs: DataFrame, maxLineDf: Long = 0L,
+                           minLineChars: Int = 6, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val cap = if (maxLineDf > 0) maxLineDf else math.max(5L, docs.count() / 100)
+    val lines = docs
+      .select(col(idCol), size(split(col(textCol), "\n", -1)).as("n_total"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("key", trim(col("line")))
+    val hot = lines
+      .filter(length(col("key")) >= minLineChars)
+      .select(col(idCol), col("key")).distinct()
+      .groupBy("key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("key")
+    val kept = lines.join(broadcast(hot), Seq("key"), "left_anti")
+    val agg = kept.groupBy(idCol).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("clean_text"),
+      count(lit(1)).as("n_lines"),
+      (first(col("n_total")) - count(lit(1))).as("n_dropped"))
+    // docs whose every line was boilerplate still appear (empty text)
+    docs.select(col(idCol), size(split(col(textCol), "\n", -1)).as("nt"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dropped"), col("nt").cast("long")).as("n_dropped"))
+  }
+
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    textCol: String = "text", idCol: String = "doc_id",
                    maxShingleDf: Long = 0L): DataFrame = {

@@ -157,6 +157,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0.5, 1.0, 0.0)))
   }
 
+  test("boilerplate line removal drops hot lines, keeps order, preserves unique docs") {
+    val header = "=== COMMON SITE HEADER ==="
+    val footer = "copyright footer line here"
+    val docs = (1L to 30L).map { i =>
+      (i, s"$header\nunique body line $i alpha\n{\nunique body line $i beta\n$footer")
+    } :+ (99L, s"$header\n$footer") :+ (100L, "fully unique\ndocument text")
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(df, maxLineDf = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // shared header/footer (df=31 > 5) dropped everywhere; short "{" line
+    // (under minLineChars) and unique bodies kept, original order intact
+    assert(got(1L) ==
+      (("unique body line 1 alpha\n{\nunique body line 1 beta", 3L, 2L)))
+    assert(got(99L) == (("", 0L, 2L)), "all-boilerplate doc -> empty")
+    assert(got(100L) == (("fully unique\ndocument text", 2L, 0L)))
+    assert((1L to 30L).forall(i => got(i)._3 == 2L))
+  }
+
   test("sequence packing matches a local per-shard sequential reference") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val budget = 100
