@@ -113,6 +113,19 @@ object SparkEntry {
         RelationalBM25.docLens(
           RelationalBM25.termFreqs(Corpus.documents(s, dir), stem = false))
           .orderBy("doc_id")),
+      // corpus length distribution (quality-threshold selection surface):
+      // exact percentiles per language — Spark `percentile` and DuckDB
+      // `quantile_cont` share the linear-interpolation definition, so the
+      // gate is value-exact at 6 dp
+      "a9_length_dist" -> ((s, dir) =>
+        rawDocs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("docs"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(n_chars, 0.99D)"), 6).as("p99"),
+          round(avg(col("n_chars")), 6).as("mean"),
+          max(col("n_chars")).as("mx"))
+          .orderBy("lang")),
       // A9: corpus stats (document_count, vocabulary_size) — the /stats sink
       "a9_stats" -> ((s, dir) => {
         val docs = Corpus.documents(s, dir)
@@ -401,6 +414,14 @@ FROM df ORDER BY term""",
       "a8_doclen" ->
         s"""WITH ${OracleSql.tokCte}, ${OracleSql.tfCte}
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id ORDER BY doc_id""",
+      "a9_length_dist" ->
+        """SELECT lang, count(*) AS docs,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+  round(quantile_cont(n_chars, 0.99), 6) AS p99,
+  round(avg(n_chars), 6) AS mean,
+  max(n_chars) AS mx
+FROM documents GROUP BY lang ORDER BY lang""",
       "a9_stats" ->
         s"""WITH ${OracleSql.tokCte}, ${OracleSql.tfCte}, ${OracleSql.dfCte}
 SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
