@@ -38,23 +38,34 @@ object SparkEntry {
     * turns the stemmed BM25 math into a hard gate; only the stemmer itself
     * (golden-vector + rank-identity spec'd) stays outside the oracle.
     */
-  val stemmedTfPath = "/tmp/graft_stemmed_tf.parquet"
+  def stemmedTfPathFor(dir: String): String =
+    s"/tmp/graft_stemmed_tf_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}.parquet"
+
+  /** The path the STATIC oracle SQL reads: the driver's gate protocol runs
+    * Verify at sf0.01, so the twin is pinned to that dir's materialization.
+    * PER-DIR paths matter: the bench runs the same queries at sf0.1 and a
+    * single shared path would be overwritten between the driver's Verify
+    * and its DuckDB compare if the bench runs in between — the gate would
+    * then diff two different corpora. (Gating a non-sf0.01 dir locally:
+    * point the twin at `stemmedTfPathFor(<dir>)`.)
+    */
+  val stemmedTfGatePath: String = stemmedTfPathFor("/root/testdata/sf0.01")
 
   // one materialization per corpus dir per JVM: both stemmed queries use
   // the same rows, and re-tokenizing+rewriting 300k docs per query doubled
-  // the bench cost of the second one. The path holds ONE dir's rows at a
-  // time, so the memo is "which dir currently owns the path" — switching
-  // dirs rewrites (each query stays self-contained across processes; a
-  // fresh JVM re-materializes once).
-  @volatile private var stemmedTfOwner: String = ""
+  // the bench cost of the second one (a fresh JVM re-materializes once —
+  // each query stays self-contained across processes)
+  private val stemmedTfDone =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private def stemmedTf(s: SparkSession, dir: String): DataFrame = synchronized {
-    if (stemmedTfOwner != dir) {
+  private def stemmedTf(s: SparkSession, dir: String): DataFrame = {
+    val path = stemmedTfPathFor(dir)
+    stemmedTfDone.getOrElseUpdate(dir, {
       RelationalBM25.termFreqs(Corpus.documents(s, dir), stem = true)
-        .write.mode("overwrite").parquet(stemmedTfPath)
-      stemmedTfOwner = dir
-    }
-    s.read.parquet(stemmedTfPath)
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    s.read.parquet(path)
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -440,11 +451,11 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
     val wandAnd = Map(
       "j3_wand_and_tsm" -> OracleSql.bm25TopKConjunctive("table scan merge", 10),
       // stemmed chain over the query-materialized stemmed tf (see
-      // stemmedTfPath) — BM25 math + WAND gated; stemmer spec-gated
+      // stemmedTfGatePath) — BM25 math + WAND gated; stemmer spec-gated
       "bm25_stemmed_tsm" ->
-        OracleSql.bm25TopKFromTfParquet("table scan merge", 10, stemmedTfPath),
+        OracleSql.bm25TopKFromTfParquet("table scan merge", 10, stemmedTfGatePath),
       "ep2_wand_stemmed_tsm" ->
-        OracleSql.bm25TopKFromTfParquet("table scan merge", 10, stemmedTfPath),
+        OracleSql.bm25TopKFromTfParquet("table scan merge", 10, stemmedTfGatePath),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus
