@@ -600,7 +600,10 @@ ORDER BY cos DESC, d.vec_id LIMIT 10""",
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS INTEGER) AS ws_tokens,
   CAST(len($alnum) AS INTEGER) AS alnum_tokens,
-  CAST(len($kept) AS INTEGER) AS kept_tokens
+  CAST(len($kept) AS INTEGER) AS kept_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+    AS INTEGER) AS bpe_tokens
 FROM documents ORDER BY doc_id""",
       "text_quality" ->
         s"""WITH tc AS (SELECT doc_id,

@@ -16,6 +16,15 @@ object TextStats {
     * alnum runs), chain tokens (after stop filter), plus char count.
     * All built-in expressions — no UDF.
     */
+  /** GPT-2-ish pretokenizer pattern, restricted to the regex subset where
+    * Java and RE2 (DuckDB) agree (no lookahead): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. Counting its matches approximates the trainer's token count far
+    * better than whitespace splitting (code and punctuation-dense text).
+    */
+  private val bpeishRe =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
   def tokenCounts(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val stop = Analyzer.defaultStopWords.toSeq.sorted
@@ -25,7 +34,8 @@ object TextStats {
       length(col(textCol)).as("n_chars"),
       size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).as("ws_tokens"),
       size(toks).as("alnum_tokens"),
-      size(kept).as("kept_tokens"))
+      size(kept).as("kept_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeishRe), lit(0))).as("bpe_tokens"))
   }
 
   /** Heuristic quality score in [0,1]: favors mid-length docs with low
