@@ -285,7 +285,9 @@ object Bench {
       val cutoff = System.currentTimeMillis() - 60 * 60 * 1000
       java.nio.file.Files.list(shm).forEach { p =>
         val nm = p.getFileName.toString
-        if (nm.startsWith("graft-bench-corpus") && !p.toString.startsWith(corpusDir) &&
+        if ((nm.startsWith("graft-bench-corpus") ||
+             nm.startsWith("graft-bench-soakidx")) &&
+            !p.toString.startsWith(corpusDir) &&
             java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
           java.nio.file.Files.walk(p)
             .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -342,8 +344,9 @@ object Bench {
         } finally s.stop()
       }
 
-      /** Honest N-core emulation: the child JVM warms up (untimed 1/8-slice
-        * build, JIT at full machine speed — a real cluster JIT-compiles once
+      /** Honest N-core emulation: the child JVM warms up (untimed build of
+        * the separate warm corpus — scaleDocs/48 docs, same plan shape —
+        * JIT at full machine speed; a real cluster JIT-compiles once
         * per long-lived executor JVM, identically at N and 4N executors),
         * then SELF-PINS all threads to N cores via `taskset -apc` and runs
         * `reps` timed builds, printing the best. Returns (best build seconds
@@ -508,13 +511,12 @@ object Bench {
           s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
           s""""scaling_efficiency":${jn(eff)}},"""
       }
-      // reserve ~68 s after the child for latency (<=14 s) + the FULL
-      // breadth pass (~48 s incl. the expensive dedup/CC tier) + the JSON
-      // line: round 2 reserved only 40 and the expensive tier was squeezed
-      // out two rounds running; the round-3 s8/latency/CC cost cuts fund
-      // giving the child enough room for a second 8-core rep (the first
-      // full-budget run missed it by 1.6 s of child budget)
-      runScalePair(math.max(60, remaining - 68)) match {
+      // reserve ~80 s after the child: prewarm (~12 s of index builds that
+      // r3 paid inside the first timed query) + breadth (~38 s now that
+      // first-use builds are prewarmed) + the latency box (<=18 s, hard
+      // floor — r3 shipped samples=0) + the JSON line. Round 2 reserved
+      // only 40 and the expensive tier was squeezed out two rounds running.
+      runScalePair(math.max(60, remaining - 80)) match {
         case Some((r8, r2, idx)) =>
           t8 ++= r8; t2 ++= r2; keptIdxDir = idx
         case None =>
@@ -531,24 +533,47 @@ object Bench {
       // --- breadth: SparkEntry queries at the driver's SF, deadline-boxed
       // with a per-query timeout (a single heavy query must not blow the
       // whole budget; timed-out jobs are cancelled and reported as -2).
-      // Runs BEFORE the latency section: when a loaded host makes the
-      // scaling child overrun, what degrades should be latency SAMPLE
-      // COUNT (graceful: percentiles from 20 samples instead of 35), not
-      // breadth COVERAGE (binary: an operator is timed or it isn't — and
-      // the expensive dedup/CC tier went untimed two rounds running).
+      // SECTION ORDER (r4): prewarm -> breadth tier 0+1 (one per family +
+      // the expensive dedup/CC tail) -> breadth tier 2 (cheap variants,
+      // reserve-protected) -> LATENCY BOX with a hard >=10-sample floor.
+      // r3 ran breadth with no sample floor and a loaded host consumed the
+      // whole latency reserve — the shipped artifact had
+      // query_latency.samples=0. Now under load tier-2 variants shed
+      // first and the floor still lands samples.
       val spark = session(cpus)
+      // pre-materialize first-use artifacts (cached sf indexes, stemmed tf)
+      // as a separate line item: r3's first breadth query absorbed a 6.4 s
+      // index build and per-query times moved whenever tier order shifted
+      if (remaining > 30) {
+        val (_, pw) = timed(
+          try {
+            SparkEntry.prewarm(spark, sfDir)
+            // plan-shape warm: one throwaway run of the two first-position
+            // FAMILIES (compressed-index WAND, relational BM25) so their
+            // timed entries measure the plan, not first-query codegen/JIT/
+            // scan warm-up — r3's first-position queries ran 2-10x their
+            // warm variants purely from run position
+            SparkEntry.queries("ep2_wand_tsm")(spark, sfDir).count()
+            SparkEntry.queries("t1_bm25_tsm")(spark, sfDir).count()
+          } catch { case t: Throwable =>
+            System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })
+        tailJson += s""""prewarm_sec":${jn(pw)},"""
+        System.err.println(s"[bench] prewarm ${jn(pw)}s elapsed=${jn(elapsed)}")
+      }
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val results = ArrayBuffer.empty[(String, Double)]
       val ordered = SparkEntry.queries.toSeq.sortBy(p => breadthOrder(p._1))
-      ordered.foreach { case (name, fn) =>
-        // keep >= 12 s for the latency section + emit/hostCal
-        if (remaining > 12) {
+      val (tier01, tier2) = ordered.partition(p => breadthOrder(p._1)._1 < 2)
+      def runBreadth(qs: Seq[(String, (SparkSession, String) =>
+                       org.apache.spark.sql.DataFrame)],
+                     reserve: Double): Unit = qs.foreach { case (name, fn) =>
+        if (remaining > reserve) {
           // cap 15 s: under host load one normally-cheap query blowing up
           // must cost at most its cap, not the whole tail (observed: a 21 s
           // t1 timeout left 39 queries unmeasured)
-          val qTimeout = math.min(remaining - 8, 15.0)
+          val qTimeout = math.min(remaining - (reserve - 4), 15.0)
           val sec = try {
             val fut = Future(timed(fn(spark, sfDir).count())._2)
             Await.result(fut, qTimeout.seconds)
@@ -560,21 +585,38 @@ object Bench {
           results += name -> sec
           qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
             .mkString("{", ",", "}") // keep the watchdog's view current
+          total = results.map(_._2).filter(_ >= 0).sum
         } else skipped += 1
       }
-      total = results.map(_._2).filter(_ >= 0).sum
+      // tier 0+1 first (operator coverage is binary), then tier 2 with a
+      // reserve that protects the latency box (+ its hard SAMPLE FLOOR
+      // below — the guarantee the r3 artifact lacked): on a quiet host
+      // everything runs and latency gets its full 14 s; under load tier-2
+      // variants shed first, and the floor still lands >= 10 samples
+      runBreadth(tier01, reserve = 22)
+      System.err.println(
+        s"[bench] breadth tier0+1 done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
+      runBreadth(tier2, reserve = 18)
       System.err.println(
         s"[bench] breadth done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
 
       // --- query latency over the prebuilt compressed index, per mode:
       // disjunctive (the reference's semantics), conjunctive (leapfrog
       // DAAT AND), and the searchMany batch path (all 7 queries per job) --
-      if (remaining > 8 && keptIdxDir != null) {
+      if (remaining > 2 && keptIdxDir != null) {
+        val latBox = elapsed + math.min(remaining - 4, 14.0)
         val idx = new PostingIndex(spark, keptIdxDir).preload() // serving mode (reference holds its index in RAM too)
-        referenceQueries.foreach { q => // warm all three plan shapes
+        // warm pass TIME-BOXED to the first ~third of the box: r3's warm
+        // consumed the whole residual reserve before one sample landed —
+        // slightly-cold samples beat samples:0
+        val warmStop = math.min(latBox - 2.0,
+          elapsed + math.max(2.0, (latBox - elapsed) / 3))
+        val warmIt = referenceQueries.iterator
+        while (warmIt.hasNext && elapsed < warmStop) {
+          val q = warmIt.next()
           idx.search(q, 10).collect(); idx.searchConjunctive(q, 10).collect()
         }
-        idx.searchMany(referenceQueries, 10).collect()
+        if (elapsed < warmStop) idx.searchMany(referenceQueries, 10).collect()
         // time-boxed sampling: a 14-sample p95 is one GC pause / load spike
         // away from garbage (observed: 2.27 s p95 in a run whose standalone
         // probe measured 0.25) — keep sampling whole query-set rounds until
@@ -582,9 +624,14 @@ object Bench {
         val bufOr = ArrayBuffer.empty[Double]
         val bufAnd = ArrayBuffer.empty[Double]
         val bufMany = ArrayBuffer.empty[Double]
-        val latDeadline = elapsed + math.min(remaining - 4, 14.0)
+        val latDeadline = latBox // sampling owns the box's remaining ~2/3
         var latRound = 0
-        while (bufOr.size < 35 && elapsed < latDeadline) {
+        // HARD SAMPLE FLOOR: even if load ate the whole box, keep sampling
+        // until >= 10 disjunctive samples (each ~0.2 s; bounded by the
+        // watchdog's +6 s grace via the budget-3 cut) — r3 shipped
+        // samples:0 and its latency claims were unverifiable
+        while ((bufOr.size < 35 && elapsed < latDeadline) ||
+               (bufOr.size < 10 && elapsed < budget - 3)) {
           referenceQueries.foreach { q =>
             bufOr += timed(idx.search(q, 10).collect())._2
             // conjunctive sampled every OTHER round: ~18 and-samples bound
@@ -632,6 +679,42 @@ object Bench {
         val (s8x, _) = buildAt(8, 1)
         if (s8x > 0) t8 += s8x
         setBuildJson()
+      }
+
+      // --- optional soak (env-gated): scale-latency evidence in the SAME
+      // JSON contract. The driver never sets SPARK_GRAFT_SOAK_DOCS (a 2M-doc
+      // build + sampling cannot fit its ~188 s budget); a complete local run
+      // with it set ships bench.json carrying this block, making the soak
+      // numbers reproducible through the bench main instead of BASELINE.md
+      // self-reports. Production layout (shards=32, tb=8, waves=2).
+      sys.env.get("SPARK_GRAFT_SOAK_DOCS").map(_.toLong).foreach { soakDocs =>
+        if (remaining > 60) {
+          val soakCorpus = s"/dev/shm/graft-bench-corpus-$soakDocs-f64"
+          if (!Files.exists(java.nio.file.Paths.get(soakCorpus, "_SUCCESS")))
+            SyntheticCorpus.generate(spark, soakDocs, 42L, 160, 480, parts = 256)
+              .write.mode("overwrite").parquet(soakCorpus)
+          val dir = s"/dev/shm/graft-bench-soakidx-${System.nanoTime()}"
+          val docs = Corpus.fromCodeDocs(spark.read.parquet(soakCorpus))
+          val (_, bsec) = timed(IndexBuilder.build(spark, docs, dir,
+            IndexConfig(shards = 32, termBuckets = 8, commitWaves = 2)))
+          System.err.println(s"[bench] soak build ${jn(bsec)}s elapsed=${jn(elapsed)}")
+          val idx = new PostingIndex(spark, dir).preload()
+          referenceQueries.foreach(q => idx.search(q, 10).collect()) // warm
+          val buf = ArrayBuffer.empty[Double]
+          val dl = elapsed + math.min(remaining - 8, 30.0)
+          while (buf.size < 35 && elapsed < dl)
+            referenceQueries.foreach(q =>
+              buf += timed(idx.search(q, 10).collect())._2)
+          if (buf.nonEmpty) {
+            val lat = buf.sorted.toIndexedSeq
+            val p50 = lat(lat.size / 2)
+            val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+            tailJson +=
+              s""""soak":{"docs":$soakDocs,"build_sec":${jn(bsec)},""" +
+              s""""docs_per_sec":${jn(soakDocs / bsec, 1)},"samples":${lat.size},""" +
+              s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}},"""
+          }
+        }
       }
     } catch {
       case t: Throwable =>

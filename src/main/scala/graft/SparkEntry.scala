@@ -58,6 +58,42 @@ object SparkEntry {
   private val stemmedTfDone =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Same pattern for the sign-LSH hyperplanes: materialized per dir so the
+    * `ann_lsh` DuckDB twin recomputes the identical buckets, candidate set
+    * and 6-dp rescoring (sequential index-order dot folds on both engines
+    * make the `> 0` sign decisions bit-identical — see
+    * [[ops.Similarity.lshPlanesDf]]).
+    */
+  def lshPlanesPathFor(dir: String): String =
+    s"/tmp/graft_lsh_planes_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}.parquet"
+
+  val lshPlanesGatePath: String = lshPlanesPathFor("/root/testdata/sf0.01")
+
+  private val lshPlanesDone =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def materializeLshPlanes(s: SparkSession, dir: String, dim: Int): Unit =
+    lshPlanesDone.getOrElseUpdate(dir, {
+      ops.Similarity.lshPlanesDf(s, nPlanes = 4, tables = 16, dim = dim)
+        .coalesce(1).write.mode("overwrite").parquet(lshPlanesPathFor(dir))
+      true
+    })
+
+  /** Pre-materializes everything the gated queries otherwise build on FIRST
+    * USE — the two cached compressed indexes (stemmed + unstemmed) and the
+    * stemmed-tf parquet — so a timed pass over [[queries]] measures query
+    * plans, not one-off index builds (r3: the first breadth query absorbed
+    * a 6.4 s sf0.1 index build and per-query times were incomparable
+    * round-over-round whenever tier order shifted). The bench reports the
+    * cost as its own `prewarm_sec` line item.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    index.IndexCache.dirFor(s, dir, stem = false)
+    index.IndexCache.dirFor(s, dir, stem = true)
+    stemmedTf(s, dir)
+    ()
+  }
+
   private def stemmedTf(s: SparkSession, dir: String): DataFrame = {
     val path = stemmedTfPathFor(dir)
     stemmedTfDone.getOrElseUpdate(dir, {
@@ -244,6 +280,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0).head()
         .getSeq[Float](1).map(_.toDouble).toArray
+      materializeLshPlanes(s, dir, q.length)
       ops.Similarity.annTopK(emb, q, 10)
     }),
     // IVF-flat ANN: deterministic sampled centroids -> argmax-cosine
@@ -595,20 +632,48 @@ d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot
 SELECT d.vec_id, round(dot / (nrm.nv * (SELECT qn FROM qn)), 6) AS cos
 FROM d JOIN nrm ON nrm.vec_id = d.vec_id
 ORDER BY cos DESC, d.vec_id LIMIT 10""",
+      // sign-LSH twin: hyperplanes read from the materialized parquet
+      // (lshPlanesGatePath); both engines fold every projection
+      // SEQUENTIALLY in index order (graft_dot / the bucket UDF loop here,
+      // list_inner_product there), so the sums are bit-identical and the
+      // `> 0` sign decisions — hence buckets, candidate set, and 6-dp
+      // rescoring — agree exactly, not just to a rounding tolerance
+      "ann_lsh" ->
+        s"""WITH planes AS (SELECT tbl, p, w
+  FROM read_parquet('$lshPlanesGatePath/*.parquet')),
+emb AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+qsig AS (SELECT tbl,
+  sum(CASE WHEN list_inner_product(w, (SELECT qv FROM q)) > 0
+      THEN 1::BIGINT << p ELSE 0 END) AS b
+  FROM planes GROUP BY tbl),
+vsig AS (SELECT e.vec_id, pl.tbl,
+  sum(CASE WHEN list_inner_product(pl.w, e.v) > 0
+      THEN 1::BIGINT << pl.p ELSE 0 END) AS b
+  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+cand AS (SELECT DISTINCT vec_id FROM vsig JOIN qsig USING (tbl, b)),
+d AS (SELECT e.vec_id,
+  list_inner_product(e.v, (SELECT qv FROM q)) AS dot,
+  sqrt(list_inner_product(e.v, e.v)) AS nv
+  FROM emb e JOIN cand USING (vec_id))
+SELECT vec_id, round(dot / (nv *
+  (SELECT sqrt(list_inner_product(qv, qv)) FROM q)), 6) AS cos
+FROM d ORDER BY cos DESC, vec_id LIMIT 10""",
       "token_counts" ->
         s"""SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
-  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS INTEGER) AS ws_tokens,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '${ops.TextStats.wsRun}'), x -> length(x) > 0)) AS INTEGER) AS ws_tokens,
   CAST(len($alnum) AS INTEGER) AS alnum_tokens,
   CAST(len($kept) AS INTEGER) AS kept_tokens,
   CAST(len(regexp_extract_all(text,
-    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+    '${ops.TextStats.bpeishRe.replace("'", "''")}'))
     AS INTEGER) AS bpe_tokens
 FROM documents ORDER BY doc_id""",
       "text_quality" ->
         s"""WITH tc AS (SELECT doc_id,
   CAST(length(text) AS DOUBLE) AS n,
-  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+  CAST(length(regexp_replace(text, '[a-zA-Z0-9${ops.TextStats.wsChars}]', '', 'g')) AS DOUBLE) AS punct,
   len($alnum) AS alnum_tokens, len($kept) AS kept_tokens FROM documents),
 q2 AS (SELECT doc_id,
   round(least(n / 500.0, 1.0), 6) AS len_score,

@@ -50,13 +50,17 @@ object Components {
                           reliableCheckpointDir: Option[String] = None): DataFrame = {
     val aCol = edges.columns(0)
     val bCol = edges.columns(1)
+    val sc = edges.sparkSession.sparkContext
+    // setCheckpointDir is SparkContext-global: save the caller's dir and
+    // restore it in the finally below, confining both the redirect and the
+    // subdir GC to this run — another checkpoint() user in the same app
+    // never writes into (or gets GC'd out of) the CC subdir.
+    val prevCheckpointDir: Option[Option[String]] =
+      if (reliableCheckpointDir.isDefined) Some(sc.getCheckpointDir) else None
     val materialize: DataFrame => DataFrame = reliableCheckpointDir match {
       case Some(d) =>
-        val sc = edges.sparkSession.sparkContext
         // unique per-run SUBdirectory: concurrent CC runs cannot collide,
         // and the GC below cannot touch another computation's checkpoints.
-        // (setCheckpointDir is SparkContext-global — callers mixing other
-        // checkpoint() users in the same app should scope accordingly.)
         val sub = s"$d/graft-cc-${java.util.UUID.randomUUID().toString.take(8)}"
         sc.setCheckpointDir(sub)
         val subPath = new org.apache.hadoop.fs.Path(sub)
@@ -94,13 +98,15 @@ object Components {
     // times (sym's two union legs, each feeding both the groupBy and the
     // join); without this the whole upstream derivation — e.g. the n-gram
     // Jaccard pair pipeline, seconds of work — re-executes per reference.
-    var e = materialize(edges
+    var e: DataFrame = null
+    var converged = false
+    var it = 0
+    try {
+    e = materialize(edges
       .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    var converged = false
-    var it = 0
     while (!converged && it < maxIter) {
       // LARGE-STAR: per node n over SYMMETRIZED edges, link every strictly
       // larger neighbor to m = min(N(n) ∪ {n}).
@@ -145,6 +151,19 @@ object Components {
       converged = conv.getLong(0) == 0L && conv.getLong(1) == 0L
       e = mat
       it += 1
+    }
+    } finally {
+      prevCheckpointDir.foreach {
+        case Some(dir) => sc.setCheckpointDir(dir)
+        case None =>
+          // no public "unset" API. null clears it (Option(null) = None) and
+          // is safe in local mode (the only null-unsafe touch is behind a
+          // !isLocal guard); on a real cluster fall back to the caller's
+          // PARENT dir — still outside the GC'd per-run subdir, so a later
+          // checkpoint() user can never be GC'd by us.
+          if (sc.isLocal) sc.setCheckpointDir(null)
+          else reliableCheckpointDir.foreach(sc.setCheckpointDir)
+      }
     }
     lastRounds = it
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -121,6 +121,23 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The seeded hyperplanes as a (tbl, p, w: array<double>) frame, for
+    * materializing to parquet so the DuckDB twin can recompute the SAME
+    * sign buckets, candidate set, and rescoring (the stemmed-tf gate
+    * pattern). Exactness by construction, not by rounding: both engines
+    * fold the projection sequentially in index order — [[lshBuckets]]'s
+    * UDF loop / [[graft.catalyst.DotProduct]] here, `list_inner_product`
+    * there — so on identical double inputs the sums are bit-identical and
+    * every `> 0` sign decision agrees exactly.
+    */
+  def lshPlanesDf(spark: org.apache.spark.sql.SparkSession, nPlanes: Int,
+                  tables: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(nPlanes * tables, dim, seed)
+    (for (t <- 0 until tables; p <- 0 until nPlanes)
+      yield (t, p, planes(t * nPlanes + p).toSeq)).toDF("tbl", "p", "w")
+  }
+
   /** Sign-LSH bucket id per vector: bit i = sign(v . plane_i). With
     * `tables` independent plane sets, near vectors collide in >= 1 table
     * w.h.p. Returns (id, table, bucket).

@@ -22,8 +22,17 @@ object TextStats {
     * runs. Counting its matches approximates the trainer's token count far
     * better than whitespace splitting (code and punctuation-dense text).
     */
-  private val bpeishRe =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+  /** Whitespace spelled as an explicit class: Java's `\s` includes
+    * vertical tab (\x0B) while RE2's (DuckDB) does not, so `\s` in a
+    * shared (Spark, DuckDB-twin) pattern pair silently diverges on
+    * \x0B-bearing text. Every gated pair uses these instead — single
+    * source of truth for both engines.
+    */
+  private[graft] val wsChars = " \\t\\n\\f\\r"
+  private[graft] val wsRun = s"[$wsChars]+"
+
+  private[graft] val bpeishRe =
+    s"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$wsChars]+|[$wsChars]+"
 
   def tokenCounts(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
@@ -32,7 +41,7 @@ object TextStats {
     val kept = filter(transform(toks, lower _), t => !t.isin(stop.map(lit): _*))
     docs.select(col(idCol),
       length(col(textCol)).as("n_chars"),
-      size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).as("ws_tokens"),
+      size(filter(split(trim(col(textCol)), wsRun), t => length(t) > 0)).as("ws_tokens"),
       size(toks).as("alnum_tokens"),
       size(kept).as("kept_tokens"),
       size(regexp_extract_all(col(textCol), lit(bpeishRe), lit(0))).as("bpe_tokens"))
@@ -45,7 +54,7 @@ object TextStats {
   def qualityScore(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val n = length(col(textCol)).cast("double")
-    val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")).cast("double")
+    val punct = length(regexp_replace(col(textCol), s"[a-zA-Z0-9$wsChars]", "")).cast("double")
     val counted = tokenCounts(docs, textCol, idCol)
     docs.select(col(idCol), col(textCol))
       .join(counted, idCol)
@@ -213,7 +222,7 @@ FROM documents ORDER BY doc_id"""
     if (cjk * 4 > text.length) return ("zh", cjk.toDouble / text.length)
     // empty tokens filtered (a leading-whitespace split artifact would skew
     // the denominator and is not replicable in the SQL oracle twin)
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase.split(wsRun).filter(_.nonEmpty)
     if (toks.isEmpty) return ("und", 0.0)
     val scores = profiles.map { case (lang, prof) =>
       lang -> toks.count(prof.contains).toDouble / toks.length
@@ -304,7 +313,7 @@ FROM documents ORDER BY doc_id"""
   SELECT doc_id,
     length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
     length(text) AS n,
-    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+    list_filter(regexp_split_to_array(lower(text), '$wsRun'),
                 x -> length(x) > 0) AS toks
   FROM documents),
 s AS (

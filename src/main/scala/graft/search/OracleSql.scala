@@ -113,8 +113,12 @@ LIMIT $k"""
   def docShardCtes(shards: Int): String =
     s"""shardh AS (
   SELECT doc_id,
-    CAST((CAST(doc_id AS HUGEINT) * 11400714819323198485)
-         % 18446744073709551616 AS HUGEINT) AS h64
+    -- normalize to [0, 2^64): the JVM wraps docId*G two's-complement to an
+    -- unsigned bit pattern, but DuckDB's % on a negative HUGEINT product
+    -- returns a negative remainder (doc ids may be hashed -> negative)
+    CAST((((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+            % 18446744073709551616) + 18446744073709551616)
+          % 18446744073709551616 AS HUGEINT) AS h64
   FROM (SELECT DISTINCT doc_id FROM tf)),
 shard AS (
   SELECT doc_id,

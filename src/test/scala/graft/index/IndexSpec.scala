@@ -49,6 +49,30 @@ class IndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("docShard DuckDB-twin arithmetic == JVM docShard incl. negative ids") {
+    // BigInt mirror of OracleSql.docShardCtes with DuckDB's semantics:
+    // % truncates toward zero (sign of dividend) exactly like BigInt's %,
+    // and the twin's // and halving % only touch the already-normalized
+    // nonnegative h64. Corpus.fromCodeDocs emits xxhash64 ids that are
+    // negative half the time — the twin must wrap them to [0, 2^64) the
+    // way the JVM's two's-complement multiply does.
+    val M = BigInt(1) << 64
+    val G = BigInt("11400714819323198485") // 0x9E3779B97F4A7C15 unsigned
+    val H = BigInt(4294967296L)
+    def twin(docId: Long, shards: Int): Int = {
+      val h64 = (((BigInt(docId) * G) % M) + M) % M
+      val x32 = (h64 / H) ^ (h64 % H)
+      val signed = if (x32 >= BigInt(2147483648L)) x32 - H else x32
+      (((signed % shards) + shards) % shards).toInt
+    }
+    val ids = Seq(0L, 1L, -1L, 42L, -42L, Long.MaxValue, Long.MinValue,
+      -987654321012345L) ++ (1 to 64).map(i => i * -7919L) ++
+      docsLocal.map(_._1) // real corpus ids (xxhash64-valued)
+    for (id <- ids; sh <- Seq(4, 8, 32))
+      assert(twin(id, sh) == IndexFormat.docShard(id, sh),
+        s"id=$id shards=$sh")
+  }
+
   test("WAND top-10 is rank-identical with exact scores vs the oracle") {
     val dir = tmpDir("main")
     IndexBuilder.build(spark, docs, dir,

@@ -154,11 +154,17 @@ class ComponentsSpec extends AnyFunSuite {
     "checkpoint files") {
     val edges = (1L until 25L).map(i => (i, i + 1)) :+ (50L, 51L)
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val prevDir = spark.sparkContext.getCheckpointDir
     val viaReliable = Components
       .connectedComponents(edges.toDF("a", "b"),
         reliableCheckpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaReliable == ccMap(edges))
+    // the SparkContext-global checkpoint dir is restored after the run —
+    // a later checkpoint() user in the same app must not land in (or be
+    // GC'd out of) the CC subdir
+    assert(spark.sparkContext.getCheckpointDir == prevDir,
+      "connectedComponents leaked its checkpoint-dir redirect")
     // the reliable path really wrote RDD checkpoint files
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => p.getFileName.toString.startsWith("rdd-")).count()

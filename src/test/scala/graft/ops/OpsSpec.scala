@@ -206,6 +206,23 @@ class OpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("packing shards default derives from corpus size (floor 16, grows ~n/1M)") {
+    assert(Packing.deriveShards(0L) == 16)
+    assert(Packing.deriveShards(500L) == 16)
+    assert(Packing.deriveShards(16000000L) == 16)
+    assert(Packing.deriveShards(16000001L) == 17)
+    assert(Packing.deriveShards(1000000000L) == 1000, "10^9 docs -> 1000 window tasks")
+    // shards<=0 on a small corpus derives the floor (16) and produces the
+    // identical layout to pinning 16 explicitly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val auto = Packing.packSequences(docs, budget = 100).collect().map(key).toMap
+    val pinned = Packing.packSequences(docs, budget = 100, shards = 16)
+      .collect().map(key).toMap
+    assert(auto == pinned)
+  }
+
   test("PII scrub redacts planted fixtures and passes clean text through") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk or 10.0.0.1 ok"),
