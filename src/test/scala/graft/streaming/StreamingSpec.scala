@@ -83,6 +83,53 @@ class StreamingSpec extends AnyFunSuite {
       "expected multiple micro-batches")
   }
 
+  test("streaming index ingest (foreachBatch + append) == one-shot batch build") {
+    import graft.corpus.{Corpus, SyntheticCorpus}
+    import graft.index.{IndexBuilder, IndexConfig, Manifest, PostingIndex}
+    val cfg = IndexConfig(shards = 4, termBuckets = 2, blockSize = 16)
+    val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 180, seed = 11L))
+    val full = Files.createTempDirectory("graft-si-full").toString
+    IndexBuilder.build(spark, docs, full, cfg)
+
+    // stage the corpus as several files -> maxFilesPerTrigger=1 forces
+    // multiple micro-batches (multiple append rounds over one checkpoint)
+    val srcDir = Files.createTempDirectory("graft-si-src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+
+    val inc = Files.createTempDirectory("graft-si-inc").toString
+    val ckpt = Files.createTempDirectory("graft-si-ckpt").toString
+    StreamingIndex.ensureInitialized(docs, inc, cfg)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = StreamingIndex.sink(stream, inc, cfg, ckpt, availableNow = true)
+    q.awaitTermination(240000)
+    assert(q.lastProgress == null || q.lastProgress.batchId >= 1,
+      "expected multiple micro-batches")
+
+    // the streamed index IS the batch index: counters, globals, results
+    assert(Manifest.totals(inc) == Manifest.totals(full))
+    val gF = PostingIndex.readGlobals(spark, full)
+    val gI = PostingIndex.readGlobals(spark, inc)
+    assert((gI.nDocs, gI.totalTokens, gI.avgdl, gI.vocabularySize) ==
+      (gF.nDocs, gF.totalTokens, gF.avgdl, gF.vocabularySize))
+    val a = new PostingIndex(spark, full)
+    val b = new PostingIndex(spark, inc)
+    Seq("longest river", "return", "science", "artificial intelligence").foreach { qq =>
+      val want = a.search(qq, 10).collect().map(_.toSeq).toSeq
+      val got = b.search(qq, 10).collect().map(_.toSeq).toSeq
+      assert(got == want, s"query '$qq'")
+    }
+
+    // restart over the SAME checkpoint with no new data: a no-op (the
+    // foreachBatch/append idempotence contract end-to-end)
+    val totalsBefore = Manifest.totals(inc)
+    val q2 = StreamingIndex.sink(
+      spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir), inc, cfg, ckpt, availableNow = true)
+    q2.awaitTermination(120000)
+    assert(Manifest.totals(inc) == totalsBefore, "restart must be a no-op")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals the batch form") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001"
