@@ -357,12 +357,32 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       ops.Sampling.sampleByHash(rawDocs(s, dir), "lang", sampleFractions,
         seed = 7L)
-        .select("doc_id", "lang").orderBy("doc_id")))
+        .select("doc_id", "lang").orderBy("doc_id")),
+    // GPT-3-style benchmark decontamination audit: eval set = every 10th
+    // doc, train = the rest; a train doc is contaminated iff it shares a
+    // word 4-gram with any eval doc
+    "decontam_audit" -> ((s, dir) => {
+      val docs = rawDocs(s, dir)
+      ops.Decontaminate.auditContamination(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0), n = 4)
+        .orderBy("doc_id")
+    }),
+    // DoReMi-style target-mixture downsampling by language (budget 400
+    // of 500 docs: the 'de' domain exceeds its own size and exercises the
+    // min(1, .) keep cap)
+    "sample_domain_mix" -> ((s, dir) =>
+      ops.Sampling.targetMixSample(rawDocs(s, dir), "lang", domainTargets,
+        budget = 400, seed = 11L)
+        .select(col("doc_id"), col("lang"), round(col("keep_frac"), 9).as("keep_frac"))
+        .orderBy("doc_id")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val sampleFractions =
     Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.25)
+  private val domainTargets =
+    Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
 
   /** Generic relational-analytics surface over the TPC-H-ish tables —
     * scan-agg, multi-way join top-k, and per-group window rank. Money sums
@@ -725,6 +745,29 @@ FROM documents ORDER BY doc_id""",
         s"""SELECT doc_id, lang FROM documents
 WHERE ${ops.Sampling.sampleByHashSql("doc_id", "lang", sampleFractions, 7L)}
 ORDER BY doc_id""",
+      // eval = doc_id % 10 = 0 (nonneg ids here; Spark side uses pmod),
+      // same lowercase-alnum-words >2 chars tokenization as the other
+      // shingle twins, per-doc DISTINCT 4-grams
+      "decontam_audit" ->
+        s"""WITH toks AS (SELECT doc_id,
+  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id,
+  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - 3),
+ev AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 10 = 0),
+hits AS (SELECT doc_id, count(*) AS hit_ngrams FROM ng
+  WHERE doc_id % 10 <> 0 AND ngram IN (SELECT ngram FROM ev) GROUP BY doc_id),
+sz AS (SELECT doc_id, count(*) AS n_ngrams FROM ng GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(sz.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(h.hit_ngrams, 0) AS BIGINT) AS hit_ngrams,
+  CASE WHEN h.hit_ngrams IS NOT NULL THEN 1 ELSE 0 END AS is_contaminated
+FROM documents d LEFT JOIN sz USING (doc_id) LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""",
+      "sample_domain_mix" ->
+        s"""SELECT doc_id, lang, round(keep_frac, 9) AS keep_frac FROM (
+${ops.Sampling.targetMixSql("documents", "doc_id", "lang", domainTargets, 400L, 11L)}
+) ORDER BY doc_id""",
       "w1_event_tumbling" -> ops.Events.tumblingSql,
       "w2_event_sessions" -> ops.Events.sessionsSql(),
       "w3_event_props" -> ops.Events.propsRollupSql,

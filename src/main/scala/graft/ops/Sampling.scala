@@ -115,4 +115,57 @@ object Sampling {
     }.mkString(" ")
     s"($u < (CASE $whens ELSE -1.0 END))"
   }
+
+  /** DoReMi/domain-mixing-style TARGET-MIX downsampling: given a desired
+    * output `budget` (row count) and target proportions per domain, keep
+    * each domain's rows with probability
+    * `min(1, budget * target_d / count_d)` — i.e. resample the corpus
+    * toward the target mixture (domains absent from `targetMix` drop).
+    * The per-domain counts come from one map-side-combined groupBy whose
+    * result (|domains| rows) is broadcast back onto the corpus — the big
+    * side is never shuffled. Keep decisions use the same (id, seed) hash
+    * as [[hashSplit]]: deterministic, repartition/cluster-size-invariant.
+    *
+    * Float discipline (the gate is value-exact): `keep_frac` is computed
+    * as double ops in the written order `budget * target / count`, with
+    * every operand an IEEE double in BOTH engines — the SQL twin casts its
+    * literals to DOUBLE explicitly because bare DuckDB numeric literals
+    * are DECIMAL and decimal arithmetic rounds differently.
+    */
+  def targetMixSample(df: DataFrame, domainCol: String,
+                      targetMix: Map[String, Double], budget: Long,
+                      seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
+    require(targetMix.nonEmpty && targetMix.forall(_._2 > 0), "positive targets")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("domain_n"))
+    val target = targetMix.toSeq.sortBy(_._1).foldLeft(lit(-1.0): Column) {
+      case (els, (d, t)) => when(col(domainCol) === d, lit(t)).otherwise(els)
+    }
+    val u = uniformCol(col(idCol).cast("long"), seed)
+    df.join(broadcast(counts), Seq(domainCol))
+      .withColumn("keep_frac",
+        least(lit(1.0), lit(budget.toDouble) * target / col("domain_n").cast("double")))
+      .filter(u < col("keep_frac"))
+      .drop("domain_n")
+  }
+
+  /** DuckDB twin of [[targetMixSample]] over table `tbl`: yields
+    * (all original columns ..., keep_frac) for the kept rows. The caller
+    * projects/orders. `domainExpr` must be a plain column name.
+    */
+  def targetMixSql(tbl: String, idExpr: String, domainExpr: String,
+                   targetMix: Map[String, Double], budget: Long,
+                   seed: Long): String = {
+    val whens = targetMix.toSeq.sortBy(_._1).map { case (d, t) =>
+      s"WHEN $domainExpr = '$d' THEN CAST($t AS DOUBLE)"
+    }.mkString(" ")
+    val u = uniformSql(idExpr, seed)
+    s"""SELECT t.*, least(CAST(1.0 AS DOUBLE),
+      CAST($budget AS DOUBLE) * (CASE $whens ELSE CAST(-1.0 AS DOUBLE) END)
+        / CAST(c.domain_n AS DOUBLE)) AS keep_frac
+    FROM $tbl t JOIN (SELECT $domainExpr, count(*) AS domain_n
+                      FROM $tbl GROUP BY $domainExpr) c USING ($domainExpr)
+    WHERE $u < least(CAST(1.0 AS DOUBLE),
+      CAST($budget AS DOUBLE) * (CASE $whens ELSE CAST(-1.0 AS DOUBLE) END)
+        / CAST(c.domain_n AS DOUBLE))"""
+  }
 }

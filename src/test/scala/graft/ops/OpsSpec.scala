@@ -360,4 +360,50 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media).filter("media_id = 1").count()
     assert(frames == (base.length + 63) / 64)
   }
+
+  test("decontamination: only the train doc sharing an eval n-gram is flagged") {
+    val train = Seq(
+      10L -> "distributed inverted index construction with posting list compression",
+      11L -> "the benchmark answer phrase alpha bravo charlie delta appears here verbatim",
+      12L -> "tiny doc", // fewer than n tokens: zero n-grams, never contaminated
+      13L -> "alpha bravo charlie but the fourth word differs everywhere else entirely"
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      90L -> "an evaluation question whose answer contains alpha bravo charlie delta exactly"
+    ).toDF("doc_id", "text")
+    val audit = Decontaminate.auditContamination(train, eval, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(audit(11L)._3 == 1 && audit(11L)._2 >= 1)
+    assert(audit(10L) == ((5L, 0L, 0))) // 8 tokens -> 5 distinct 4-grams
+    assert(audit(12L) == ((0L, 0L, 0))) // 2 tokens < n -> zero 4-grams
+    assert(audit(13L)._3 == 0, "a shared 3-gram must NOT trip the 4-gram filter")
+    val clean = Decontaminate.decontaminate(train, eval, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(10L, 12L, 13L))
+  }
+
+  test("target-mix sampling: cap, absent-domain drop, repartition invariance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mix = Map("en" -> 0.6, "zh" -> 0.4)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget large enough that zh's share exceeds its population: the
+    // min(1, .) cap must keep EVERY zh row
+    val budget = counts("zh") * 3L
+    val got = Sampling.targetMixSample(docs, "lang", mix, budget, seed = 5L)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "zh"), "unmapped domains must drop")
+    assert(byLang("zh") == counts("zh"), "capped domain keeps all rows")
+    assert(byLang("en") < counts("en"), "uncapped domain downsamples")
+    // keep_frac is exactly min(1, budget*target/count) and the kept set is
+    // the hash predicate — repartitioning must not change a single row
+    val a = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.targetMixSample(docs.repartition(17), "lang", mix, budget,
+        seed = 5L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val fr = got.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("keep_frac").head().getDouble(0)
+    assert(fr == budget.toDouble * 0.6 / counts("en").toDouble)
+  }
 }
