@@ -22,6 +22,12 @@ import graft.index.{IndexBuilder, IndexConfig}
   *   3. new session at local[2] (sequential SparkContexts), pin to 2 cores
   *      -> timed full builds.
   *
+  * With `GRAFT_SP_GATE=1` (set by the bench parent) the first TIMED rep
+  * additionally waits for a "GO" line on stdin: the parent overlaps its own
+  * untimed prewarm with this child's boot+warm window and releases the gate
+  * when it goes idle, so parent load can never pollute a timed rep. The
+  * wait is deadline-bounded (a dead parent costs the cap, not the run).
+  *
   * Rep counts are budget-driven (first rep per level is mandatory, extras
   * only while the in-child deadline allows; best-of shields host-load
   * noise). Every timed rep prints `SCALEPAIR rep n=<n> secs=<s>`; the final
@@ -176,8 +182,33 @@ object ScalePair {
       // the cluster is otherwise busy; the timed reps below run fully
       // compiled either way). Pin AFTER: cache-migration settle is
       // negligible against a ~60 s rep.
-      warmBoxed(s2, s"$outBase-warm2", math.min(math.max(20.0, 0.3 * budget), 40.0))
+      // box: JIT lands in ~8 s unpinned on a quiet host; a loaded draw once
+      // spent 22 s here and starved the parent's breadth tail — cap tighter
+      // and let the timed rep amortize any JIT remainder in-flight
+      warmBoxed(s2, s"$outBase-warm2", math.min(math.max(12.0, 0.2 * budget), 25.0))
       println(f"SCALEPAIR warm2 el=$el%.1f")
+    }
+    // Parent-gated start of the TIMED section (GRAFT_SP_GATE=1, set by the
+    // bench): the parent overlaps its own untimed prewarm with this child's
+    // boot+warm window above, and releases the gate ("GO\n" on stdin) when
+    // that prewarm is done — so a timed rep NEVER runs under parent load.
+    // Deadline-bounded: a dead parent (or a standalone run that set the env
+    // by mistake) costs at most the cap, never the measurement.
+    if (sys.env.get("GRAFT_SP_GATE").contains("1")) {
+      val capSec = math.min(45.0, math.max(5.0, 0.3 * budget))
+      val deadline = System.nanoTime() + (capSec * 1e9).toLong
+      val buf = new StringBuilder
+      var go = false
+      var eof = false
+      while (!go && !eof && System.nanoTime() < deadline) {
+        if (System.in.available() > 0) {
+          val c = System.in.read()
+          if (c == -1) eof = true // parent gone: proceed rather than stall
+          else if (c == '\n') { go = buf.toString.contains("GO"); buf.clear() }
+          else buf.append(c.toChar)
+        } else Thread.sleep(25)
+      }
+      println(f"SCALEPAIR gate go=$go eof=$eof el=$el%.1f")
     }
     pin("0-1")
     var r2min = timedRep(s2, 2)
