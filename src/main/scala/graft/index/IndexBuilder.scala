@@ -153,12 +153,14 @@ object IndexBuilder {
       .parquet(s"$dir/tf_appends/batch=$batchId"))
     // batch doc counts (token-less docs count toward N and the avgdl
     // denominator, so tf rows alone cannot recover N): keyed upsert —
-    // idempotent under re-run
+    // idempotent under re-run. The doclist ledger write yields the count.
     val base = readBatches(dir) match {
       case m if m.isEmpty => Map("base" -> old.nDocs) // first-ever append
       case m => m
     }
-    val batches = base + (batchId -> newDocs.count())
+    val batches = base +
+      (batchId -> stage(s"append:doclist:$batchId")(
+        writeDocList(newDocs, dir, batchId)))
     writeBatches(dir, batches)
     val docCounts = statsFromTf(spark, dir, cfg,
       () => batches.values.sum, s"${old.sourcePath}+batch=$batchId")
@@ -181,6 +183,174 @@ object IndexBuilder {
     else base
   }
 
+  /** Writes a batch's doc-id list under `doclist/batch=<name>` and returns
+    * its row count (free: an Observation rides the write job). The doclist
+    * is the index's membership LEDGER — O(8 B/doc), negligible next to tf —
+    * and is what makes [[delete]]+[[compact]] exact even for token-less
+    * documents, which never reach tf but count toward N and the avgdl
+    * denominator. Overwrite per batch name = idempotent under re-run.
+    */
+  private def writeDocList(docs: DataFrame, dir: String, batch: String): Long = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-doclist-${java.util.UUID.randomUUID().toString.take(8)}")
+    docs.select(col("docId").as("doc_id"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclist/batch=$batch")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The membership ledger if present (`(df, exact=true)`), else the
+    * distinct tf doc ids (`exact=false`: token-less docs are invisible to
+    * tf, so an index built before the ledger existed under-counts them —
+    * [[compact]] documents the consequence).
+    */
+  private[index] def readDocIds(spark: SparkSession, dir: String): (DataFrame, Boolean) =
+    if (Files.exists(Paths.get(dir, "doclist")))
+      (spark.read.parquet(s"$dir/doclist").select("doc_id"), true)
+    else (readTf(spark, dir).select("doc_id").distinct(), false)
+
+  /** Mark documents DELETED — an O(|ids|) tombstone write, no index
+    * rewrite. Serving applies the overlay immediately ([[PostingIndex]]
+    * skips tombstoned docs at DAAT candidate time, so results never contain
+    * them while every surviving doc's score — baked from the pre-delete
+    * global statistics — is unchanged). [[compact]] later removes the
+    * postings physically and refreshes N/avgdl/df/weights. This is the
+    * Lucene-style split: deletes are cheap and immediate, statistics
+    * refresh is batched — the only sound shape at 100 TB, where any
+    * eager per-delete re-weighting would rewrite the whole index.
+    *
+    * Idempotent per `deleteId` (overwrite of its own tombstone partition);
+    * distinct ids across ALL delete batches are applied.
+    */
+  def delete(spark: SparkSession, ids: DataFrame, dir: String,
+             deleteId: String): Unit = {
+    require(deleteId.matches("[A-Za-z0-9._-]+"),
+      s"deleteId must be a [A-Za-z0-9._-]+ name, got '$deleteId'")
+    val idCol = if (ids.columns.contains("doc_id")) "doc_id" else "docId"
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/tombstones/del=$deleteId")
+  }
+
+  /** All tombstoned doc ids (distinct across delete batches), if any. */
+  private[index] def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(dir, "tombstones")))
+      Some(spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct())
+    else None
+
+  /** COMPACT the index: physically remove tombstoned documents, fold any
+    * appended tf batches into the base, recompute global statistics and
+    * re-encode every posting weight. The result is BIT-IDENTICAL to a
+    * from-scratch build over the surviving corpus (spec'd in
+    * LifecycleSpec) — same rationale as [[append]]: BM25 bakes (N, avgdl,
+    * df) into every weight, so a compaction that kept stale weights would
+    * drift from the rebuild.
+    *
+    * Idempotent and crash-resumable: the filtered tf/doclist are staged
+    * first (`.compact_*`), the swap adopts a finished staging if a previous
+    * run died between wipe and move, and re-running after the swap
+    * re-filters an already-filtered tf (a no-op anti-join) before
+    * rebuilding stats/postings. Serving readers should still point at a
+    * finished directory — compact a [[cloneIndex]] hardlink clone and swap
+    * pointers, exactly like a segment merge.
+    *
+    * On a pre-ledger index (no `doclist/`), N falls back to the distinct tf
+    * doc ids plus the old token-less remainder — exact unless a TOKEN-LESS
+    * doc was tombstoned (it has no postings to remove; only N/avgdl would
+    * overcount — bounded, documented, and impossible for ledger-backed
+    * indexes).
+    */
+  def compact(spark: SparkSession, dir: String, cfg: IndexConfig): IndexGlobals = {
+    val old = PostingIndex.readGlobals(spark, dir)
+    checkConfig(old, cfg, dir)
+    val tombs = readTombstones(spark, dir)
+    val hasAppends = Files.exists(Paths.get(dir, "tf_appends"))
+    if (tombs.isEmpty && !hasAppends) return old // nothing to fold or drop
+    val tfDir = Paths.get(dir, "tf")
+    val tfStage = Paths.get(dir, ".compact_tf")
+    val dlStage = Paths.get(dir, ".compact_doclist")
+    val dlDir = Paths.get(dir, "doclist")
+    def finished(p: Path) = Files.exists(p.resolve("_SUCCESS"))
+    // Adopt any FINISHED staging a predecessor left when it died mid-swap.
+    // tfDir can only be absent once tfStage committed (_SUCCESS) — the live
+    // dir is wiped strictly after the staging write — and likewise for
+    // dlDir/dlStage, so each adoption is independent (a death between the
+    // tf move and the doclist move leaves exactly one of them to finish).
+    // The re-filter below is then a no-op anti-join over already-filtered
+    // rows; correctness never depends on which side was adopted.
+    if (!Files.exists(tfDir) && finished(tfStage))
+      Files.move(tfStage, tfDir, StandardCopyOption.ATOMIC_MOVE)
+    if (!Files.exists(dlDir) && finished(dlStage)) {
+      Files.createDirectories(dlDir)
+      Files.move(dlStage, dlDir.resolve("batch=base"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    locally {
+      val tfAll = readTf(spark, dir)
+      val tfNew = tombs.fold(tfAll)(t => tfAll.join(t, Seq("doc_id"), "left_anti"))
+      deleteRecursive(tfStage)
+      stage("compact:tf-write")(
+        tfNew.write.mode(SaveMode.Overwrite).parquet(tfStage.toString))
+      val (ids, ledger) = readDocIds(spark, dir)
+      val keep = tombs.fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti"))
+      deleteRecursive(dlStage)
+      // the compacted index always carries a ledger afterwards (tf-derived
+      // when the source had none) — compaction UPGRADES pre-ledger indexes
+      stage("compact:doclist-write")(
+        keep.write.mode(SaveMode.Overwrite).parquet(dlStage.toString))
+      if (!ledger) System.err.println(
+        s"[compact] $dir has no doclist ledger; N derived from tf doc ids " +
+          "(token-less tombstoned docs, if any, stay counted in N)")
+      // swap (the only non-resumable window is between these two moves,
+      // covered by the adopt branch above)
+      deleteRecursive(tfDir)
+      Files.move(tfStage, tfDir, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursive(dlDir)
+      Files.createDirectories(dlDir)
+      Files.move(dlStage, dlDir.resolve("batch=base"),
+        StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursive(Paths.get(dir, "tf_appends"))
+    }
+    // metadata-only count over the single-column ledger
+    val newN = spark.read.parquet(s"$dir/doclist").count()
+    writeBatches(dir, Map("base" -> newN))
+    val docCounts = statsFromTf(spark, dir, cfg, () => newN,
+      s"${old.sourcePath}~compact")
+    deleteRecursive(Paths.get(dir, "postings"))
+    deleteRecursive(Paths.get(dir, "manifest"))
+    val g = PostingIndex.readGlobals(spark, dir)
+    buildPostings(spark, dir, cfg, g, Some(docCounts))
+    deleteRecursive(Paths.get(dir, "tombstones"))
+    g
+  }
+
+  /** Hardlink clone of an index directory — O(files) metadata ops, zero
+    * data copied. Safe because every mutation in this module REPLACES files
+    * (staging write + atomic move / SaveMode.Overwrite = unlink + create),
+    * never edits in place: deleting or overwriting a link in the clone
+    * leaves the source's inodes untouched. Falls back to a real copy on
+    * filesystems without hardlinks. This is how a serving deployment
+    * runs [[delete]]/[[compact]]/[[append]] against a LIVE index: clone,
+    * mutate the clone, swap the serving pointer.
+    */
+  def cloneIndex(src: String, dst: String): Unit = {
+    val s = Paths.get(src)
+    val d = Paths.get(dst)
+    require(Files.exists(s), s"cloneIndex: source $src does not exist")
+    deleteRecursive(d)
+    Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        try Files.createLink(t, p)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+  }
+
   private def tbUdf(buckets: Int) = udf((t: String) => IndexFormat.termBucket(t, buckets))
   private def shardUdf(shards: Int) = udf((d: Long) => IndexFormat.docShard(d, shards))
 
@@ -198,17 +368,20 @@ object IndexBuilder {
     // plain layout (no partitionBy): tf is always read whole; a dynamic
     // partition write here only multiplies small files and commit time
     stage("stats:tf-write")(tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
-    // a FRESH base build invalidates any previously appended batches — a
-    // stale tf_appends left in a reused directory must not union into the
-    // new corpus' stats
+    // a FRESH base build invalidates any previously appended batches and
+    // delete markers — stale tf_appends/doclist/tombstones left in a reused
+    // directory must not union into the new corpus' stats
     deleteRecursive(Paths.get(dir, "tf_appends"))
+    deleteRecursive(Paths.get(dir, "doclist"))
+    deleteRecursive(Paths.get(dir, "tombstones"))
     Files.deleteIfExists(Paths.get(dir, "batches.json"))
 
-    // the corpus row count is a metadata-only job — overlap its driver-side
-    // latency with the partition-docs pass instead of paying it serially
+    // the doc-id ledger write also yields the corpus row count (observation
+    // on the same job) — overlap its driver-side latency with the
+    // partition-docs pass instead of paying it serially
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val nDocsF = Future(docs.count())
+    val nDocsF = Future(stage("stats:doclist")(writeDocList(docs, dir, "base")))
     val sourcePath = docs.queryExecution.analyzed.collectLeaves().headOption
       .map(_.simpleString(60)).getOrElse("inline")
     statsFromTf(spark, dir, cfg,
@@ -521,7 +694,7 @@ object IndexBuilder {
     val body = rows.map(r =>
       s"""{"tb":${r.getInt(0)},"shard":${r.getInt(1)},"docs":${r.getLong(2)},"tokens":${r.getLong(3)}}""")
       .mkString("", "\n", "\n")
-    Files.writeString(Paths.get(dir, "partition_docs.json"), body)
+    replaceString(Paths.get(dir, "partition_docs.json"), body)
   }
 
   private[index] def readPartDocs(dir: String): Map[(Int, Int), Long] = {
@@ -542,7 +715,7 @@ object IndexBuilder {
     val body = m.toSeq.sortBy(_._1)
       .map { case (b, n) => s"""{"batch":${jsonStr(b)},"docs":$n}""" }
       .mkString("", "\n", "\n")
-    Files.writeString(Paths.get(dir, "batches.json"), body)
+    replaceString(Paths.get(dir, "batches.json"), body)
   }
 
   private[index] def readBatches(dir: String): Map[String, Long] = {
@@ -555,6 +728,20 @@ object IndexBuilder {
   }
 
   // --- small fs helpers ----------------------------------------------------
+
+  /** REPLACE a small local JSON file: write-to-temp + atomic rename, never
+    * truncate-in-place. In-place truncation would write THROUGH a shared
+    * inode — mutating every [[cloneIndex]] hardlink sibling of the file
+    * (caught by LifecycleSpec's clone-isolation gate) — and a crash
+    * mid-write would leave a torn file where a marker (globals.json) must
+    * be all-or-nothing.
+    */
+  private def replaceString(p: Path, body: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def listPartitionDirs(staging: Path): Seq[(Int, Int, Path)] = {
     if (!Files.exists(staging)) return Seq.empty
@@ -592,6 +779,6 @@ object IndexBuilder {
          |"vocabularySize":${g.vocabularySize},"shards":${g.shards},
          |"termBuckets":${g.termBuckets},"blockSize":${g.blockSize},
          |"k1":${g.k1},"b":${g.b},"stem":${g.stem}}""".stripMargin.replace("\n", "")
-    Files.writeString(Paths.get(dir, "globals.json"), json)
+    replaceString(Paths.get(dir, "globals.json"), json)
   }
 }

@@ -43,6 +43,36 @@ final class PostingIndex(spark: SparkSession, dir: String) {
 
   private var preloaded: Option[DataFrame] = None
 
+  /** Serving-time delete overlay ([[IndexBuilder.delete]]): the distinct
+    * tombstoned doc ids as a sorted array, broadcast once per index handle
+    * and binary-searched inside the DAAT loops — a tombstoned doc never
+    * occupies a top-k slot, while surviving docs keep their (pre-delete
+    * statistics) scores bit-exactly. Memory: 8 B/id. The cap forces a
+    * [[IndexBuilder.compact]] once the overlay stops being "small relative
+    * to the index" — the same accumulate-then-merge contract as Lucene
+    * deletes; at the cap the overlay is an 80 MB broadcast, far below a
+    * posting shard, and past it compaction is cheaper than carrying the
+    * overlay through every query.
+    */
+  private val tombstones: Array[Long] = {
+    val p = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(p)) Array.emptyLongArray
+    else {
+      val arr = spark.read.parquet(p.toString).select("doc_id").distinct()
+        .limit(PostingIndex.maxServedTombstones + 1)
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      require(arr.length <= PostingIndex.maxServedTombstones,
+        s"index $dir carries more than ${PostingIndex.maxServedTombstones} " +
+          "tombstones; run IndexBuilder.compact before serving")
+      java.util.Arrays.sort(arr)
+      arr
+    }
+  }
+
+  private lazy val tombstonesBc =
+    if (tombstones.isEmpty) null
+    else spark.sparkContext.broadcast(tombstones)
+
   /** An entirely-empty corpus (or one whose docs produce no tokens) never
     * writes a postings dir; treat it as an empty segment table.
     */
@@ -86,9 +116,14 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
+    val exBc = tombstonesBc
     Some(blocks.groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
-        if (conj) Wand.topKConjunctive(rows, qtf, kk) else Wand.topK(rows, qtf, kk)
+        val ex: Long => Boolean =
+          if (exBc == null) null
+          else { val a = exBc.value; d => java.util.Arrays.binarySearch(a, d) >= 0 }
+        if (conj) Wand.topKConjunctive(rows, qtf, kk, ex)
+        else Wand.topK(rows, qtf, kk, ex)
       }
       .toDF("doc_id", "score"))
   }
@@ -144,13 +179,17 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
+    val exBc = tombstonesBc
     val perShard = blocks
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         // materialize the shard's block slice once; every query reuses it
         val rs = rows.toArray
+        val ex: Long => Boolean =
+          if (exBc == null) null
+          else { val a = exBc.value; d => java.util.Arrays.binarySearch(a, d) >= 0 }
         bQtf.value.iterator.flatMap { case (qid, qtf) =>
-          Wand.topK(rs.iterator.filter(r => qtf.contains(r.term)), qtf, kk)
+          Wand.topK(rs.iterator.filter(r => qtf.contains(r.term)), qtf, kk, ex)
             .map { case (d, s) => (qid, d, s) }
         }
       }
@@ -184,6 +223,9 @@ final class PostingIndex(spark: SparkSession, dir: String) {
 }
 
 object PostingIndex {
+
+  /** Serving-overlay size cap — see the `tombstones` field. */
+  val maxServedTombstones: Int = 10000000
 
   /** globals.json is a single flat object written by
     * [[IndexBuilder.writeGlobals]]; parse it with a local scan instead of a

@@ -101,6 +101,65 @@ ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
   }
 
+  /** Shared core of the delete-lifecycle twins: BM25 top-k where the
+    * statistics corpus (`docsFrom`, a FROM-able expression) and the
+    * candidate restriction (`candWhere`, a WHERE clause over `tf.doc_id`
+    * inside the weight CTE, or empty) vary independently. Identical math /
+    * rounding / total order to [[bm25TopK]].
+    */
+  private def bm25Lifecycle(query: String, k: Int, docsFrom: String,
+                            candWhere: String, p: BM25Params): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    s"""WITH docs AS (SELECT * FROM $docsFrom),
+tok AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS tok
+        FROM docs)
+  WHERE length(tok) > 2 AND lower(tok) NOT IN ($stopList)),
+$tfCte, $dfCte, $dlCte,
+stats AS (
+  SELECT CAST((SELECT count(*) FROM docs) AS DOUBLE) AS n,
+         CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS DOUBLE)
+           / CAST((SELECT count(*) FROM docs) AS DOUBLE) AS avgdl),
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+w AS (
+  SELECT tf.doc_id,
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (${p.k1} + 1.0))
+           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
+           * qt.qtf AS w
+  FROM tf JOIN df USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+  $candWhere)
+SELECT doc_id, round(sum(w), 4) AS score
+FROM w GROUP BY doc_id
+ORDER BY round(sum(w), 4) DESC, doc_id ASC
+LIMIT $k"""
+  }
+
+  /** Tombstone-serving twin ([[graft.index.IndexBuilder.delete]] without
+    * compaction): every weight still bakes the FULL pre-delete statistics
+    * (df, dl, N, avgdl over the whole corpus — a tombstone write touches no
+    * posting), but candidates matching `deletedPred` (a predicate over
+    * `tf.doc_id`) are excluded before they can claim a top-k slot. Exactly
+    * the engine's overlay semantics.
+    */
+  def bm25TopKTombstoned(query: String, k: Int, deletedPred: String,
+                         p: BM25Params = BM25.default): String =
+    bm25Lifecycle(query, k, "documents",
+      s"WHERE NOT (${deletedPred.replace("doc_id", "tf.doc_id")})", p)
+
+  /** Post-compaction twin ([[graft.index.IndexBuilder.compact]]): the
+    * corpus itself shrinks, so N/avgdl/df and every weight are those of a
+    * fresh build over the surviving documents — the plain BM25 twin over
+    * the filtered corpus.
+    */
+  def bm25TopKCompacted(query: String, k: Int, deletedPred: String,
+                        p: BM25Params = BM25.default): String =
+    bm25Lifecycle(query, k, s"documents WHERE NOT ($deletedPred)", "", p)
+
   /** DuckDB twin of [[graft.index.IndexFormat.docShard]] (64-bit
     * golden-ratio multiply mix, xor of halves, signed-int32 floorMod) as a
     * CTE pair over the distinct `tf` doc ids — HUGEINT modular arithmetic,

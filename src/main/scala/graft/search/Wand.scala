@@ -93,14 +93,21 @@ object Wand {
     if (c != 0) c else java.lang.Long.compare(b.doc, a.doc)
   }
 
-  def topK(rows: Iterator[BlockRow], qtf: Map[String, Double], k: Int): Iterator[(Long, Double)] = {
+  /** Optional tombstone overlay: a predicate over docIds; `null` means no
+    * exclusions (kept non-Option so the DAAT hot loops stay allocation-free).
+    * An excluded doc is skipped at CANDIDATE time — it never occupies a
+    * top-k slot — while the block-max upper bounds stay valid bounds, so
+    * WAND pruning remains exact for the surviving docs.
+    */
+  def topK(rows: Iterator[BlockRow], qtf: Map[String, Double], k: Int,
+           excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
     // group blocks by term; sort each term's blocks by block_id (=docId order)
     val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
     rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
     if (byTerm.isEmpty) return Iterator.empty
     if (byTerm.size == 1) {
       val (t, bs) = byTerm.head
-      return singleTermTopK(bs, qtf(t), k)
+      return singleTermTopK(bs, qtf(t), k, excluded)
     }
     val cursors: Array[Cursor] = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
       new Cursor(t, qtf(t), bs.sortBy(_.block_id).toArray)
@@ -142,14 +149,17 @@ object Wand {
         val pivotDoc = order(p).curDoc
         if (order(0).curDoc == pivotDoc) {
           // fully evaluate pivotDoc: cursors[] is term-sorted -> pinned sum order
-          var score = 0.0
-          var i = 0
-          while (i < cursors.length) {
-            if (cursors(i).curDoc == pivotDoc) score += cursors(i).contribution
-            i += 1
+          // (tombstoned docs skip the scoring loop entirely and just advance)
+          if (excluded == null || !excluded(pivotDoc)) {
+            var score = 0.0
+            var i = 0
+            while (i < cursors.length) {
+              if (cursors(i).curDoc == pivotDoc) score += cursors(i).contribution
+              i += 1
+            }
+            offer(pivotDoc, score)
           }
-          offer(pivotDoc, score)
-          i = 0
+          var i = 0
           while (i < cursors.length) {
             if (cursors(i).curDoc == pivotDoc) cursors(i).next()
             i += 1
@@ -183,7 +193,7 @@ object Wand {
     * "posting-list intersection" wording.
     */
   def topKConjunctive(rows: Iterator[BlockRow], qtf: Map[String, Double],
-                      k: Int): Iterator[(Long, Double)] = {
+                      k: Int, excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
     val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
     rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
     // a shard missing any query term has no conjunctive match at all
@@ -216,14 +226,16 @@ object Wand {
           i += 1
         }
         if (aligned && cursors.forall(_.curDoc == target)) {
-          var score = 0.0
-          i = 0
-          while (i < cursors.length) { score += cursors(i).contribution; i += 1 }
-          if (heap.size < k) heap.add(Hit(target, score))
-          else {
-            val w = heap.peek()
-            if (score > w.score || (score == w.score && target < w.doc)) {
-              heap.poll(); heap.add(Hit(target, score))
+          if (excluded == null || !excluded(target)) {
+            var score = 0.0
+            i = 0
+            while (i < cursors.length) { score += cursors(i).contribution; i += 1 }
+            if (heap.size < k) heap.add(Hit(target, score))
+            else {
+              val w = heap.peek()
+              if (score > w.score || (score == w.score && target < w.doc)) {
+                heap.poll(); heap.add(Hit(target, score))
+              }
             }
           }
           i = 0
@@ -245,7 +257,7 @@ object Wand {
     * (df ~ N) query whose docId-ordered traversal would decode every block.
     */
   private def singleTermTopK(blocks: mutable.ArrayBuffer[BlockRow], qtf: Double,
-                             k: Int): Iterator[(Long, Double)] = {
+                             k: Int, excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
     val heap = new java.util.PriorityQueue[Hit](k, worstFirst)
     val sorted = blocks.sortBy(-_.max_w)
     var bi = 0
@@ -258,12 +270,14 @@ object Wand {
         val wts = graft.index.Codec.decodeDoubles(blk.wts_bin)
         var i = 0
         while (i < blk.n) {
-          val score = qtf * wts(i)
-          if (heap.size < k) heap.add(Hit(docs(i), score))
-          else {
-            val w = heap.peek()
-            if (score > w.score || (score == w.score && docs(i) < w.doc)) {
-              heap.poll(); heap.add(Hit(docs(i), score))
+          if (excluded == null || !excluded(docs(i))) {
+            val score = qtf * wts(i)
+            if (heap.size < k) heap.add(Hit(docs(i), score))
+            else {
+              val w = heap.peek()
+              if (score > w.score || (score == w.score && docs(i) < w.doc)) {
+                heap.poll(); heap.add(Hit(docs(i), score))
+              }
             }
           }
           i += 1
