@@ -120,13 +120,25 @@ object SparkEntry {
     lifecycleDone.getOrElseUpdate((dir, compacted), {
       val src = index.IndexCache.dirFor(s, dir, stem = false)
       val dst = src + (if (compacted) "_lc_compacted" else "_lc_tombstoned")
-      index.IndexBuilder.cloneIndex(src, dst)
-      index.IndexBuilder.delete(s,
-        rawDocs(s, dir).select("doc_id")
-          .filter(pmod(col("doc_id"), lit(7L)) === 3), dst, "lc1")
-      if (compacted)
-        index.IndexBuilder.compact(s, dst,
-          index.IndexConfig(shards = 8, termBuckets = 4, stem = false))
+      // cross-process reuse marker (the IndexCache pattern): a finished
+      // variant derived from THIS source build is served as-is — without it
+      // every fresh JVM would re-clone and re-compact during prewarm. The
+      // marker is written last, so a crash mid-mutation rebuilds.
+      val srcBuild = index.PostingIndex.readGlobals(s, src).buildId
+      val marker = java.nio.file.Paths.get(dst, "lc_source.txt")
+      val reusable = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == srcBuild &&
+        index.PostingIndex.isComplete(s, dst)
+      if (!reusable) {
+        index.IndexBuilder.cloneIndex(src, dst)
+        index.IndexBuilder.delete(s,
+          rawDocs(s, dir).select("doc_id")
+            .filter(pmod(col("doc_id"), lit(7L)) === 3), dst, "lc1")
+        if (compacted)
+          index.IndexBuilder.compact(s, dst,
+            index.IndexConfig(shards = 8, termBuckets = 4, stem = false))
+        java.nio.file.Files.writeString(marker, srcBuild)
+      }
       dst
     })
 
