@@ -199,15 +199,32 @@ object IndexBuilder {
     obs.get("n").asInstanceOf[Long]
   }
 
-  /** The membership ledger if present (`(df, exact=true)`), else the
-    * distinct tf doc ids (`exact=false`: token-less docs are invisible to
-    * tf, so an index built before the ledger existed under-counts them —
-    * [[compact]] documents the consequence).
+  /** The membership ledger if COMPLETE (`(df, exact=true)`) — complete
+    * means `batch=base` is present, since the base build always writes it
+    * and every append adds its own batch dir. A ledger WITHOUT base happens
+    * exactly when a pre-ledger index was appended to by current code: the
+    * appended batches are ledgered but the base corpus is not, so treating
+    * the partial ledger as authoritative would collapse N to the appended
+    * batches alone. In that case (and when no ledger exists at all) fall
+    * back to the distinct tf doc ids unioned with any ledgered batches —
+    * `exact=false`: token-less BASE docs are invisible to tf, so a
+    * pre-ledger index under-counts them ([[compact]] documents the
+    * consequence).
     */
-  private[index] def readDocIds(spark: SparkSession, dir: String): (DataFrame, Boolean) =
-    if (Files.exists(Paths.get(dir, "doclist")))
-      (spark.read.parquet(s"$dir/doclist").select("doc_id"), true)
-    else (readTf(spark, dir).select("doc_id").distinct(), false)
+  private[index] def readDocIds(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
+    val dl = Paths.get(dir, "doclist")
+    if (Files.exists(dl.resolve("batch=base")))
+      (spark.read.parquet(dl.toString).select("doc_id"), true)
+    else {
+      val tfIds = readTf(spark, dir).select("doc_id").distinct()
+      val ids =
+        if (Files.exists(dl))
+          tfIds.unionByName(spark.read.parquet(dl.toString).select("doc_id"))
+            .distinct()
+        else tfIds
+      (ids, false)
+    }
+  }
 
   /** Mark documents DELETED — an O(|ids|) tombstone write, no index
     * rewrite. Serving applies the overlay immediately ([[PostingIndex]]

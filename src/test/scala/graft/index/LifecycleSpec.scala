@@ -42,6 +42,13 @@ class LifecycleSpec extends AnyFunSuite {
   private def resultSeq(df: DataFrame): Seq[(Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  private def rmTree(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
   private def decoded(dir: String): Map[String, Seq[(Long, Double, Long)]] =
     spark.read.parquet(s"$dir/postings").collect().toSeq
       .map { r =>
@@ -164,6 +171,31 @@ class LifecycleSpec extends AnyFunSuite {
     assert(g1.nDocs == expectedN, s"got ${g1.nDocs}, want $expectedN")
     val gBack = PostingIndex.readGlobals(spark, dir)
     assert(gBack.nDocs == expectedN)
+  }
+
+  test("pre-ledger index + append + compact converges via the union fallback") {
+    // an index built BEFORE the doclist ledger existed, then appended to by
+    // current code: only the appended batch is ledgered. A compact that
+    // trusted the partial ledger would collapse N to the appended batch;
+    // readDocIds must demand batch=base and otherwise union tf ids with the
+    // ledgered batches.
+    val dir = tmpDir("preledger")
+    val half1 = docs.filter(pmod(col("docId"), lit(2L)) === 0)
+    val half2 = docs.filter(pmod(col("docId"), lit(2L)) === 1)
+    IndexBuilder.build(spark, half1, dir, cfg)
+    rmTree(s"$dir/doclist") // simulate the pre-ledger base build
+    IndexBuilder.append(spark, half2, dir, cfg, "b1") // ledgers ONLY b1
+    IndexBuilder.delete(spark, docs.filter(deletedPred).select("docId"),
+      dir, "lc1")
+    IndexBuilder.compact(spark, dir, cfg)
+    val fresh = tmpDir("preledgerFresh")
+    IndexBuilder.build(spark, survivors, fresh, cfg)
+    assert(decoded(dir) == decoded(fresh))
+    val gC = PostingIndex.readGlobals(spark, dir)
+    val gF = PostingIndex.readGlobals(spark, fresh)
+    // every doc in this corpus tokenizes, so the fallback is exact here
+    assert((gC.nDocs, gC.totalTokens, gC.avgdl) ==
+      (gF.nDocs, gF.totalTokens, gF.avgdl))
   }
 
   test("compact adopts a finished staging after a mid-swap crash") {
