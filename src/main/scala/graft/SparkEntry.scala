@@ -138,6 +138,7 @@ object SparkEntry {
           index.IndexBuilder.compact(s, dst,
             index.IndexConfig(shards = 8, termBuckets = 4, stem = false))
         java.nio.file.Files.writeString(marker, srcBuild)
+        index.PostingIndex.invalidate(dst) // drop any handle onto old content
       }
       dst
     })
@@ -297,14 +298,16 @@ object SparkEntry {
             "indexed_term_slices", "postings")
       }),
       // S4 lifecycle, tombstone overlay: deleted docs never reach the
-      // top-k while surviving scores keep the pre-delete statistics
+      // top-k while surviving scores keep the pre-delete statistics.
+      // forDir: the overlay collect+broadcast happens once per JVM, not
+      // per query invocation
       "ep2_wand_tsm_deleted" -> ((s, dir) =>
-        new index.PostingIndex(s, lifecycleDir(s, dir, compacted = false))
+        index.PostingIndex.forDir(s, lifecycleDir(s, dir, compacted = false))
           .searchRounded("table scan merge", 10)),
       // S4 lifecycle, post-compaction: the index equals a fresh build over
       // the survivors, so stats and every weight are refreshed
       "ep2_wand_tsm_compacted" -> ((s, dir) =>
-        new index.PostingIndex(s, lifecycleDir(s, dir, compacted = true))
+        index.PostingIndex.forDir(s, lifecycleDir(s, dir, compacted = true))
           .searchRounded("table scan merge", 10)))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ opsQueries ++ tpchQueries
   }

@@ -262,46 +262,42 @@ object IndexBuilder {
     * df) into every weight, so a compaction that kept stale weights would
     * drift from the rebuild.
     *
-    * Idempotent and crash-resumable: the filtered tf/doclist are staged
-    * first (`.compact_*`), the swap adopts a finished staging if a previous
-    * run died between wipe and move, and re-running after the swap
-    * re-filters an already-filtered tf (a no-op anti-join) before
-    * rebuilding stats/postings. Serving readers should still point at a
-    * finished directory — compact a [[cloneIndex]] hardlink clone and swap
-    * pointers, exactly like a segment merge.
+    * Idempotent and crash-resumable via a two-phase commit: phase A stages
+    * the filtered tf/doclist (`.compact_*`) while the live directories stay
+    * untouched — a crash there just re-runs phase A — then a
+    * `.compact_swap` marker is the commit point, after which phase B
+    * (delete tf_appends, wipe-and-move each staging) is pure idempotent
+    * file surgery: a resume that sees the marker SKIPS phase A and
+    * finishes the swap, so a partially-wiped live dir is re-wiped and
+    * re-adopted (never read), tf_appends can never double-count into a
+    * re-filter, and an empty half-created doclist dir is replaced. Serving
+    * readers should still point at a finished directory — compact a
+    * [[cloneIndex]] hardlink clone and swap pointers, exactly like a
+    * segment merge.
     *
-    * On a pre-ledger index (no `doclist/`), N falls back to the distinct tf
-    * doc ids plus the old token-less remainder — exact unless a TOKEN-LESS
-    * doc was tombstoned (it has no postings to remove; only N/avgdl would
-    * overcount — bounded, documented, and impossible for ledger-backed
-    * indexes).
+    * On a pre-ledger index (no `doclist/batch=base`), N falls back to the
+    * distinct tf doc ids (plus any ledgered append batches) — exact unless
+    * a TOKEN-LESS doc predates the ledger (it has no postings to remove;
+    * only N/avgdl would overcount — bounded, documented, and impossible
+    * for ledger-backed indexes).
     */
   def compact(spark: SparkSession, dir: String, cfg: IndexConfig): IndexGlobals = {
     val old = PostingIndex.readGlobals(spark, dir)
     checkConfig(old, cfg, dir)
     val tombs = readTombstones(spark, dir)
     val hasAppends = Files.exists(Paths.get(dir, "tf_appends"))
-    if (tombs.isEmpty && !hasAppends) return old // nothing to fold or drop
+    val swapMarker = Paths.get(dir, ".compact_swap")
+    if (tombs.isEmpty && !hasAppends && !Files.exists(swapMarker))
+      return old // nothing to fold, drop, or finish
     val tfDir = Paths.get(dir, "tf")
     val tfStage = Paths.get(dir, ".compact_tf")
     val dlStage = Paths.get(dir, ".compact_doclist")
     val dlDir = Paths.get(dir, "doclist")
     def finished(p: Path) = Files.exists(p.resolve("_SUCCESS"))
-    // Adopt any FINISHED staging a predecessor left when it died mid-swap.
-    // tfDir can only be absent once tfStage committed (_SUCCESS) — the live
-    // dir is wiped strictly after the staging write — and likewise for
-    // dlDir/dlStage, so each adoption is independent (a death between the
-    // tf move and the doclist move leaves exactly one of them to finish).
-    // The re-filter below is then a no-op anti-join over already-filtered
-    // rows; correctness never depends on which side was adopted.
-    if (!Files.exists(tfDir) && finished(tfStage))
-      Files.move(tfStage, tfDir, StandardCopyOption.ATOMIC_MOVE)
-    if (!Files.exists(dlDir) && finished(dlStage)) {
-      Files.createDirectories(dlDir)
-      Files.move(dlStage, dlDir.resolve("batch=base"),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-    locally {
+    if (!Files.exists(swapMarker)) {
+      // PHASE A (stage): the live tf/doclist/tf_appends are never touched
+      // here, so a crash anywhere in this block re-runs it from the intact
+      // live state (stale partial stagings are wiped first).
       val tfAll = readTf(spark, dir)
       val tfNew = tombs.fold(tfAll)(t => tfAll.join(t, Seq("doc_id"), "left_anti"))
       deleteRecursive(tfStage)
@@ -317,16 +313,26 @@ object IndexBuilder {
       if (!ledger) System.err.println(
         s"[compact] $dir has no doclist ledger; N derived from tf doc ids " +
           "(token-less tombstoned docs, if any, stay counted in N)")
-      // swap (the only non-resumable window is between these two moves,
-      // covered by the adopt branch above)
+      // COMMIT POINT: from here the staged results are authoritative
+      Files.writeString(swapMarker, old.buildId)
+    }
+    // PHASE B (swap), idempotent under re-run from any crash point:
+    // tf_appends goes first (its rows are already folded into the staged
+    // tf — leaving it alive into a resume would union it twice), each wipe
+    // re-runs fully even if a predecessor died mid-delete, and a staging
+    // that was already moved is simply skipped.
+    deleteRecursive(Paths.get(dir, "tf_appends"))
+    if (finished(tfStage)) {
       deleteRecursive(tfDir)
       Files.move(tfStage, tfDir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (finished(dlStage)) {
       deleteRecursive(dlDir)
       Files.createDirectories(dlDir)
       Files.move(dlStage, dlDir.resolve("batch=base"),
         StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursive(Paths.get(dir, "tf_appends"))
     }
+    Files.deleteIfExists(swapMarker)
     // metadata-only count over the single-column ledger
     val newN = spark.read.parquet(s"$dir/doclist").count()
     writeBatches(dir, Map("base" -> newN))

@@ -227,6 +227,21 @@ object PostingIndex {
   /** Serving-overlay size cap — see the `tombstones` field. */
   val maxServedTombstones: Int = 10000000
 
+  private val handles =
+    scala.collection.concurrent.TrieMap.empty[String, PostingIndex]
+
+  /** Memoized serving handle per index dir: constructing a handle on a
+    * tombstoned index runs a read+distinct+collect job and creates a
+    * broadcast for the overlay — once per (JVM, dir) through here, instead
+    * of once per query. Call [[invalidate]] after mutating the directory
+    * in place (the dropped handle's broadcast is reclaimed by the
+    * ContextCleaner once unreferenced).
+    */
+  def forDir(spark: SparkSession, dir: String): PostingIndex =
+    handles.getOrElseUpdate(dir, new PostingIndex(spark, dir))
+
+  def invalidate(dir: String): Unit = handles.remove(dir)
+
   /** globals.json is a single flat object written by
     * [[IndexBuilder.writeGlobals]]; parse it with a local scan instead of a
     * `spark.read.json` job — a Spark job per index open was measurable

@@ -54,64 +54,34 @@ object OracleSql {
   /** BM25 top-k for one query — mirrors [[RelationalBM25.topK]] including
     * literal construction order ((k1 + 1.0), (1.0 - b)) so double math
     * agrees, and the 4-decimal rounding + (score desc, doc_id asc) total
-    * order.
+    * order. Delegates to the shared [[bm25Core]] (one copy of the weight
+    * expression across all five BM25 twins — the oracle math cannot drift
+    * between variants).
     */
-  def bm25TopK(query: String, k: Int, p: BM25Params = BM25.default): String = {
-    val terms = RelationalBM25.queryTerms(query, stem = false)
-    require(terms.nonEmpty, s"query '$query' has no surviving terms")
-    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
-    s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
-qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
-w AS (
-  SELECT tf.doc_id,
-         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * (tf.tf * (${p.k1} + 1.0))
-           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
-           * qt.qtf AS w
-  FROM tf JOIN df USING (term) JOIN qt USING (term)
-       JOIN dl USING (doc_id) CROSS JOIN stats)
-SELECT doc_id, round(sum(w), 4) AS score
-FROM w GROUP BY doc_id
-ORDER BY round(sum(w), 4) DESC, doc_id ASC
-LIMIT $k"""
-  }
+  def bm25TopK(query: String, k: Int, p: BM25Params = BM25.default): String =
+    bm25Core(query, k, "documents", "", conjunctive = false, p)
 
   /** Conjunctive (AND) variant: only docs matching EVERY distinct query
     * term score — `HAVING count(*) = |terms|` over the per-(doc, term)
     * weight rows.
     */
-  def bm25TopKConjunctive(query: String, k: Int, p: BM25Params = BM25.default): String = {
-    val terms = RelationalBM25.queryTerms(query, stem = false)
-    require(terms.nonEmpty, s"query '$query' has no surviving terms")
-    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
-    s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
-qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
-w AS (
-  SELECT tf.doc_id,
-         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * (tf.tf * (${p.k1} + 1.0))
-           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
-           * qt.qtf AS w
-  FROM tf JOIN df USING (term) JOIN qt USING (term)
-       JOIN dl USING (doc_id) CROSS JOIN stats)
-SELECT doc_id, round(sum(w), 4) AS score
-FROM w GROUP BY doc_id
-HAVING count(*) = ${terms.size}
-ORDER BY round(sum(w), 4) DESC, doc_id ASC
-LIMIT $k"""
-  }
+  def bm25TopKConjunctive(query: String, k: Int, p: BM25Params = BM25.default): String =
+    bm25Core(query, k, "documents", "", conjunctive = true, p)
 
-  /** Shared core of the delete-lifecycle twins: BM25 top-k where the
-    * statistics corpus (`docsFrom`, a FROM-able expression) and the
-    * candidate restriction (`candWhere`, a WHERE clause over `tf.doc_id`
-    * inside the weight CTE, or empty) vary independently. Identical math /
-    * rounding / total order to [[bm25TopK]].
+  /** Shared core of ALL BM25 twins: top-k where the statistics corpus
+    * (`docsFrom`, a FROM-able expression), the candidate restriction
+    * (`candWhere`, a WHERE clause over `tf.doc_id` inside the weight CTE,
+    * or empty) and conjunctive matching vary independently. One copy of
+    * the weight expression — literal construction order ((k1 + 1.0),
+    * (1.0 - b)), 4-dp rounding, (score desc, doc_id asc) total order.
     */
-  private def bm25Lifecycle(query: String, k: Int, docsFrom: String,
-                            candWhere: String, p: BM25Params): String = {
+  private def bm25Core(query: String, k: Int, docsFrom: String,
+                       candWhere: String, conjunctive: Boolean,
+                       p: BM25Params): String = {
     val terms = RelationalBM25.queryTerms(query, stem = false)
     require(terms.nonEmpty, s"query '$query' has no surviving terms")
     val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    val having = if (conjunctive) s"\nHAVING count(*) = ${terms.size}" else ""
     s"""WITH docs AS (SELECT * FROM $docsFrom),
 tok AS (
   SELECT doc_id, lower(tok) AS term
@@ -134,22 +104,33 @@ w AS (
        JOIN dl USING (doc_id) CROSS JOIN stats
   $candWhere)
 SELECT doc_id, round(sum(w), 4) AS score
-FROM w GROUP BY doc_id
+FROM w GROUP BY doc_id$having
 ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
   }
 
+  /** `deletedPred` contract for the lifecycle twins: a predicate over the
+    * BARE column `doc_id` (no table qualification — the tombstoned twin
+    * re-anchors it onto the weight CTE's `tf.doc_id` at a word boundary).
+    */
+  private def checkDeletedPred(pred: String): Unit =
+    require(!pred.contains(".") && pred.matches(".*\\bdoc_id\\b.*"),
+      s"deletedPred must reference the bare column doc_id, got '$pred'")
+
   /** Tombstone-serving twin ([[graft.index.IndexBuilder.delete]] without
     * compaction): every weight still bakes the FULL pre-delete statistics
     * (df, dl, N, avgdl over the whole corpus — a tombstone write touches no
-    * posting), but candidates matching `deletedPred` (a predicate over
-    * `tf.doc_id`) are excluded before they can claim a top-k slot. Exactly
-    * the engine's overlay semantics.
+    * posting), but candidates matching `deletedPred` (a predicate over the
+    * bare `doc_id`) are excluded before they can claim a top-k slot.
+    * Exactly the engine's overlay semantics.
     */
   def bm25TopKTombstoned(query: String, k: Int, deletedPred: String,
-                         p: BM25Params = BM25.default): String =
-    bm25Lifecycle(query, k, "documents",
-      s"WHERE NOT (${deletedPred.replace("doc_id", "tf.doc_id")})", p)
+                         p: BM25Params = BM25.default): String = {
+    checkDeletedPred(deletedPred)
+    bm25Core(query, k, "documents",
+      s"WHERE NOT (${deletedPred.replaceAll("\\bdoc_id\\b", "tf.doc_id")})",
+      conjunctive = false, p)
+  }
 
   /** Post-compaction twin ([[graft.index.IndexBuilder.compact]]): the
     * corpus itself shrinks, so N/avgdl/df and every weight are those of a
@@ -157,8 +138,11 @@ LIMIT $k"""
     * the filtered corpus.
     */
   def bm25TopKCompacted(query: String, k: Int, deletedPred: String,
-                        p: BM25Params = BM25.default): String =
-    bm25Lifecycle(query, k, s"documents WHERE NOT ($deletedPred)", "", p)
+                        p: BM25Params = BM25.default): String = {
+    checkDeletedPred(deletedPred)
+    bm25Core(query, k, s"documents WHERE NOT ($deletedPred)", "",
+      conjunctive = false, p)
+  }
 
   /** DuckDB twin of [[graft.index.IndexFormat.docShard]] (64-bit
     * golden-ratio multiply mix, xor of halves, signed-int32 floorMod) as a

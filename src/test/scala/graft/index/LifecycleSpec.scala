@@ -198,33 +198,62 @@ class LifecycleSpec extends AnyFunSuite {
       (gF.nDocs, gF.totalTokens, gF.avgdl))
   }
 
+  private def copyTree(src: String, dst: String): Unit =
+    Files.walk(Paths.get(src)).forEach { p =>
+      val t = Paths.get(dst).resolve(Paths.get(src).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+
   test("compact adopts a finished staging after a mid-swap crash") {
     val done = tombstonedIndex("adoptRef")
     val crashed = tombstonedIndex("adoptCrash")
     IndexBuilder.compact(spark, done, cfg)
-    // simulate a predecessor that died between the tf wipe and the moves:
-    // staged results committed (_SUCCESS), live tf gone, doclist gone
-    def copyTree(src: String, dst: String): Unit =
-      Files.walk(Paths.get(src)).forEach { p =>
-        val t = Paths.get(dst).resolve(Paths.get(src).relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-      }
+    // simulate a predecessor that died after the commit marker, between the
+    // tf wipe and the moves: staged results committed (_SUCCESS), marker
+    // present, live tf gone, doclist gone
     copyTree(s"$done/tf", s"$crashed/.compact_tf")
     copyTree(s"$done/doclist/batch=base", s"$crashed/.compact_doclist")
-    def wipe(p: String): Unit = {
-      val path = Paths.get(p)
-      if (Files.exists(path))
-        Files.walk(path).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
-    wipe(s"$crashed/tf")
-    wipe(s"$crashed/doclist")
-    // resume: must adopt both stagings and converge on the reference result
+    Files.writeString(Paths.get(crashed, ".compact_swap"), "crashed")
+    rmTree(s"$crashed/tf")
+    rmTree(s"$crashed/doclist")
+    // resume: must skip phase A, finish the swap, and converge
     IndexBuilder.compact(spark, crashed, cfg)
     assert(decoded(crashed) == decoded(done))
+    assert(!Files.exists(Paths.get(crashed, ".compact_swap")))
     val gA = PostingIndex.readGlobals(spark, crashed)
     val gB = PostingIndex.readGlobals(spark, done)
+    assert((gA.nDocs, gA.totalTokens, gA.avgdl, gA.vocabularySize) ==
+      (gB.nDocs, gB.totalTokens, gB.avgdl, gB.vocabularySize))
+  }
+
+  test("compact resume with marker and live tf_appends does not double-count") {
+    // the crash window right AFTER the commit marker: stagings finished,
+    // tf_appends not yet deleted, live tf/doclist untouched — a resume
+    // that re-filtered live state here would union the appended rows twice
+    val half1 = docs.filter(pmod(col("docId"), lit(2L)) === 0)
+    val half2 = docs.filter(pmod(col("docId"), lit(2L)) === 1)
+    def mk(tag: String): String = {
+      val d = tmpDir(tag)
+      IndexBuilder.build(spark, half1, d, cfg)
+      IndexBuilder.append(spark, half2, d, cfg, "b1")
+      IndexBuilder.delete(spark, docs.filter(deletedPred).select("docId"),
+        d, "lc1")
+      d
+    }
+    val twin = mk("dcTwin")
+    IndexBuilder.compact(spark, twin, cfg) // the uninterrupted reference
+    val crashed = mk("dcCrash")
+    copyTree(s"$twin/tf", s"$crashed/.compact_tf") // == phase A's staging
+    copyTree(s"$twin/doclist/batch=base", s"$crashed/.compact_doclist")
+    Files.writeString(Paths.get(crashed, ".compact_swap"), "crashed")
+    // live tf still = half1 only; tf_appends/batch=b1 still present
+    assert(Files.exists(Paths.get(crashed, "tf_appends")))
+    IndexBuilder.compact(spark, crashed, cfg)
+    assert(decoded(crashed) == decoded(twin))
+    assert(!Files.exists(Paths.get(crashed, "tf_appends")))
+    val gA = PostingIndex.readGlobals(spark, crashed)
+    val gB = PostingIndex.readGlobals(spark, twin)
     assert((gA.nDocs, gA.totalTokens, gA.avgdl, gA.vocabularySize) ==
       (gB.nDocs, gB.totalTokens, gB.avgdl, gB.vocabularySize))
   }
