@@ -17,8 +17,23 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   * spark-submit --class graft.Main app.jar \
   *   search <indexDir> <query...> [--k 10] [--conjunctive]
   * spark-submit --class graft.Main app.jar \
+  *   append  <corpusParquet> <indexDir> <batchId>
+  * spark-submit --class graft.Main app.jar \
+  *   delete  <idsParquet> <indexDir> <deleteId>
+  * spark-submit --class graft.Main app.jar \
+  *   compact <indexDir>
+  * spark-submit --class graft.Main app.jar \
+  *   clone   <srcIndexDir> <dstIndexDir>
+  * spark-submit --class graft.Main app.jar \
   *   serve  <sfDir> <port>
   * }}}
+  *
+  * The mutation verbs (`append`/`compact`) derive the layout and BM25
+  * config from the index's own globals.json — there is no way to pass a
+  * mismatched config. `clone` + mutate + pointer swap is the serving
+  * deployment shape ([[IndexBuilder.cloneIndex]]); note clone hardlinks,
+  * so it requires src and dst on one locally-mounted filesystem (it falls
+  * back to a copy otherwise).
   *
   * The corpus is any parquet with the input-hint shape
   * (repo, path, commit, lang, content) — [[Corpus.fromCodeDocs]] derives
@@ -82,6 +97,37 @@ object Main {
       top.collect().foreach(r => println(f"${r.getLong(0)}%20d  ${r.getDouble(1)}%.6f"))
       spark.stop()
 
+    case "append" :: corpus :: idxDir :: batchId :: Nil =>
+      val spark = session()
+      val docs = Corpus.fromCodeDocs(spark.read.parquet(corpus))
+      val t0 = System.nanoTime()
+      val g = IndexBuilder.append(spark, docs, idxDir, cfgOf(spark, idxDir),
+        batchId)
+      println(f"appended batch=$batchId: index now docs=${g.nDocs} " +
+        f"vocab=${g.vocabularySize} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+
+    case "delete" :: idsParquet :: idxDir :: deleteId :: Nil =>
+      // idsParquet: any parquet with a doc_id (or docId) column — e.g. the
+      // output of a dedup/PII/decontamination pass
+      val spark = session()
+      IndexBuilder.delete(spark, spark.read.parquet(idsParquet), idxDir, deleteId)
+      println(s"tombstoned del=$deleteId at $idxDir (serving applies the " +
+        "overlay immediately; run compact to reclaim and refresh stats)")
+      spark.stop()
+
+    case "compact" :: idxDir :: Nil =>
+      val spark = session()
+      val t0 = System.nanoTime()
+      val g = IndexBuilder.compact(spark, idxDir, cfgOf(spark, idxDir))
+      println(f"compacted $idxDir: docs=${g.nDocs} vocab=${g.vocabularySize} " +
+        f"tokens=${g.totalTokens} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+
+    case "clone" :: src :: dst :: Nil =>
+      IndexBuilder.cloneIndex(src, dst)
+      println(s"cloned $src -> $dst (hardlinks where the fs allows)")
+
     case "serve" :: sfDir :: port :: Nil =>
       val spark = session()
       val srv = new server.SearchServer(spark, sfDir, port.toInt)
@@ -91,9 +137,24 @@ object Main {
 
     case _ =>
       System.err.println(
-        """usage: graft.Main build  <corpusParquet> <indexDir> [shards] [termBuckets] [stem]
-          |       graft.Main search <indexDir> <query words...> [--k N] [--conjunctive]
-          |       graft.Main serve  <sfDir> <port>""".stripMargin)
+        """usage: graft.Main build   <corpusParquet> <indexDir> [shards] [termBuckets] [stem]
+          |       graft.Main search  <indexDir> <query words...> [--k N] [--conjunctive]
+          |       graft.Main append  <corpusParquet> <indexDir> <batchId>
+          |       graft.Main delete  <idsParquet> <indexDir> <deleteId>
+          |       graft.Main compact <indexDir>
+          |       graft.Main clone   <srcIndexDir> <dstIndexDir>
+          |       graft.Main serve   <sfDir> <port>""".stripMargin)
       sys.exit(2)
+  }
+
+  /** The index's OWN config, from globals.json — mutation verbs must match
+    * the layout the index was built with (checkConfig would refuse
+    * anything else), so the CLI never asks for one.
+    */
+  private def cfgOf(spark: SparkSession, idxDir: String): IndexConfig = {
+    val g = PostingIndex.readGlobals(spark, idxDir)
+    IndexConfig(shards = g.shards, termBuckets = g.termBuckets,
+      blockSize = g.blockSize,
+      params = graft.search.BM25Params(k1 = g.k1, b = g.b), stem = g.stem)
   }
 }
