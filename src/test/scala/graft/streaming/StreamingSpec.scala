@@ -188,4 +188,96 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${got.size} rows vs batch ${want.size}")
     } finally q.stop()
   }
+
+  test("streaming deletes (foreachBatch + delete) == one-shot tombstoning") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.corpus.{Corpus, SyntheticCorpus}
+    import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
+    val cfg = IndexConfig(shards = 4, termBuckets = 2, blockSize = 16)
+    val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 180, seed = 11L))
+    val delIds = docs.filter(pmod(col("docId"), lit(3L)) === 1).select("docId")
+
+    val oneShot = Files.createTempDirectory("graft-sd-ref").toString
+    IndexBuilder.build(spark, docs, oneShot, cfg)
+    IndexBuilder.delete(spark, delIds, oneShot, "all")
+
+    val streamed = Files.createTempDirectory("graft-sd-inc").toString
+    IndexBuilder.build(spark, docs, streamed, cfg)
+    val srcDir = Files.createTempDirectory("graft-sd-src").toString
+    delIds.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-sd-ckpt").toString
+    val q = StreamingDelete.sink(
+      spark.readStream.schema(delIds.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir), streamed, cfg, ckpt, availableNow = true)
+    q.awaitTermination(120000)
+    assert(q.lastProgress == null || q.lastProgress.batchId >= 1,
+      "expected multiple micro-batches")
+
+    // identical tombstone id set and identical overlay-served results
+    def tombs(d: String) = spark.read.parquet(s"$d/tombstones")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tombs(streamed) == tombs(oneShot))
+    val a = new PostingIndex(spark, oneShot)
+    val b = new PostingIndex(spark, streamed)
+    Seq("longest river", "return", "science").foreach { qq =>
+      assert(b.search(qq, 10).collect().map(_.toSeq).toSeq ==
+        a.search(qq, 10).collect().map(_.toSeq).toSeq, s"query '$qq'")
+    }
+
+    // restart over the SAME checkpoint: no new tombstone batches
+    val before = tombstoneBatchDirs(streamed)
+    val q2 = StreamingDelete.sink(
+      spark.readStream.schema(delIds.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir), streamed, cfg, ckpt, availableNow = true)
+    q2.awaitTermination(120000)
+    assert(tombstoneBatchDirs(streamed) == before, "restart must be a no-op")
+  }
+
+  test("streaming deletes auto-compact once the overlay crosses the bound") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.corpus.{Corpus, SyntheticCorpus}
+    import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
+    val cfg = IndexConfig(shards = 4, termBuckets = 2, blockSize = 16)
+    val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 180, seed = 11L))
+    val pred = pmod(col("docId"), lit(3L)) === 1
+    val delIds = docs.filter(pred).select("docId")
+
+    val dir = Files.createTempDirectory("graft-sdc-idx").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val srcDir = Files.createTempDirectory("graft-sdc-src").toString
+    delIds.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-sdc-ckpt").toString
+    // bound of 1: every non-empty trigger compacts -> after the drain the
+    // overlay must be empty and the index physically reduced
+    val q = StreamingDelete.sink(
+      spark.readStream.schema(delIds.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir), dir, cfg, ckpt, availableNow = true,
+      compactAbove = 1L)
+    q.awaitTermination(240000)
+
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "tombstones")),
+      "compaction must have cleared the overlay")
+    val fresh = Files.createTempDirectory("graft-sdc-fresh").toString
+    IndexBuilder.build(spark, docs.filter(!pred), fresh, cfg)
+    val gA = PostingIndex.readGlobals(spark, dir)
+    val gB = PostingIndex.readGlobals(spark, fresh)
+    assert((gA.nDocs, gA.totalTokens, gA.avgdl, gA.vocabularySize) ==
+      (gB.nDocs, gB.totalTokens, gB.avgdl, gB.vocabularySize))
+    val a = new PostingIndex(spark, dir)
+    val b = new PostingIndex(spark, fresh)
+    Seq("longest river", "return", "science").foreach { qq =>
+      assert(a.search(qq, 10).collect().map(_.toSeq).toSeq ==
+        b.search(qq, 10).collect().map(_.toSeq).toSeq, s"query '$qq'")
+    }
+  }
+
+  private def tombstoneBatchDirs(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(dir, "tombstones")
+    if (!Files.exists(p)) Set.empty
+    else {
+      val b = Set.newBuilder[String]
+      Files.list(p).forEach(d => b += d.getFileName.toString)
+      b.result()
+    }
+  }
 }
