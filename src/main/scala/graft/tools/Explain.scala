@@ -66,6 +66,23 @@ object Explain {
         .getSeq[Float](1).map(_.toDouble).toArray
       graft.ops.Similarity.ivfTopK(emb, q, 10)
     }
+    locally {
+      // tombstone-overlay serving: the PLAN must be identical to the plain
+      // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
+      // a broadcast consulted inside the DAAT loop, never a join or filter
+      // stage over the postings
+      val lcDir = idxDir + "_explain_lc"
+      graft.index.IndexBuilder.cloneIndex(idxDir, lcDir)
+      graft.index.IndexBuilder.delete(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id").filter(pmod(col("doc_id"), lit(7L)) === 3),
+        lcDir, "explain")
+      show("ep2 WAND with tombstone overlay (expect the SAME plan as ep2 — " +
+        "no extra join/filter stage; overlay rides a broadcast into the " +
+        "DAAT flatMapGroups)") {
+        new PostingIndex(spark, lcDir).search("table scan merge", 10)
+      }
+    }
     spark.stop()
   }
 }
