@@ -436,6 +436,10 @@ object Bench {
         * TRIMs for tens of seconds on this fs). Returns per-level rep times
         * and the 8-core index dir, or None if the spawn failed.
         */
+      // set when the child's timed reps started before the prewarm gate
+      // released (alive-but-slow parent): the scaling draw may be polluted
+      // by prewarm load and the JSON line says so
+      var gateTimedOut = false
       def runScalePair(budgetSec: Double,
                        gateOn: scala.concurrent.Future[_]):
           Option[(Seq[Double], Seq[Double], String)] = {
@@ -497,6 +501,7 @@ object Bench {
           while (line != null && idx.isEmpty) {
             if (line.startsWith("SCALEPAIR"))
               System.err.println(s"[bench scalepair] $line (elapsed=${jn(elapsed, 1)})")
+            if (line.contains("SCALEPAIR gate go=false")) gateTimedOut = true
             line match {
               case Rep(n, s) =>
                 if (n == "8") r8 += s.toDouble else r2 += s.toDouble
@@ -533,7 +538,8 @@ object Bench {
           s""""build":{"localN_cores":2,"local4N_cores":8,"repsN":${t2.size},"reps4N":${t8.size},""" +
           s""""localN_sec":${jn(secN)},"localN_docs_per_sec":${jn(rN, 1)},""" +
           s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
-          s""""scaling_efficiency":${jn(eff)}},"""
+          s""""scaling_efficiency":${jn(eff)}""" +
+          (if (gateTimedOut) ""","gate_timeout":true""" else "") + "},"
       }
       // Prewarm OVERLAPPED with the child's untimed boot+warm window: the
       // parent's cached-index/stemmed-tf builds and the two plan-shape
@@ -543,8 +549,9 @@ object Bench {
       // 10-17 s section and a loaded draw then cut breadth to 22/60). The
       // child is stdin-GATED (GRAFT_SP_GATE): it will not start its first
       // TIMED rep until the parent signals the prewarm finished, so parent
-      // load can never pollute a timed scaling rep — if prewarm overruns
-      // the warm window the child idles briefly (honest, bounded) instead.
+      // load normally cannot pollute a timed scaling rep — if prewarm
+      // overruns the warm window the child idles (bounded by its gate cap);
+      // past the cap it proceeds and the line carries gate_timeout:true.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global

@@ -277,9 +277,11 @@ object IndexBuilder {
     *
     * On a pre-ledger index (no `doclist/batch=base`), N falls back to the
     * distinct tf doc ids (plus any ledgered append batches) — exact unless
-    * a TOKEN-LESS doc predates the ledger (it has no postings to remove;
-    * only N/avgdl would overcount — bounded, documented, and impossible
-    * for ledger-backed indexes).
+    * a TOKEN-LESS doc predates the ledger: such docs are invisible to tf,
+    * so they DROP OUT of N/avgdl (undercount relative to the from-scratch
+    * rebuild) whether tombstoned or not — bounded by the pre-ledger
+    * token-less count, warned about at run time, and impossible for
+    * ledger-backed indexes.
     */
   def compact(spark: SparkSession, dir: String, cfg: IndexConfig): IndexGlobals = {
     val old = PostingIndex.readGlobals(spark, dir)
@@ -311,8 +313,10 @@ object IndexBuilder {
       stage("compact:doclist-write")(
         keep.write.mode(SaveMode.Overwrite).parquet(dlStage.toString))
       if (!ledger) System.err.println(
-        s"[compact] $dir has no doclist ledger; N derived from tf doc ids " +
-          "(token-less tombstoned docs, if any, stay counted in N)")
+        s"[compact] $dir has no complete doclist ledger; N derived from " +
+          "distinct tf doc ids (+ ledgered append batches) — pre-ledger " +
+          "TOKEN-LESS docs are invisible to tf, so they DROP OUT of N " +
+          "(undercount) whether tombstoned or not")
       // COMMIT POINT: from here the staged results are authoritative
       Files.writeString(swapMarker, old.buildId)
     }

@@ -43,6 +43,23 @@ final class PostingIndex(spark: SparkSession, dir: String) {
 
   private var preloaded: Option[DataFrame] = None
 
+  /** Releases executor-side state this handle pinned: the preloaded
+    * postings cache and the tombstone-overlay broadcast. Idempotent; the
+    * handle stays usable (queries fall back to the parquet scan, the
+    * overlay re-broadcasts lazily only if a search runs afterwards — in
+    * practice call this when retiring the handle, as
+    * [[PostingIndex.invalidate]] does).
+    */
+  def close(): Unit = {
+    preloaded.foreach(_.unpersist())
+    preloaded = None
+    val bc = tombstonesBcRef
+    tombstonesBcRef = null
+    if (bc != null) bc.destroy()
+  }
+
+  private[index] def session: SparkSession = spark
+
   /** Serving-time delete overlay ([[IndexBuilder.delete]]): the distinct
     * tombstoned doc ids as a sorted array, broadcast once per index handle
     * and binary-searched inside the DAAT loops — a tombstoned doc never
@@ -69,9 +86,23 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     }
   }
 
-  private lazy val tombstonesBc =
+  @volatile private var tombstonesBcRef
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = null
+
+  // lazily (re)broadcast so close() can destroy it without killing the handle
+  private def tombstonesBc: org.apache.spark.broadcast.Broadcast[Array[Long]] =
     if (tombstones.isEmpty) null
-    else spark.sparkContext.broadcast(tombstones)
+    else {
+      var bc = tombstonesBcRef
+      if (bc == null) synchronized {
+        bc = tombstonesBcRef
+        if (bc == null) {
+          bc = spark.sparkContext.broadcast(tombstones)
+          tombstonesBcRef = bc
+        }
+      }
+      bc
+    }
 
   /** An entirely-empty corpus (or one whose docs produce no tokens) never
     * writes a postings dir; treat it as an empty segment table.
@@ -232,15 +263,30 @@ object PostingIndex {
 
   /** Memoized serving handle per index dir: constructing a handle on a
     * tombstoned index runs a read+distinct+collect job and creates a
-    * broadcast for the overlay — once per (JVM, dir) through here, instead
-    * of once per query. Call [[invalidate]] after mutating the directory
-    * in place (the dropped handle's broadcast is reclaimed by the
-    * ContextCleaner once unreferenced).
+    * broadcast for the overlay — once per (session, dir) through here,
+    * instead of once per query. A cached handle bound to a DIFFERENT or
+    * stopped SparkSession (bench-style sectioned sessions) is closed and
+    * replaced, never returned. Call [[invalidate]] after mutating the
+    * directory in place.
     */
-  def forDir(spark: SparkSession, dir: String): PostingIndex =
-    handles.getOrElseUpdate(dir, new PostingIndex(spark, dir))
+  def forDir(spark: SparkSession, dir: String): PostingIndex = {
+    val cached = handles.get(dir)
+    cached match {
+      case Some(h) if (h.session eq spark) && !spark.sparkContext.isStopped => h
+      case _ =>
+        cached.foreach(h => if (!h.session.sparkContext.isStopped) h.close())
+        val fresh = new PostingIndex(spark, dir)
+        handles.put(dir, fresh)
+        fresh
+    }
+  }
 
-  def invalidate(dir: String): Unit = handles.remove(dir)
+  /** Drops (and closes: unpersists the preload cache, destroys the overlay
+    * broadcast) the memoized handle for `dir`.
+    */
+  def invalidate(dir: String): Unit = handles.remove(dir).foreach { h =>
+    if (!h.session.sparkContext.isStopped) h.close()
+  }
 
   /** globals.json is a single flat object written by
     * [[IndexBuilder.writeGlobals]]; parse it with a local scan instead of a

@@ -55,8 +55,14 @@ object Components {
     // restore it in the finally below, confining both the redirect and the
     // subdir GC to this run — another checkpoint() user in the same app
     // never writes into (or gets GC'd out of) the CC subdir.
+    // read through the internals shim: getCheckpointDir's value is the
+    // RESOLVED dir (with Spark's appended UUID), and feeding it back into
+    // setCheckpointDir would nest another UUID level per CC run — the shim
+    // restores the var byte-for-byte, including the unset state.
     val prevCheckpointDir: Option[Option[String]] =
-      if (reliableCheckpointDir.isDefined) Some(sc.getCheckpointDir) else None
+      if (reliableCheckpointDir.isDefined)
+        Some(org.apache.spark.GraftCheckpointAccess.get(sc))
+      else None
     val materialize: DataFrame => DataFrame = reliableCheckpointDir match {
       case Some(d) =>
         // unique per-run SUBdirectory: concurrent CC runs cannot collide,
@@ -153,17 +159,10 @@ object Components {
       it += 1
     }
     } finally {
-      prevCheckpointDir.foreach {
-        case Some(dir) => sc.setCheckpointDir(dir)
-        case None =>
-          // no public "unset" API. null clears it (Option(null) = None) and
-          // is safe in local mode (the only null-unsafe touch is behind a
-          // !isLocal guard); on a real cluster fall back to the caller's
-          // PARENT dir — still outside the GC'd per-run subdir, so a later
-          // checkpoint() user can never be GC'd by us.
-          if (sc.isLocal) sc.setCheckpointDir(null)
-          else reliableCheckpointDir.foreach(sc.setCheckpointDir)
-      }
+      // exact restore (set or unset) — see the shim's scaladoc for why the
+      // public setCheckpointDir cannot do this
+      prevCheckpointDir.foreach(
+        org.apache.spark.GraftCheckpointAccess.set(sc, _))
     }
     lastRounds = it
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

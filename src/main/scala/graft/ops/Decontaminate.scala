@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * part of the training-data pipeline suite over the same corpus tables.
   *
   * Plan shape at 100 TB: benchmark sets are tiny next to the training
-  * corpus (MBs vs TBs), so the distinct eval n-gram set is BROADCAST and
-  * the training side is a single narrow tokenize + explode pass — the train
-  * corpus is never shuffled on the n-gram key and never self-joined. The
-  * per-document n-gram set is deduplicated inside the row
-  * (`array_distinct`, no global distinct shuffle); the only shuffle is the
-  * per-doc hit count, whose input is bounded by the contaminated postings
-  * (map-side combined). Contaminated ids are again a broadcast-sized set
-  * for the final anti-join.
+  * corpus (MBs vs TBs), so the distinct eval n-gram set is collected once
+  * and broadcast as a hash set, and the training side is ONE narrow
+  * tokenize pass with the hit count computed row-locally against that set
+  * — the train corpus is never exploded, never shuffled on the n-gram key,
+  * and never self-joined; the audit has ZERO shuffles. (An earlier form
+  * exploded train n-grams into a broadcast join; that evaluated the
+  * shingle UDF — the dominant cost — twice and still shuffled the hit
+  * rows.) Contaminated ids are again a broadcast-sized set for the final
+  * anti-join.
   */
 object Decontaminate {
 
@@ -27,20 +28,27 @@ object Decontaminate {
     * those occur anywhere in `eval`, and `is_contaminated` = 1 iff
     * `hit_ngrams > 0`. Tokenization matches [[Dedup.ngrams]] (lowercase
     * alnum words, length > 2, no stop filter, no stemming).
+    *
+    * Collects the distinct eval n-gram set at CALL time (the same
+    * materialization a broadcast join would do driver-side; benchmark
+    * sets are MBs by construction — a TB-scale `eval` belongs on the
+    * `train` side of the question, not here).
     */
   def auditContamination(train: DataFrame, eval: DataFrame, n: Int = 13,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     val ngArr = array_distinct(Dedup.ngramsUdf(n)(col(textCol)))
-    val evalNg = eval.select(explode(ngArr).as("ngram")).distinct()
-    val trainNg = train.select(col(idCol).as("doc_id"), explode(ngArr).as("ngram"))
-    val hits = trainNg.join(broadcast(evalNg), Seq("ngram"))
-      .groupBy("doc_id").agg(count(lit(1)).as("hit_ngrams"))
-    train.select(col(idCol).as("doc_id"), size(ngArr).cast("long").as("n_ngrams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ngrams"),
-        coalesce(col("hit_ngrams"), lit(0L)).as("hit_ngrams"),
-        col("hit_ngrams").isNotNull.cast("int").as("is_contaminated"))
+    val evalSet: Set[String] = eval.select(explode(ngArr).as("ngram"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bEval = train.sparkSession.sparkContext.broadcast(evalSet)
+    val hitsUdf = udf((arr: Seq[String]) =>
+      if (arr == null) 0L else arr.count(bEval.value.contains).toLong)
+    train
+      .select(col(idCol).as("doc_id"), ngArr.as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_ngrams"),
+        hitsUdf(col("arr")).as("hit_ngrams"))
+      .select(col("doc_id"), col("n_ngrams"), col("hit_ngrams"),
+        (col("hit_ngrams") > 0).cast("int").as("is_contaminated"))
   }
 
   /** The training set with every contaminated document removed (broadcast

@@ -28,6 +28,15 @@ import graft.index.{IndexBuilder, IndexConfig}
   * already physically gone — harmless no-ops (the anti-join removes
   * nothing; the overlay excludes ids no posting carries).
   *
+  * SERVING CONTRACT with `compactAbove > 0`: the sink then OWNS `dir` —
+  * in-trigger compaction rewrites the postings tree in place, and a reader
+  * pointed at the same directory mid-compact sees a postings-less (= empty)
+  * index. Serve from a [[graft.index.IndexBuilder.cloneIndex]] clone (or a
+  * pointer you swap after each compact), exactly as [[IndexBuilder.compact]]
+  * documents. With `compactAbove = 0` (the default) the sink only ever ADDS
+  * tombstone files, so same-directory serving is safe — readers pick the
+  * overlay up on their next handle.
+  *
   * 100-TB cost shape: a delete trigger is O(|ids|) — no index read, no
   * re-encode — so the pipe sustains arbitrarily frequent small takedowns;
   * only the amortized compact pays the postings re-encode, at a cadence

@@ -33,11 +33,18 @@ object StreamingIndex {
 
   /** Bootstrap an empty (but fully-formed: globals/stats/manifest) index at
     * `dir` when absent, so the sink's first micro-batch has something to
-    * append to. `like` supplies only the schema.
+    * append to. `like` supplies only the schema — passing the STREAMING
+    * frame itself is fine (an empty batch frame is derived from its
+    * schema; `like.limit(0)` would hand a streaming Dataset to batch
+    * writers and throw).
     */
   def ensureInitialized(like: DataFrame, dir: String, cfg: IndexConfig): Unit =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "globals.json")))
-      IndexBuilder.build(like.sparkSession, like.limit(0), dir, cfg)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "globals.json"))) {
+      val s = like.sparkSession
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+      IndexBuilder.build(s, empty, dir, cfg)
+    }
 
   /** Start the ingest sink over a STREAMING frame of documents with the
     * builder's (docId, content) schema. `availableNow = true` drains the

@@ -49,8 +49,13 @@ object LifecycleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // driver memory cannot be set post-launch in local mode — it must
+      // come from the launcher (build.sbt javaOptions / sbt -mem); assert
+      // enough heap for the 2M-doc default instead of silently thrashing
       .getOrCreate()
+    require(Runtime.getRuntime.maxMemory() > (4L << 30) || nDocs <= 500000,
+      s"heap ${Runtime.getRuntime.maxMemory() >> 20} MB is too small for " +
+        s"$nDocs docs — launch with a larger -Xmx (sbt javaOptions)")
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = IndexConfig(shards = 32, termBuckets = 8, commitWaves = 2)
 

@@ -191,11 +191,15 @@ object ScalePair {
     // Parent-gated start of the TIMED section (GRAFT_SP_GATE=1, set by the
     // bench): the parent overlaps its own untimed prewarm with this child's
     // boot+warm window above, and releases the gate ("GO\n" on stdin) when
-    // that prewarm is done — so a timed rep NEVER runs under parent load.
-    // Deadline-bounded: a dead parent (or a standalone run that set the env
-    // by mistake) costs at most the cap, never the measurement.
+    // that prewarm is done — so a timed rep normally never runs under
+    // parent load. A DEAD parent is detected by stdin EOF (cheap, fast), so
+    // the deadline below only binds against a parent that is alive but
+    // slower than the cap — there the child proceeds rather than starve its
+    // own measurement, prints `go=false`, and the bench records the run as
+    // gate-timed-out (scaling_gate_timeout in the JSON line) instead of
+    // claiming an unpolluted draw.
     if (sys.env.get("GRAFT_SP_GATE").contains("1")) {
-      val capSec = math.min(45.0, math.max(5.0, 0.3 * budget))
+      val capSec = math.min(100.0, math.max(5.0, 0.6 * budget))
       val deadline = System.nanoTime() + (capSec * 1e9).toLong
       val buf = new StringBuilder
       var go = false

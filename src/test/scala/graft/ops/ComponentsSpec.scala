@@ -171,6 +171,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(wrote > 0, s"no rdd-* checkpoint dirs under $dir")
   }
 
+  test("checkpoint-dir restore is EXACT for a caller that had one set") {
+    // the resolved dir carries Spark's appended UUID: restoring through the
+    // public setCheckpointDir would nest another UUID level (observable
+    // global-state drift per CC run) — the shim writes the var back exactly
+    val edges = (1L until 10L).map(i => (i, i + 1))
+    val callerDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-caller").toString
+    val ccDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt2").toString
+    spark.sparkContext.setCheckpointDir(callerDir)
+    val resolved = spark.sparkContext.getCheckpointDir
+    try {
+      Components.connectedComponents(edges.toDF("a", "b"),
+        reliableCheckpointDir = Some(ccDir)).collect()
+      assert(spark.sparkContext.getCheckpointDir == resolved,
+        "restore must be byte-exact, not re-resolved through setCheckpointDir")
+    } finally {
+      // put the suite's session back to the unset state
+      org.apache.spark.GraftCheckpointAccess.set(spark.sparkContext, None)
+    }
+  }
+
   test("as-of join matches a local argmax scan on random events") {
     val rnd = new Random(7)
     val types = Seq("purchase", "click", "view")
