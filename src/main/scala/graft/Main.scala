@@ -128,6 +128,27 @@ object Main {
       IndexBuilder.cloneIndex(src, dst)
       println(s"cloned $src -> $dst (hardlinks where the fs allows)")
 
+    case "stats" :: idxDir :: Nil =>
+      // the /stats sink surface from the CLI: globals + manifest counters
+      // + the pending delete overlay (0 postings scanned — metadata only)
+      val spark = session()
+      val g = PostingIndex.readGlobals(spark, idxDir)
+      val (termSlices, postings, bytes) = graft.index.Manifest.totals(idxDir)
+      val tombs =
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(idxDir, "tombstones")))
+          spark.read.parquet(s"$idxDir/tombstones").select("doc_id")
+            .distinct().count()
+        else 0L
+      println(
+        s"""{"document_count":${g.nDocs},"vocabulary_size":${g.vocabularySize},""" +
+        s""""total_tokens":${g.totalTokens},"avgdl":${g.avgdl},""" +
+        s""""indexed_term_slices":$termSlices,"postings":$postings,""" +
+        s""""postings_bytes":$bytes,"pending_tombstones":$tombs,""" +
+        s""""shards":${g.shards},"term_buckets":${g.termBuckets},""" +
+        s""""stem":${g.stem},"build_id":"${g.buildId}"}""")
+      spark.stop()
+
     case "serve" :: sfDir :: port :: Nil =>
       val spark = session()
       val srv = new server.SearchServer(spark, sfDir, port.toInt)
@@ -143,6 +164,7 @@ object Main {
           |       graft.Main delete  <idsParquet> <indexDir> <deleteId>
           |       graft.Main compact <indexDir>
           |       graft.Main clone   <srcIndexDir> <dstIndexDir>
+          |       graft.Main stats   <indexDir>
           |       graft.Main serve   <sfDir> <port>""".stripMargin)
       sys.exit(2)
   }
