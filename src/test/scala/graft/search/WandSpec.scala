@@ -88,6 +88,54 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("WAND with random exclusion sets == filtered exhaustive (200 corpora)") {
+    // the tombstone overlay inside the DAAT loops: excluded docs must never
+    // take a top-k slot, survivors keep exact scores, and the block-max
+    // pruning/heap-threshold interaction stays exact under exclusions —
+    // covers disjunctive, single-term fast path (nTerms=1 draws), and
+    // conjunctive, across random block sizes
+    val rnd = new scala.util.Random(31)
+    (1 to 200).foreach { trial =>
+      val nTerms = 1 + rnd.nextInt(5)
+      val nDocs = 1 + rnd.nextInt(200)
+      val blockSize = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(12)
+      val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
+        val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.4)
+          .map(_.toLong * (1 + rnd.nextInt(3)))
+          .distinct
+        s"t$t" -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
+      }.toMap.filter(_._2.nonEmpty)
+      if (lists.nonEmpty) {
+        val qtf = lists.keys.map(t => t -> (1 + rnd.nextInt(2)).toDouble).toMap
+        val allDocs = lists.values.flatMap(_.map(_._1)).toSet
+        // exclusion rates from none to nearly-everything (the k > survivors
+        // edge included)
+        val exRate = rnd.nextDouble()
+        val excluded = allDocs.filter(_ => rnd.nextDouble() < exRate)
+        val ex: Long => Boolean = excluded.contains
+        val blocks = lists.toSeq.flatMap { case (t, ps) => mkBlocks(t, ps, blockSize) }
+        val got = Wand.topK(blocks.iterator, qtf, k, ex).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+        val want = exhaustive(lists, qtf, Int.MaxValue)
+          .filterNot { case (d, _) => excluded(d) }.take(k)
+        assert(got == want, s"trial=$trial k=$k ex=${excluded.size}/${allDocs.size}")
+        // conjunctive with the same overlay
+        if (lists.size == nTerms) {
+          val common = lists.values.map(_.map(_._1).toSet).reduce(_ intersect _)
+          val wantAnd = common.toSeq.map { d =>
+            (d, lists.keys.toSeq.sorted
+              .map(t => qtf(t) * lists(t).find(_._1 == d).get._2).sum)
+          }.filterNot { case (d, _) => excluded(d) }
+            .sortBy { case (d, s) => (-s, d) }.take(k)
+          val gotAnd = Wand.topKConjunctive(blocks.iterator, qtf, k, ex).toSeq
+            .sortBy { case (d, s) => (-s, d) }
+          assert(gotAnd == wantAnd, s"trial=$trial AND")
+        }
+      }
+    }
+  }
+
   test("single exhausted-path regression: 3 cursors, one at pivot") {
     // shape that hangs if the advance step may pick a cursor already at pivot
     val lists = Map(
