@@ -589,6 +589,10 @@ object Bench {
           // 2-core child under parent prewarm load)
           try Await.ready(prewarmFut, 150.seconds)
           catch { case _: Throwable => () }
+          // a dead child may have printed `gate go=false` before failing;
+          // the fallback children below run AFTER the prewarm join above,
+          // so their draw is not gate-polluted — don't stamp it as such
+          gateTimedOut = false
           // order mirrors ScalePair for comparability (each child is its
           // own JVM and self-warms from the same-plan warm corpus)
           val (s2, _) = buildAt(2, 1)

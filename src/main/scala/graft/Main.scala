@@ -37,8 +37,12 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   *
   * The corpus is any parquet with the input-hint shape
   * (repo, path, commit, lang, content) — [[Corpus.fromCodeDocs]] derives
-  * stable 64-bit docIds — and the index directory should be shared storage
-  * (every stage reads/writes it through the Hadoop filesystem layer).
+  * stable 64-bit docIds. The INDEX directory must be a POSIX-mountable
+  * shared path (NFS/Lustre/FUSE-mounted object store): the bulk data
+  * (tf/postings/tombstones parquet) goes through the Hadoop FS layer, but
+  * the small metadata files (globals.json, manifest records, batches) use
+  * local-file APIs for atomic-rename commits — an hdfs:// or s3:// URI is
+  * not a valid index dir. Corpus parquet can live anywhere Spark reads.
   */
 object Main {
 

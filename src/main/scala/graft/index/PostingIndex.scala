@@ -44,18 +44,18 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   private var preloaded: Option[DataFrame] = None
 
   /** Releases executor-side state this handle pinned: the preloaded
-    * postings cache and the tombstone-overlay broadcast. Idempotent; the
-    * handle stays usable (queries fall back to the parquet scan, the
-    * overlay re-broadcasts lazily only if a search runs afterwards — in
-    * practice call this when retiring the handle, as
-    * [[PostingIndex.invalidate]] does).
+    * postings cache and the tombstone-overlay broadcast's executor copies.
+    * `unpersist`, never `destroy`: a DataFrame built from this handle
+    * before close() captured the broadcast in its plan, and an in-flight
+    * collect must keep working (an unpersisted broadcast is re-shipped on
+    * demand; destroy() would fail those queries). Idempotent; the handle
+    * itself stays fully usable.
     */
   def close(): Unit = {
     preloaded.foreach(_.unpersist())
     preloaded = None
     val bc = tombstonesBcRef
-    tombstonesBcRef = null
-    if (bc != null) bc.destroy()
+    if (bc != null) bc.unpersist()
   }
 
   private[index] def session: SparkSession = spark
@@ -263,29 +263,37 @@ object PostingIndex {
 
   /** Memoized serving handle per index dir: constructing a handle on a
     * tombstoned index runs a read+distinct+collect job and creates a
-    * broadcast for the overlay — once per (session, dir) through here,
-    * instead of once per query. A cached handle bound to a DIFFERENT or
-    * stopped SparkSession (bench-style sectioned sessions) is closed and
-    * replaced, never returned. Call [[invalidate]] after mutating the
-    * directory in place.
+    * broadcast for the overlay — once per (context, dir) through here,
+    * instead of once per query. Freshness is keyed on the SparkCONTEXT
+    * (broadcasts and cached blocks are context-scoped, so sibling sessions
+    * from `newSession()` share a handle rather than thrashing it); a
+    * cached handle bound to a different or stopped context (bench-style
+    * sectioned sessions) is closed and replaced, never returned.
+    * Synchronized: two racing first callers must not both run the overlay
+    * collect and leak the loser's broadcast. Call [[invalidate]] after
+    * mutating the directory in place.
     */
-  def forDir(spark: SparkSession, dir: String): PostingIndex = {
-    val cached = handles.get(dir)
-    cached match {
-      case Some(h) if (h.session eq spark) && !spark.sparkContext.isStopped => h
-      case _ =>
-        cached.foreach(h => if (!h.session.sparkContext.isStopped) h.close())
-        val fresh = new PostingIndex(spark, dir)
-        handles.put(dir, fresh)
-        fresh
+  def forDir(spark: SparkSession, dir: String): PostingIndex =
+    handles.synchronized {
+      handles.get(dir) match {
+        case Some(h) if (h.session.sparkContext eq spark.sparkContext) &&
+            !spark.sparkContext.isStopped => h
+        case cached =>
+          cached.foreach(h => if (!h.session.sparkContext.isStopped) h.close())
+          val fresh = new PostingIndex(spark, dir)
+          handles.put(dir, fresh)
+          fresh
+      }
     }
-  }
 
-  /** Drops (and closes: unpersists the preload cache, destroys the overlay
-    * broadcast) the memoized handle for `dir`.
+  /** Drops (and closes: unpersists the preload cache and the overlay
+    * broadcast's executor copies — in-flight queries keep working) the
+    * memoized handle for `dir`.
     */
-  def invalidate(dir: String): Unit = handles.remove(dir).foreach { h =>
-    if (!h.session.sparkContext.isStopped) h.close()
+  def invalidate(dir: String): Unit = handles.synchronized {
+    handles.remove(dir).foreach { h =>
+      if (!h.session.sparkContext.isStopped) h.close()
+    }
   }
 
   /** globals.json is a single flat object written by

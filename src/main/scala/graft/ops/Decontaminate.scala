@@ -32,7 +32,10 @@ object Decontaminate {
     * Collects the distinct eval n-gram set at CALL time (the same
     * materialization a broadcast join would do driver-side; benchmark
     * sets are MBs by construction — a TB-scale `eval` belongs on the
-    * `train` side of the question, not here).
+    * `train` side of the question, not here). The broadcast lives as long
+    * as the returned frame's plan; periodic sweeps that call this per
+    * cycle should drop references to old frames so the ContextCleaner
+    * reclaims the previous cycle's set.
     */
   def auditContamination(train: DataFrame, eval: DataFrame, n: Int = 13,
                          textCol: String = "text",

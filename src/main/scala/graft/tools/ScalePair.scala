@@ -196,23 +196,37 @@ object ScalePair {
     // the deadline below only binds against a parent that is alive but
     // slower than the cap — there the child proceeds rather than starve its
     // own measurement, prints `go=false`, and the bench records the run as
-    // gate-timed-out (scaling_gate_timeout in the JSON line) instead of
-    // claiming an unpolluted draw.
+    // gate-timed-out (`"gate_timeout":true` inside the JSON line's build
+    // object) instead of claiming an unpolluted draw.
     if (sys.env.get("GRAFT_SP_GATE").contains("1")) {
       val capSec = math.min(100.0, math.max(5.0, 0.6 * budget))
       val deadline = System.nanoTime() + (capSec * 1e9).toLong
-      val buf = new StringBuilder
-      var go = false
-      var eof = false
-      while (!go && !eof && System.nanoTime() < deadline) {
-        if (System.in.available() > 0) {
-          val c = System.in.read()
-          if (c == -1) eof = true // parent gone: proceed rather than stall
-          else if (c == '\n') { go = buf.toString.contains("GO"); buf.clear() }
-          else buf.append(c.toChar)
-        } else Thread.sleep(25)
-      }
-      println(f"SCALEPAIR gate go=$go eof=$eof el=$el%.1f")
+      // EOF on a closed pipe is only observable from a BLOCKING read —
+      // available() reports 0 forever on a dead parent, so an
+      // available()-gated poll loop would sleep out the whole cap. A
+      // daemon reader thread blocks on stdin and flags GO/EOF; the main
+      // thread polls the flags against the deadline.
+      val goFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val eofFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        try {
+          val buf = new StringBuilder
+          var c = System.in.read()
+          while (c != -1 && !goFlag.get) {
+            if (c == '\n') {
+              if (buf.toString.contains("GO")) goFlag.set(true)
+              buf.clear()
+            } else buf.append(c.toChar)
+            if (!goFlag.get) c = System.in.read()
+          }
+          if (c == -1) eofFlag.set(true) // parent gone: proceed, don't stall
+        } catch { case _: Throwable => eofFlag.set(true) }
+      }, "scalepair-gate-reader")
+      reader.setDaemon(true)
+      reader.start()
+      while (!goFlag.get && !eofFlag.get && System.nanoTime() < deadline)
+        Thread.sleep(25)
+      println(f"SCALEPAIR gate go=${goFlag.get} eof=${eofFlag.get} el=$el%.1f")
     }
     pin("0-1")
     var r2min = timedRep(s2, 2)
