@@ -91,7 +91,11 @@ object Bench {
     "multimodal_sha", "multimodal_features", "doc_fingerprint",
     "ann_brute_cosine", "dedup_simhash", "w4_event_asof",
     // sampling-family representative (one broadcast-count join + filter)
-    "sample_domain_mix").zipWithIndex.toMap
+    "sample_domain_mix",
+    // delete-lifecycle family representative (tombstone-overlay WAND —
+    // cheap; the compacted variant is tier-2-redundant with it): a loaded
+    // cut must not leave the whole lifecycle family untimed
+    "ep2_wand_tsm_deleted").zipWithIndex.toMap
   private val breadthExpensive = Seq(
     "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
