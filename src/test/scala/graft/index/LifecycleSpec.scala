@@ -258,6 +258,25 @@ class LifecycleSpec extends AnyFunSuite {
       (gB.nDocs, gB.totalTokens, gB.avgdl, gB.vocabularySize))
   }
 
+  test("forDir: context-scoped memoization; invalidate forces a rebuild") {
+    val dir = tombstonedIndex("handles")
+    val h1 = PostingIndex.forDir(spark, dir)
+    assert(PostingIndex.forDir(spark, dir) eq h1, "same session must memoize")
+    // a sibling session shares the SparkContext — broadcasts are
+    // context-scoped, so the handle must be SHARED, not thrashed
+    val sibling = spark.newSession()
+    assert(PostingIndex.forDir(sibling, dir) eq h1,
+      "newSession() sibling must reuse the context-scoped handle")
+    // the handle must keep serving after a close() (unpersist, not destroy)
+    val before = h1.search("return", 5).collect().map(_.toSeq).toSeq
+    h1.close()
+    assert(h1.search("return", 5).collect().map(_.toSeq).toSeq == before)
+    PostingIndex.invalidate(dir)
+    val h2 = PostingIndex.forDir(spark, dir)
+    assert(!(h2 eq h1), "invalidate must drop the memoized handle")
+    assert(h2.search("return", 5).collect().map(_.toSeq).toSeq == before)
+  }
+
   test("cloneIndex isolates mutations from the source (hardlink semantics)") {
     val src = tmpDir("cloneSrc")
     IndexBuilder.build(spark, docs, src, cfg)

@@ -189,6 +189,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ensureInitialized accepts the STREAMING frame itself") {
+    import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
+    import graft.corpus.{Corpus, SyntheticCorpus}
+    val cfg = IndexConfig(shards = 2, termBuckets = 1, blockSize = 16)
+    val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 20, seed = 3L))
+    val srcDir = Files.createTempDirectory("graft-ei-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val streamingFrame = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val dir = Files.createTempDirectory("graft-ei-idx").toString
+    // the natural call passes the same streaming frame given to sink();
+    // limit(0) on it would throw AnalysisException in the batch writers
+    StreamingIndex.ensureInitialized(streamingFrame, dir, cfg)
+    val g = PostingIndex.readGlobals(spark, dir)
+    assert(g.nDocs == 0 && g.vocabularySize == 0)
+    // and the bootstrapped empty index accepts a batch append
+    IndexBuilder.append(spark, docs, dir, cfg, "b1")
+    assert(PostingIndex.readGlobals(spark, dir).nDocs == 20)
+  }
+
   test("streaming deletes (foreachBatch + delete) == one-shot tombstoning") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import graft.corpus.{Corpus, SyntheticCorpus}
