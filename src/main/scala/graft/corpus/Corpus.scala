@@ -55,6 +55,40 @@ object Corpus {
       col("content"),
       col("lang"))
 
+  /** The `input_hint` quintuple as an explicit schema — JSONL/CSV readers
+    * must NOT infer it (inference costs an extra full pass at 100 TB and
+    * can mis-type a column from a skewed sample; the contract is fixed).
+    */
+  val codeDocSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq("repo", "path", "commit", "lang", "content")
+      .map(StructField(_, StringType, nullable = true)))
+  }
+
+  /** JSON-lines corpus with the `input_hint` shape — one object per line,
+    * any compression Spark handles (.gz/.zst). Pinned schema (no inference
+    * pass); extra fields are ignored, missing ones are null.
+    */
+  def fromJsonl(spark: SparkSession, path: String): DataFrame =
+    fromCodeDocs(spark.read.schema(codeDocSchema).json(path))
+
+  /** CSV corpus with the `input_hint` shape. `multiLine` because code
+    * content embeds newlines (standard CSV quoting); header expected.
+    * multiLine CSV is NOT splittable per file — acceptable for ingest
+    * (many files → parallelism across files), wrong as a steady-state
+    * format; convert to parquet once, like [[fromJsonl]] inputs. The
+    * reader preserves cell bytes (no whitespace trimming); byte-exact
+    * round-trips also need a NON-TRIMMING producer (Spark's own CSV
+    * writer trims cell whitespace unless ignore*WhiteSpace=false).
+    */
+  def fromCsv(spark: SparkSession, path: String): DataFrame =
+    fromCodeDocs(spark.read
+      .schema(codeDocSchema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path))
+
   /** The production entry point (north rule: an ICEBERG table of
     * source-code repositories): any catalog table whose schema matches the
     * `input_hint` quintuple. `spark.table` resolves through the session

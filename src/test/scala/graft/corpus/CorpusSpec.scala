@@ -38,6 +38,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaTable.nonEmpty)
   }
 
+  test("JSONL and CSV loaders round-trip the corpus byte-exactly") {
+    // content embeds newlines/quotes via the generator's natural text; the
+    // loaders must reproduce the SAME (docId, content, lang) rows as the
+    // parquet path — sources differ, the engine's canonical shape does not
+    val docs = SyntheticCorpus.generate(spark, 150, seed = 5L)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-corpus-fmt").toString
+    docs.write.mode("overwrite").json(s"$base/jsonl")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      // Spark's CSV WRITER trims cell whitespace by default (the reader
+      // does not) — byte-exact round-trip needs a non-trimming producer
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$base/csv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("docId", "content", "lang")
+        .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val want = canon(Corpus.fromCodeDocs(docs))
+    assert(want.size == 150)
+    assert(canon(Corpus.fromJsonl(spark, s"$base/jsonl")) == want)
+    assert(canon(Corpus.fromCsv(spark, s"$base/csv")) == want)
+  }
+
   test("CodeDoc ingest: deterministic docIds, no collisions at test scale") {
     val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 5000, 42L))
     val ids = docs.select("docId").collect().map(_.getLong(0))
