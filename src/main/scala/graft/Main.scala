@@ -60,13 +60,13 @@ object Main {
       // in the SAME executor JVMs so the reported time measures the job,
       // not JVM warm-up — a long-lived cluster pays JIT once per executor)
       val warm = rest0.contains("--warm")
-      val rest = rest0.filterNot(_ == "--warm")
+      val (fmt, rest) = parseFormat(rest0.filterNot(_ == "--warm"))
       val shards = rest.headOption.map(_.toInt).getOrElse(32)
       val tb = rest.lift(1).map(_.toInt).getOrElse(8)
       val stem = rest.lift(2).forall(_.toBoolean)
       val spark = session()
       val cfg = IndexConfig(shards = shards, termBuckets = tb, stem = stem)
-      val docs = Corpus.fromCodeDocs(spark.read.parquet(corpus))
+      val docs = readCorpus(spark, corpus, fmt)
       if (warm) {
         val warmDir = java.nio.file.Files
           .createTempDirectory("graft-main-warm").toString
@@ -101,9 +101,11 @@ object Main {
       top.collect().foreach(r => println(f"${r.getLong(0)}%20d  ${r.getDouble(1)}%.6f"))
       spark.stop()
 
-    case "append" :: corpus :: idxDir :: batchId :: Nil =>
+    case "append" :: corpus :: idxDir :: batchId :: restA =>
+      val (fmtA, extraA) = parseFormat(restA)
+      require(extraA.isEmpty, s"unexpected args: $extraA")
       val spark = session()
-      val docs = Corpus.fromCodeDocs(spark.read.parquet(corpus))
+      val docs = readCorpus(spark, corpus, fmtA)
       val t0 = System.nanoTime()
       val g = IndexBuilder.append(spark, docs, idxDir, cfgOf(spark, idxDir),
         batchId)
@@ -162,9 +164,9 @@ object Main {
 
     case _ =>
       System.err.println(
-        """usage: graft.Main build   <corpusParquet> <indexDir> [shards] [termBuckets] [stem]
+        """usage: graft.Main build   <corpus> <indexDir> [shards] [termBuckets] [stem] [--jsonl|--csv]
           |       graft.Main search  <indexDir> <query words...> [--k N] [--conjunctive]
-          |       graft.Main append  <corpusParquet> <indexDir> <batchId>
+          |       graft.Main append  <corpus> <indexDir> <batchId> [--jsonl|--csv]
           |       graft.Main delete  <idsParquet> <indexDir> <deleteId>
           |       graft.Main compact <indexDir>
           |       graft.Main clone   <srcIndexDir> <dstIndexDir>
@@ -172,6 +174,23 @@ object Main {
           |       graft.Main serve   <sfDir> <port>""".stripMargin)
       sys.exit(2)
   }
+
+  /** `--jsonl` / `--csv` select the corpus reader; default parquet. */
+  private def parseFormat(args: List[String]): (String, List[String]) = {
+    val fmt =
+      if (args.contains("--jsonl")) "jsonl"
+      else if (args.contains("--csv")) "csv"
+      else "parquet"
+    (fmt, args.filterNot(a => a == "--jsonl" || a == "--csv"))
+  }
+
+  private def readCorpus(spark: SparkSession, path: String,
+                         fmt: String): org.apache.spark.sql.DataFrame =
+    fmt match {
+      case "jsonl" => Corpus.fromJsonl(spark, path)
+      case "csv" => Corpus.fromCsv(spark, path)
+      case _ => Corpus.fromCodeDocs(spark.read.parquet(path))
+    }
 
   /** The index's OWN config, from globals.json — mutation verbs must match
     * the layout the index was built with (checkConfig would refuse
