@@ -309,7 +309,33 @@ object SparkEntry {
       "ep2_wand_tsm_compacted" -> ((s, dir) =>
         index.PostingIndex.forDir(s, lifecycleDir(s, dir, compacted = true))
           .searchRounded("table scan merge", 10)))
-    base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ opsQueries ++ tpchQueries
+    // query-surface extensions beyond the reference: attribute-filtered,
+    // prefix (dictionary-expansion), and phrase search over the same index
+    val wandExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // attribute filter, selective -> broadcast-overlay path (the lang
+      // predicate pushes to the corpus scan; ids broadcast sorted)
+      "ep2_wand_tsm_lang_en" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchFilteredRounded("table scan merge", 10,
+            Corpus.documents(s, dir).filter(col("lang") === "en").select("docId"))),
+      // same operator FORCED down the sharded cogroup path (broadcastCap=0)
+      // with a non-selective filter — gates the 100-TB strategy end-to-end
+      "ep2_wand_tsm_filter_sharded" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchFilteredRounded("table scan merge", 10,
+            Corpus.documents(s, dir)
+              .filter(col("lang").isin("en", "fr", "de")).select("docId"),
+            broadcastCap = 0)),
+      // prefix search: 's' expands to 6 vocabulary terms, capped to the 4
+      // highest-df (ties term-asc) — the cap ordering is part of the gate
+      "ep2_wand_prefix_s" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchPrefixRounded("s", 10, maxExpansions = 4)),
+      // phrase search: conjunctive DAAT candidates + adjacency verification
+      "ep2_wand_phrase_ts" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchPhraseRounded("table scan", 10, Corpus.documents(s, dir))))
+    base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
   /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -581,6 +607,14 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKTombstoned("table scan merge", 10, lifecycleDeleteSql),
       "ep2_wand_tsm_compacted" ->
         OracleSql.bm25TopKCompacted("table scan merge", 10, lifecycleDeleteSql),
+      "ep2_wand_tsm_lang_en" ->
+        OracleSql.bm25TopKFiltered("table scan merge", 10, "lang = 'en'"),
+      "ep2_wand_tsm_filter_sharded" ->
+        OracleSql.bm25TopKFiltered("table scan merge", 10, "lang IN ('en', 'fr', 'de')"),
+      "ep2_wand_prefix_s" ->
+        OracleSql.bm25TopKPrefix("s", 10, maxExpansions = 4),
+      "ep2_wand_phrase_ts" ->
+        OracleSql.bm25TopKPhrase("table scan", 10),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus

@@ -135,9 +135,19 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * oracle whose k-th boundary ties break on the ROUNDED value).
     */
   private def merged(query: String, k: Int, conj: Boolean): Option[DataFrame] = {
-    import spark.implicits._
     val q = queryTerms(query)
-    if (q.isEmpty) return None
+    if (q.isEmpty) None else Some(mergedTerms(q, k, conj))
+  }
+
+  /** The pruned-scan + per-shard-WAND pool for an explicit weighted term
+    * list; `allowBc`, when non-null, is a broadcast sorted id array that
+    * candidates must belong to (the attribute-filter overlay — the
+    * tombstone mechanism with the predicate inverted).
+    */
+  private def mergedTerms(q: Seq[(String, Double)], k: Int, conj: Boolean,
+      allowBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null)
+      : DataFrame = {
+    import spark.implicits._
     val terms = q.map(_._1)
     val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtf = q.toMap
@@ -148,15 +158,15 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
     val exBc = tombstonesBc
-    Some(blocks.groupByKey(_.shard)
+    blocks.groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
-        val ex: Long => Boolean =
-          if (exBc == null) null
-          else { val a = exBc.value; d => java.util.Arrays.binarySearch(a, d) >= 0 }
+        val ex = PostingIndex.combinedExclusion(
+          if (exBc == null) null else exBc.value,
+          if (allowBc == null) null else allowBc.value)
         if (conj) Wand.topKConjunctive(rows, qtf, kk, ex)
         else Wand.topK(rows, qtf, kk, ex)
       }
-      .toDF("doc_id", "score"))
+      .toDF("doc_id", "score")
   }
 
   /** Conjunctive (AND) variant: only documents containing EVERY query term
@@ -251,12 +261,226 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   /** J2 hydration: join winners back to document attributes. */
   def hydrate(topk: DataFrame, docs: DataFrame): DataFrame =
     RelationalBM25.hydrate(topk, docs)
+
+  // ---------------------------------------------------------------------
+  // Attribute-filtered search (`lang:scala`-style restriction)
+  // ---------------------------------------------------------------------
+
+  /** Top-k restricted to documents in `allowed` (a one-column DataFrame of
+    * doc ids, e.g. `corpus.filter($"lang" === "scala").select("doc_id")` —
+    * the predicate pushes to the corpus scan). Lucene filter-query
+    * semantics: IDF/avgdl stay CORPUS-global; the filter restricts which
+    * documents may occupy a top-k slot, never a surviving doc's score.
+    *
+    * Two physical strategies, chosen by the materialized filter size:
+    *  - |allowed| <= broadcastCap: the sorted id array broadcasts and the
+    *    per-shard DAAT loops binary-search it at candidate time — the
+    *    tombstone-overlay plan with the predicate inverted (selective
+    *    filters: one small job to materialize the ids, then the standard
+    *    pruned-scan WAND plan);
+    *  - larger: the ids are keyed by the SAME docShard hash the postings
+    *    are sharded by and COGROUPED with the posting blocks, so every
+    *    shard's WAND sees exactly its slice of the filter. Nothing reaches
+    *    the driver and the filter shuffles once however large it is — the
+    *    100-TB path for non-selective filters; a task holds at most
+    *    |allowed|/shards ids (8 B each), bounded by docs-per-shard, which
+    *    the build already sizes to executor memory.
+    *
+    * WAND pruning stays exact under the overlay: block-max upper bounds
+    * remain valid bounds for the surviving candidates (same argument as
+    * the tombstone overlay).
+    */
+  def searchFiltered(query: String, k: Int, allowed: DataFrame,
+                     broadcastCap: Int = PostingIndex.filterBroadcastCap): DataFrame =
+    filteredPool(query, k, allowed, broadcastCap) match {
+      case None => emptyResult
+      case Some(pool) =>
+        pool.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+
+  /** Oracle-comparable form of [[searchFiltered]]: 4-dp rounding before the
+    * k-cut (see [[searchRounded]]).
+    */
+  def searchFilteredRounded(query: String, k: Int, allowed: DataFrame,
+                            broadcastCap: Int = PostingIndex.filterBroadcastCap): DataFrame =
+    filteredPool(query, k, allowed, broadcastCap) match {
+      case None => emptyResult
+      case Some(pool) =>
+        pool.withColumn("score", round(col("score"), 4))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+
+  private def filteredPool(query: String, k: Int, allowed: DataFrame,
+                           broadcastCap: Int): Option[DataFrame] = {
+    import spark.implicits._
+    val q = queryTerms(query)
+    if (q.isEmpty) return None
+    val ids = allowed.select(col(allowed.columns.head).cast("long")).as[Long]
+    // size probe: limit(cap+1) short-circuits — never a full count job
+    val probe = ids.limit(math.max(broadcastCap, 0) + 1).collect()
+    if (probe.length <= broadcastCap) {
+      if (probe.isEmpty) return None
+      java.util.Arrays.sort(probe)
+      val bc = spark.sparkContext.broadcast(probe)
+      Some(mergedTerms(q, k, conj = false, allowBc = bc))
+    } else Some(cogroupFilteredPool(q, k, ids))
+  }
+
+  /** The sharded filter path: allowed ids cogrouped with posting blocks on
+    * the build's docShard key.
+    */
+  private def cogroupFilteredPool(q: Seq[(String, Double)], k: Int,
+                                  ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    import spark.implicits._
+    val terms = q.map(_._1)
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val qtf = q.toMap
+    val kk = k
+    val shardsN = globals.shards
+    val blocks = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .as[BlockRow]
+    val exBc = tombstonesBc
+    blocks.groupByKey(_.shard)
+      .cogroup(ids.groupByKey(IndexFormat.docShard(_, shardsN))) {
+        (_, rows, shardIds) =>
+          val allow = shardIds.toArray
+          if (allow.isEmpty) Iterator.empty
+          else {
+            java.util.Arrays.sort(allow)
+            val ex = PostingIndex.combinedExclusion(
+              if (exBc == null) null else exBc.value, allow)
+            Wand.topK(rows, qtf, kk, ex)
+          }
+      }
+      .toDF("doc_id", "score")
+  }
+
+  // ---------------------------------------------------------------------
+  // Prefix (dictionary-expansion) search (`tok*`-style)
+  // ---------------------------------------------------------------------
+
+  /** Top-k for a term PREFIX: the index vocabulary is expanded to the
+    * `maxExpansions` highest-df terms starting with `prefix` (ties break
+    * term-ascending — fully deterministic), and the expansion set scores
+    * as a disjunctive query with weight 1 per matched term (Lucene
+    * multi-term-query-with-scoring semantics). The expansion scan prunes
+    * via parquet min/max on the `term` column (StringStartsWith pushes);
+    * df comes from the block-level `n` counters — no posting decode.
+    *
+    * Expansion df counts include tombstoned postings until a compact
+    * (same contract as every other index statistic under the overlay).
+    */
+  def searchPrefixRounded(prefix: String, k: Int,
+                          maxExpansions: Int = PostingIndex.defaultMaxExpansions): DataFrame = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty && p.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"prefix must be non-empty [a-z0-9]+, got '$prefix'")
+    import spark.implicits._
+    val expansions: Seq[(String, Double)] = postingsDF
+      .filter(col("term").startsWith(p))
+      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select("term").as[String].collect().toSeq
+      .map(t => (t, 1.0))
+    if (expansions.isEmpty) emptyResult
+    else {
+      mergedTerms(expansions.sortBy(_._1), k, conj = false)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Phrase search ("exact sequence" queries)
+  // ---------------------------------------------------------------------
+
+  /** Top-k documents containing the analyzed phrase CONSECUTIVELY (the
+    * phrase's surviving analyzer tokens appear adjacent, in order, in the
+    * document's analyzed token stream — standard phrase semantics over a
+    * stop-filtered stream). BM25 scores use the phrase terms with their
+    * in-phrase frequencies; the filter never perturbs a surviving score.
+    *
+    * Physical plan: the index has no positional postings (the reference
+    * stores none either), so the phrase evaluates as (1) leapfrog
+    * conjunctive DAAT emitting EVERY doc containing all phrase terms —
+    * exact, no candidate can be missed — then (2) a join back to `docs`
+    * that re-analyzes only those candidates and keeps adjacency matches.
+    * The verification cost is |AND matches| document re-tokenizations —
+    * proportional to the phrase's conjunctive selectivity, not the corpus;
+    * positional posting blocks are the structural upgrade if phrase volume
+    * ever dominates (documented in COVERAGE.md).
+    */
+  def searchPhraseRounded(phrase: String, k: Int, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seq = analyzer.analyze(phrase)
+    if (seq.isEmpty) return emptyResult
+    val q = seq.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
+    val needle = " " + seq.mkString(" ") + " "
+    val terms = q.map(_._1)
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val qtf = q.toMap
+    val blocks = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .as[BlockRow]
+    val exBc = tombstonesBc
+    val candidates = blocks.groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val ex = PostingIndex.combinedExclusion(
+          if (exBc == null) null else exBc.value, null)
+        Wand.conjunctiveAll(rows, qtf, ex)
+      }
+      .toDF("doc_id", "score")
+    // adjacency verification: re-analyze ONLY the AND-matching candidates.
+    // The haystack/needle form is exact: analyzed tokens are [a-z0-9]+ so a
+    // space-joined stream contains " t1 t2 " iff t1,t2 are adjacent in it.
+    val an = analyzer
+    val analyzeJoin = udf((text: String) => " " + an.analyze(text).mkString(" ") + " ")
+    candidates
+      .join(docs.select(col("docId").as("doc_id"), col("content")), "doc_id")
+      .filter(analyzeJoin(col("content")).contains(needle))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
 }
 
 object PostingIndex {
 
   /** Serving-overlay size cap — see the `tombstones` field. */
   val maxServedTombstones: Int = 10000000
+
+  /** [[PostingIndex.searchFiltered]] broadcast-vs-cogroup cutover: up to
+    * this many allowed ids the filter broadcasts (8 MB of longs — small
+    * against an executor); above it, the cogroup path shuffles the ids to
+    * their shards instead of collecting them.
+    */
+  val filterBroadcastCap: Int = 1000000
+
+  /** [[PostingIndex.searchPrefixRounded]] default expansion budget (the
+    * Lucene-default-shaped bound on multi-term blowup).
+    */
+  val defaultMaxExpansions: Int = 16
+
+  /** Fuses the tombstone overlay and an optional allow-list into the single
+    * exclusion predicate the DAAT loops take. `null` inputs mean "absent";
+    * returns null when both are (the loops' allocation-free fast path).
+    */
+  private[index] def combinedExclusion(tombstoned: Array[Long],
+                                       allowed: Array[Long]): Long => Boolean =
+    (tombstoned, allowed) match {
+      case (null, null) => null
+      case (t, null) => d => java.util.Arrays.binarySearch(t, d) >= 0
+      case (null, a) => d => java.util.Arrays.binarySearch(a, d) < 0
+      case (t, a) => d =>
+        java.util.Arrays.binarySearch(t, d) >= 0 ||
+          java.util.Arrays.binarySearch(a, d) < 0
+    }
 
   private val handles =
     scala.collection.concurrent.TrieMap.empty[String, PostingIndex]

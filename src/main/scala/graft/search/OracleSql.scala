@@ -82,6 +82,19 @@ object OracleSql {
     require(terms.nonEmpty, s"query '$query' has no surviving terms")
     val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
     val having = if (conjunctive) s"\nHAVING count(*) = ${terms.size}" else ""
+    bm25CoreQt(s"qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf))",
+      k, docsFrom, candWhere, having, "", p)
+  }
+
+  /** The one copy of the BM25 weight SQL, with the query-term CTE (`qt`,
+    * exposing columns (term, qtf)), the HAVING clause, and any extra CTEs
+    * (placed after `stats`, before `qt`) injectable — the VALUES-anchored
+    * twins, the prefix-expansion twin, and the phrase twin all share it.
+    */
+  private def bm25CoreQt(qtCte: String, k: Int, docsFrom: String,
+                         candWhere: String, having: String,
+                         extraCtes: String, p: BM25Params): String = {
+    val extra = if (extraCtes.isEmpty) "" else s"\n$extraCtes,"
     s"""WITH docs AS (SELECT * FROM $docsFrom),
 tok AS (
   SELECT doc_id, lower(tok) AS term
@@ -92,8 +105,8 @@ $tfCte, $dfCte, $dlCte,
 stats AS (
   SELECT CAST((SELECT count(*) FROM docs) AS DOUBLE) AS n,
          CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS DOUBLE)
-           / CAST((SELECT count(*) FROM docs) AS DOUBLE) AS avgdl),
-qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+           / CAST((SELECT count(*) FROM docs) AS DOUBLE) AS avgdl),$extra
+$qtCte,
 w AS (
   SELECT tf.doc_id,
          ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
@@ -107,6 +120,63 @@ SELECT doc_id, round(sum(w), 4) AS score
 FROM w GROUP BY doc_id$having
 ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
+  }
+
+  /** Attribute-filtered twin ([[graft.index.PostingIndex.searchFiltered]]):
+    * statistics stay corpus-GLOBAL (Lucene filter-query semantics); only
+    * documents satisfying `attrPred` (a predicate over `documents` columns,
+    * e.g. `lang = 'en'`) may occupy a top-k slot.
+    */
+  def bm25TopKFiltered(query: String, k: Int, attrPred: String,
+                       p: BM25Params = BM25.default): String =
+    bm25Core(query, k, "documents",
+      s"WHERE tf.doc_id IN (SELECT doc_id FROM docs WHERE $attrPred)",
+      conjunctive = false, p)
+
+  /** Prefix-expansion twin ([[graft.index.PostingIndex.searchPrefixRounded]]):
+    * the expansion set — the `maxExpansions` highest-df index terms starting
+    * with `prefix`, ties term-ascending — is computed IN SQL from the same
+    * corpus (index df == corpus df by the S8 gate), each expanded term
+    * scoring with weight 1.
+    */
+  def bm25TopKPrefix(prefix: String, k: Int, maxExpansions: Int,
+                     p: BM25Params = BM25.default): String = {
+    require(prefix.nonEmpty && prefix.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"prefix must be non-empty [a-z0-9]+, got '$prefix'")
+    bm25CoreQt(
+      s"""qt AS (SELECT term, CAST(1.0 AS DOUBLE) AS qtf FROM df
+  WHERE term LIKE ${q(prefix + "%")}
+  ORDER BY df DESC, term ASC LIMIT $maxExpansions)""",
+      k, "documents", "", "", "", p)
+  }
+
+  /** Phrase twin ([[graft.index.PostingIndex.searchPhraseRounded]]): docs
+    * whose ANALYZED token stream contains the phrase's analyzed tokens
+    * consecutively, scored by BM25 over the phrase terms (conjunctive
+    * HAVING — adjacency implies all terms present, so the HAVING only
+    * guards the w-CTE join shape). The haystack check mirrors the engine
+    * exactly: analyzed tokens are [a-z0-9]+, so space-joined containment
+    * of ` t1 t2 ` IS adjacency.
+    */
+  def bm25TopKPhrase(phrase: String, k: Int,
+                     p: BM25Params = BM25.default): String = {
+    val seq = graft.analysis.Analyzer.noStem(graft.analysis.Analyzer.defaultStopWords)
+      .analyze(phrase)
+    require(seq.nonEmpty, s"phrase '$phrase' has no surviving terms")
+    val needle = " " + seq.mkString(" ") + " "
+    val terms = seq.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    val phraseCte =
+      s"""phrasedocs AS (
+  SELECT doc_id FROM docs
+  WHERE contains(' ' || array_to_string(list_filter(
+          list_transform(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), t -> lower(t)),
+          t -> length(t) > 2 AND t NOT IN ($stopList)), ' ') || ' ', ${q(needle)}))"""
+    bm25CoreQt(s"qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf))",
+      k, "documents",
+      "WHERE tf.doc_id IN (SELECT doc_id FROM phrasedocs)",
+      s"\nHAVING count(*) = ${terms.size}", phraseCte, p)
   }
 
   /** `deletedPred` contract for the lifecycle twins: a predicate over the

@@ -209,7 +209,7 @@ object Wand {
       // static-bound early exit (tie-safe: strict <)
       if (heap.size == k && totalUb < heap.peek().score) done = true
       // leapfrog: everyone seeks to the current maximum
-      var target = 0L
+      var target = Long.MinValue // docIds are hash-valued: negative half the time
       var i = 0
       while (i < cursors.length) {
         if (cursors(i).curDoc > target) target = cursors(i).curDoc
@@ -246,6 +246,56 @@ object Wand {
     val out = new Array[(Long, Double)](heap.size)
     var i = out.length - 1
     while (i >= 0) { val h = heap.poll(); out(i) = (h.doc, h.score); i -= 1 }
+    out.iterator
+  }
+
+  /** Every conjunctive match (no top-k cut): the same leapfrog DAAT as
+    * [[topKConjunctive]] minus the heap and the bound-based early exit —
+    * the phrase evaluator needs EVERY doc containing all terms, because a
+    * downstream boolean filter (adjacency) decides which survive and a
+    * premature k-cut could starve it. Scores sum cursor contributions in
+    * lexicographic term order (same exactness contract as topK). Emission
+    * is docId-ascending within the shard; output size is the conjunctive
+    * selectivity, not k-bounded — callers own the downstream limit.
+    */
+  def conjunctiveAll(rows: Iterator[BlockRow], qtf: Map[String, Double],
+                     excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
+    rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
+    if (byTerm.isEmpty || byTerm.size < qtf.size) return Iterator.empty
+    val cursors: Array[Cursor] = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
+      new Cursor(t, qtf(t), bs.sortBy(_.block_id).toArray)
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, Double)]
+    var done = false
+    while (!done) {
+      var target = Long.MinValue // docIds are hash-valued: negative half the time
+      var i = 0
+      while (i < cursors.length) {
+        if (cursors(i).curDoc > target) target = cursors(i).curDoc
+        i += 1
+      }
+      if (target == Exhausted) done = true
+      else {
+        var aligned = true
+        i = 0
+        while (i < cursors.length && aligned) {
+          cursors(i).seek(target)
+          if (cursors(i).curDoc != target) aligned = false
+          i += 1
+        }
+        if (aligned && cursors.forall(_.curDoc == target)) {
+          if (excluded == null || !excluded(target)) {
+            var score = 0.0
+            i = 0
+            while (i < cursors.length) { score += cursors(i).contribution; i += 1 }
+            out += ((target, score))
+          }
+          i = 0
+          while (i < cursors.length) { cursors(i).next(); i += 1 }
+        }
+      }
+    }
     out.iterator
   }
 

@@ -43,8 +43,10 @@ class WandSpec extends AnyFunSuite {
       val k = 1 + rnd.nextInt(12)
       val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
         val term = s"t$t"
+        // span NEGATIVE ids: docIds are hash-valued in production and the
+        // leapfrog target init once silently skipped the negative half
         val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.4)
-          .map(_.toLong * (1 + rnd.nextInt(3)))
+          .map(_.toLong * (1 + rnd.nextInt(3)) - nDocs)
           .distinct
         // small weight set on purpose: forces score ties -> docId tie-break
         term -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
@@ -68,7 +70,8 @@ class WandSpec extends AnyFunSuite {
       val blockSize = 1 + rnd.nextInt(8)
       val k = 1 + rnd.nextInt(8)
       val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
-        val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.5).map(_.toLong)
+        val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.5)
+          .map(_.toLong - nDocs / 2) // negative-id half included
         s"t$t" -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
       }.toMap.filter(_._2.nonEmpty)
       if (lists.size == nTerms) { // all terms present (else shard has no AND match)
@@ -101,8 +104,10 @@ class WandSpec extends AnyFunSuite {
       val blockSize = 1 + rnd.nextInt(16)
       val k = 1 + rnd.nextInt(12)
       val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
+        // span NEGATIVE ids: docIds are hash-valued in production and the
+        // leapfrog target init once silently skipped the negative half
         val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.4)
-          .map(_.toLong * (1 + rnd.nextInt(3)))
+          .map(_.toLong * (1 + rnd.nextInt(3)) - nDocs)
           .distinct
         s"t$t" -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
       }.toMap.filter(_._2.nonEmpty)
@@ -132,6 +137,38 @@ class WandSpec extends AnyFunSuite {
             .sortBy { case (d, s) => (-s, d) }
           assert(gotAnd == wantAnd, s"trial=$trial AND")
         }
+      }
+    }
+  }
+
+  test("conjunctiveAll == full brute-force intersection over 200 random corpora") {
+    // the phrase evaluator's candidate source: EVERY aligned doc, no k-cut,
+    // exclusion overlay honored, negative ids included
+    val rnd = new scala.util.Random(47)
+    (1 to 200).foreach { trial =>
+      val nTerms = 1 + rnd.nextInt(4)
+      val nDocs = 1 + rnd.nextInt(150)
+      val blockSize = 1 + rnd.nextInt(8)
+      val lists: Map[String, Seq[(Long, Double)]] = (0 until nTerms).map { t =>
+        val docs = (0 until nDocs).filter(_ => rnd.nextDouble() < 0.5)
+          .map(_.toLong - nDocs / 2)
+        s"t$t" -> docs.map(d => (d, (1 + rnd.nextInt(4)) * 0.25)).toSeq
+      }.toMap.filter(_._2.nonEmpty)
+      if (lists.size == nTerms) {
+        val qtf = lists.keys.map(t => t -> (1 + rnd.nextInt(2)).toDouble).toMap
+        val allDocs = lists.values.flatMap(_.map(_._1)).toSet
+        val excluded = allDocs.filter(_ => rnd.nextDouble() < 0.3)
+        val ex: Long => Boolean = if (excluded.isEmpty) null else excluded.contains
+        val blocks = lists.toSeq.flatMap { case (t, ps) => mkBlocks(t, ps, blockSize) }
+        val got = Wand.conjunctiveAll(blocks.iterator, qtf, ex).toSeq
+          .sortBy { case (d, s) => (-s, d) }
+        val common = lists.values.map(_.map(_._1).toSet).reduce(_ intersect _)
+        val want = common.toSeq.map { d =>
+          (d, lists.keys.toSeq.sorted
+            .map(t => qtf(t) * lists(t).find(_._1 == d).get._2).sum)
+        }.filterNot { case (d, _) => excluded(d) }
+          .sortBy { case (d, s) => (-s, d) }
+        assert(got == want, s"trial=$trial")
       }
     }
   }
