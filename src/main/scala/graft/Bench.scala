@@ -95,13 +95,21 @@ object Bench {
     // delete-lifecycle family representative (tombstone-overlay WAND —
     // cheap; the compacted variant is tier-2-redundant with it): a loaded
     // cut must not leave the whole lifecycle family untimed
-    "ep2_wand_tsm_deleted").zipWithIndex.toMap
+    "ep2_wand_tsm_deleted",
+    // query-mode family representatives: attribute-filtered (broadcast
+    // path; the forced-cogroup variant is tier-2), prefix expansion, and
+    // phrase (conjunctive DAAT + adjacency verification on candidates)
+    "ep2_wand_tsm_lang_en", "ep2_wand_prefix_s",
+    "ep2_wand_phrase_ts").zipWithIndex.toMap
   private val breadthExpensive = Seq(
     "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     // decontamination tokenizes + explodes the full train side (shingle
     // UDF cost without the pair join)
     "decontam_audit",
+    // duplicated-span profile explodes ~dl windows per doc (w-gram md5
+    // UDF + two agg shuffles + a join back — decontam-class cost)
+    "dedup_spans",
     // iterative connected-components queries: many short jobs each
     "dedup_components", "dedup_minhash_clusters").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =

@@ -344,6 +344,9 @@ object SparkEntry {
   private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       ops.Dedup.exact(rawDocs(s, dir)).orderBy("doc_id")),
+    // Lee-et-al-style duplicated-span (w-token window) profile
+    "dedup_spans" -> ((s, dir) =>
+      ops.Spans.dupSpanStats(rawDocs(s, dir), w = 6).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ops.Dedup.ngramJaccard(rawDocs(s, dir), n = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
@@ -677,6 +680,7 @@ ORDER BY r_name, rnk""")
     // without this the gate would diverge on any corpus with a >cap shingle
     val ngCapCtes = ops.DedupOracleSql.ngramCapCtes
     Map(
+      "dedup_spans" -> ops.Spans.dupSpansSql(w = 6),
       "dedup_exact" ->
         """WITH h AS (SELECT doc_id, sha256(text) AS hsh FROM documents),
 g AS (SELECT hsh, min(doc_id) AS canon_id, count(*) AS dup_count FROM h GROUP BY hsh)
