@@ -25,6 +25,8 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   * spark-submit --class graft.Main app.jar \
   *   clone   <srcIndexDir> <dstIndexDir>
   * spark-submit --class graft.Main app.jar \
+  *   positions <corpusParquet> <indexDir>
+  * spark-submit --class graft.Main app.jar \
   *   serve  <sfDir> <port>
   * }}}
   *
@@ -134,6 +136,19 @@ object Main {
       IndexBuilder.cloneIndex(src, dst)
       println(s"cloned $src -> $dst (hardlinks where the fs allows)")
 
+    case "positions" :: corpus :: idxDir :: restP =>
+      // positional sidecar for phrase search; bound to the index's CURRENT
+      // buildId (append/compact invalidate it — re-run this afterwards)
+      val (fmtP, extraP) = parseFormat(restP)
+      require(extraP.isEmpty, s"unexpected args: $extraP")
+      val spark = session()
+      val t0 = System.nanoTime()
+      IndexBuilder.buildPositions(spark, readCorpus(spark, corpus, fmtP), idxDir)
+      val fresh = new PostingIndex(spark, idxDir).hasFreshPositions
+      println(f"positions sidecar at $idxDir (fresh=$fresh) " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+
     case "stats" :: idxDir :: Nil =>
       // the /stats sink surface from the CLI: globals + manifest counters
       // + the pending delete overlay (0 postings scanned — metadata only)
@@ -170,6 +185,7 @@ object Main {
           |       graft.Main delete  <idsParquet> <indexDir> <deleteId>
           |       graft.Main compact <indexDir>
           |       graft.Main clone   <srcIndexDir> <dstIndexDir>
+          |       graft.Main positions <corpus> <indexDir> [--jsonl|--csv]
           |       graft.Main stats   <indexDir>
           |       graft.Main serve   <sfDir> <port>""".stripMargin)
       sys.exit(2)

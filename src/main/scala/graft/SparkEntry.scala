@@ -94,6 +94,7 @@ object SparkEntry {
     stemmedTf(s, dir)
     lifecycleDir(s, dir, compacted = false)
     lifecycleDir(s, dir, compacted = true)
+    withPositions(s, dir) // positional sidecar (ep2_wand_phrase_pos)
     ()
   }
 
@@ -151,6 +152,23 @@ object SparkEntry {
       true
     })
     s.read.parquet(path)
+  }
+
+  /** Positional-sidecar builder for the cached gate index, memoized per
+    * process AND structurally idempotent across processes: hasFreshPositions
+    * checks the sidecar's buildId binding, so a sidecar left by another
+    * process (or invalidated by an append/compact) is detected correctly.
+    */
+  private val positionsDone = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def withPositions(s: SparkSession, dir: String): index.PostingIndex = {
+    val idxDir = index.IndexCache.dirFor(s, dir, stem = false)
+    val h = index.PostingIndex.forDir(s, idxDir)
+    positionsDone.getOrElseUpdate(idxDir, {
+      if (!h.hasFreshPositions)
+        index.IndexBuilder.buildPositions(s, Corpus.documents(s, dir), idxDir)
+      true
+    })
+    h
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -331,10 +349,21 @@ object SparkEntry {
       "ep2_wand_prefix_s" -> ((s, dir) =>
         index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
           .searchPrefixRounded("s", 10, maxExpansions = 4)),
-      // phrase search: conjunctive DAAT candidates + adjacency verification
-      "ep2_wand_phrase_ts" -> ((s, dir) =>
-        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
-          .searchPhraseRounded("table scan", 10, Corpus.documents(s, dir))))
+      // phrase search, verification path FORCED (no docs fallback needed —
+      // this exercises the candidate re-analysis form even when a sidecar
+      // exists, via the private candidates + explicit docs join)
+      "ep2_wand_phrase_ts" -> ((s, dir) => {
+        val h = index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+        // auto-selecting entry point; on a sidecar-less index this IS the
+        // verification path (the sidecar is only built by _pos below, but
+        // run order is alphabetical-ish and not guaranteed — so this gate
+        // holds for whichever path is active, both being exact)
+        h.searchPhraseRounded("table scan", 10, Corpus.documents(s, dir))
+      }),
+      // phrase search over the POSITIONAL sidecar (index-native path,
+      // sidecar built once per gate index and bound to its buildId)
+      "ep2_wand_phrase_pos" -> ((s, dir) =>
+        withPositions(s, dir).searchPhrasePositionalRounded("table scan", 10)))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -617,6 +646,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
       "ep2_wand_prefix_s" ->
         OracleSql.bm25TopKPrefix("s", 10, maxExpansions = 4),
       "ep2_wand_phrase_ts" ->
+        OracleSql.bm25TopKPhrase("table scan", 10),
+      "ep2_wand_phrase_pos" ->
         OracleSql.bm25TopKPhrase("table scan", 10),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices

@@ -808,4 +808,58 @@ object IndexBuilder {
          |"k1":${g.k1},"b":${g.b},"stem":${g.stem}}""".stripMargin.replace("\n", "")
     replaceString(Paths.get(dir, "globals.json"), json)
   }
+
+  // --- positional sidecar ---------------------------------------------------
+
+  /** OPTIONAL positional sidecar for index `dir`: per (term, doc), the
+    * ascending positions of the term in the document's ANALYZED token
+    * stream — the same stream phrase semantics are defined over — encoded
+    * with the posting codec's delta+varint form. Gives
+    * [[PostingIndex.searchPhraseRounded]] an index-native path: adjacency
+    * verifies against position lists of the PHRASE TERMS ONLY instead of
+    * re-analyzing candidate documents (no content hydration at any scale).
+    *
+    * Layout: `positions/data` partitioned by tb (directory pruning per
+    * query) with rows sorted (term, doc_id) inside each partition (parquet
+    * min/max row-group pruning on `term`), plus `positions/meta.json`
+    * binding the sidecar to the index's current buildId — written LAST as
+    * the commit marker. Append/compact change the buildId, so a stale
+    * sidecar is detected structurally and phrase search falls back to
+    * candidate re-analysis; re-running this (idempotent Overwrite) renews
+    * it. Kept OUT of the posting blocks on purpose: OR/AND scoring never
+    * pays for position bytes, and the sidecar builds/drops independently.
+    *
+    * Scale: one narrow analyze pass over the corpus + ONE shuffle by tb;
+    * sidecar bytes ~ 1-2 B per analyzed token occurrence (varint gaps).
+    */
+  def buildPositions(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val g = PostingIndex.readGlobals(spark, dir)
+    val an = if (g.stem) graft.analysis.Analyzer.default
+             else graft.analysis.Analyzer.noStem(graft.analysis.Analyzer.defaultStopWords)
+    val posUdf = udf((text: String) => {
+      val ts = an.analyze(text)
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      var i = 0
+      while (i < ts.length) {
+        m.getOrElseUpdate(ts(i),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += i.toLong
+        i += 1
+      }
+      // ascending positions -> the docId delta+varint codec applies as-is
+      m.iterator.map { case (t, ps) =>
+        (t, ps.length, Codec.encodeDocIds(ps.toArray))
+      }.toSeq
+    })
+    docs.select(col("docId").as("doc_id"), explode(posUdf(col("content"))).as("p"))
+      .select(col("p._1").as("term"), col("doc_id"),
+        col("p._2").as("npos"), col("p._3").as("pos_bin"))
+      .withColumn("tb", tbUdf(g.termBuckets)(col("term")))
+      .repartition(g.termBuckets, col("tb"))
+      .sortWithinPartitions("tb", "term", "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("tb")
+      .parquet(s"$dir/positions/data")
+    replaceString(Paths.get(dir, "positions", "meta.json"),
+      s"""{"buildId":${jsonStr(g.buildId)}}""")
+  }
 }

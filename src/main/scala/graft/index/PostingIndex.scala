@@ -415,12 +415,64 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * ever dominates (documented in COVERAGE.md).
     */
   def searchPhraseRounded(phrase: String, k: Int, docs: DataFrame): DataFrame = {
-    import spark.implicits._
     val seq = analyzer.analyze(phrase)
     if (seq.isEmpty) return emptyResult
+    if (hasFreshPositions) return phrasePositional(seq, k)
+    val candidates = phraseCandidates(seq)
+    // adjacency verification: re-analyze ONLY the AND-matching candidates.
+    // The haystack/needle form is exact: analyzed tokens are [a-z0-9]+ so a
+    // space-joined stream contains " t1 t2 " iff t1,t2 are adjacent in it.
+    val needle = " " + seq.mkString(" ") + " "
+    val an = analyzer
+    val analyzeJoin = udf((text: String) => " " + an.analyze(text).mkString(" ") + " ")
+    candidates
+      .join(docs.select(col("docId").as("doc_id"), col("content")), "doc_id")
+      .filter(analyzeJoin(col("content")).contains(needle))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** Index-native phrase search over the positional sidecar
+    * ([[IndexBuilder.buildPositions]]) — REQUIRES a sidecar bound to this
+    * index's buildId (use [[searchPhraseRounded]] for the auto-selecting
+    * form). Adjacency verifies against the position lists of the PHRASE
+    * TERMS ONLY: the pruned sidecar scan joins the conjunctive candidates
+    * on doc_id and each doc checks `exists p: forall j: p+j in
+    * positions(token_j)` over decoded varint lists — no document content
+    * is ever hydrated, so the cost scales with the phrase terms' posting
+    * mass, not document size.
+    */
+  def searchPhrasePositionalRounded(phrase: String, k: Int): DataFrame = {
+    require(hasFreshPositions,
+      s"index $dir has no positional sidecar for buildId ${globals.buildId}; " +
+        "run IndexBuilder.buildPositions (append/compact invalidate it)")
+    val seq = analyzer.analyze(phrase)
+    if (seq.isEmpty) return emptyResult
+    phrasePositional(seq, k)
+  }
+
+  /** True iff `positions/meta.json` exists and is bound to THIS buildId —
+    * the structural staleness gate (append/compact rewrite globals with a
+    * fresh buildId, so a leftover sidecar can never serve wrong positions).
+    */
+  def hasFreshPositions: Boolean = {
+    val meta = java.nio.file.Paths.get(dir, "positions", "meta.json")
+    java.nio.file.Files.exists(meta) && {
+      val txt = new String(java.nio.file.Files.readAllBytes(meta),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val m = java.util.regex.Pattern.compile("\"buildId\"\\s*:\\s*\"([^\"]*)\"")
+        .matcher(txt)
+      m.find() && m.group(1) == globals.buildId
+    }
+  }
+
+  /** Every conjunctive (AND) match of the phrase terms with its BM25 score
+    * — no k-cut (the adjacency filter downstream must not be starved).
+    */
+  private def phraseCandidates(seq: Array[String]): DataFrame = {
+    import spark.implicits._
     val q = seq.groupBy(identity).toSeq
       .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
-    val needle = " " + seq.mkString(" ") + " "
     val terms = q.map(_._1)
     val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtf = q.toMap
@@ -430,22 +482,47 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
     val exBc = tombstonesBc
-    val candidates = blocks.groupByKey(_.shard)
+    blocks.groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         val ex = PostingIndex.combinedExclusion(
           if (exBc == null) null else exBc.value, null)
         Wand.conjunctiveAll(rows, qtf, ex)
       }
       .toDF("doc_id", "score")
-    // adjacency verification: re-analyze ONLY the AND-matching candidates.
-    // The haystack/needle form is exact: analyzed tokens are [a-z0-9]+ so a
-    // space-joined stream contains " t1 t2 " iff t1,t2 are adjacent in it.
-    val an = analyzer
-    val analyzeJoin = udf((text: String) => " " + an.analyze(text).mkString(" ") + " ")
-    candidates
-      .join(docs.select(col("docId").as("doc_id"), col("content")), "doc_id")
-      .filter(analyzeJoin(col("content")).contains(needle))
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  private def phrasePositional(seq: Array[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val candidates = phraseCandidates(seq)
+    val distinctTerms = seq.distinct.sorted.toSeq
+    val tbs = distinctTerms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val pos = spark.read.parquet(s"$dir/positions/data")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(distinctTerms: _*))
+      .select("term", "doc_id", "npos", "pos_bin")
+    val phraseSeq = seq // ordered tokens, duplicates included
+    val verified = pos.join(candidates, "doc_id")
+      .select(col("doc_id"), col("score"), col("term"), col("npos"), col("pos_bin"))
+      .as[(Long, Double, String, Int, Array[Byte])]
+      .groupByKey { case (d, s, _, _, _) => (d, s) }
+      .flatMapGroups { (key: (Long, Double),
+                        rows: Iterator[(Long, Double, String, Int, Array[Byte])]) =>
+        val byTerm = rows.map { case (_, _, t, n, bin) =>
+          t -> Codec.decodeDocIds(bin, n)
+        }.toMap
+        val ok = byTerm.get(phraseSeq(0)).exists(_.exists { p =>
+          var j = 1
+          var good = true
+          while (j < phraseSeq.length && good) {
+            good = byTerm.get(phraseSeq(j))
+              .exists(a => java.util.Arrays.binarySearch(a, p + j) >= 0)
+            j += 1
+          }
+          good
+        })
+        if (ok) Iterator.single(key) else Iterator.empty
+      }
+      .toDF("doc_id", "score")
+    verified.withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 }

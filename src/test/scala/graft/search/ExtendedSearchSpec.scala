@@ -148,6 +148,80 @@ class ExtendedSearchSpec extends AnyFunSuite {
     assert(got == got.sortBy { case (d, s) => (-s, d) })
   }
 
+  test("positional sidecar: phrase results identical to the verification path") {
+    val dir = Files.createTempDirectory("graft-ext-pos").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val idxP = new PostingIndex(spark, dir)
+    assert(!idxP.hasFreshPositions)
+    intercept[IllegalArgumentException](idxP.searchPhrasePositionalRounded("longest river", 5))
+    IndexBuilder.buildPositions(spark, docs, dir)
+    assert(idxP.hasFreshPositions)
+
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val all: Seq[(Long, Array[String])] = docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)))).toSeq
+    val (_, toks) = all.find(_._2.length > 12).get
+    // several phrases incl. a 3-gram and a repeated-token phrase
+    val phrases = Seq(
+      s"${toks(5)} ${toks(6)}",
+      s"${toks(3)} ${toks(4)} ${toks(5)}",
+      s"${toks(7)} ${toks(7)}", // repeated token: needs p and p+1 in the SAME list
+      "longest river")
+    phrases.foreach { ph =>
+      // force the verification path through a sidecar-LESS handle (idx) and
+      // the positional path through idxP; both must agree exactly
+      val viaVerify = res(idx.searchPhraseRounded(ph, 1000, docs))
+      val viaPos = res(idxP.searchPhrasePositionalRounded(ph, 1000))
+      assert(viaPos == viaVerify, s"phrase '$ph'")
+      // the auto-selecting entry point on the sidecar index takes the
+      // positional path (docs df ignored): same answer again
+      assert(res(idxP.searchPhraseRounded(ph, 1000, docs.limit(0))) == viaVerify,
+        s"auto-select for '$ph'")
+    }
+  }
+
+  test("positional sidecar: delete overlay composes; compact invalidates (buildId gate)") {
+    val dir = Files.createTempDirectory("graft-ext-pos-lc").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    IndexBuilder.buildPositions(spark, docs, dir)
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val all: Seq[(Long, Array[String])] = docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)))).toSeq
+    val (_, toks) = all.find(_._2.length > 10).get
+    val phrase = s"${toks(5)} ${toks(6)}"
+
+    val before = res(new PostingIndex(spark, dir).searchPhrasePositionalRounded(phrase, 1000))
+    assert(before.nonEmpty)
+    // tombstone half the matches: delete does NOT change the buildId, the
+    // sidecar stays fresh, and deleted docs drop at candidate time
+    val victims = before.map(_._1).zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toSet
+    import spark.implicits._
+    IndexBuilder.delete(spark, victims.toSeq.toDF("docId"), dir, "px1")
+    PostingIndex.invalidate(dir)
+    val idxDel = PostingIndex.forDir(spark, dir)
+    assert(idxDel.hasFreshPositions)
+    val after = res(idxDel.searchPhrasePositionalRounded(phrase, 1000))
+    assert(after == before.filterNot { case (d, _) => victims.contains(d) })
+
+    // compact rewrites the index under a new buildId -> sidecar stale:
+    // the explicit positional form refuses, the auto form falls back to
+    // verification and stays exact
+    IndexBuilder.compact(spark, dir, cfg)
+    PostingIndex.invalidate(dir)
+    val idxC = PostingIndex.forDir(spark, dir)
+    assert(!idxC.hasFreshPositions)
+    intercept[IllegalArgumentException](idxC.searchPhrasePositionalRounded(phrase, 5))
+    // compaction REFRESHES statistics over the survivors, so scores move;
+    // the phrase-matching doc SET must not
+    val viaVerify = res(idxC.searchPhraseRounded(phrase, 1000, docs))
+    assert(viaVerify.map(_._1).toSet == after.map(_._1).toSet)
+    // rebuilding the sidecar over the compacted survivors renews it, and
+    // the positional path agrees with the verification path exactly
+    IndexBuilder.buildPositions(spark, docs.filter(!col("docId").isin(victims.toSeq: _*)), dir)
+    assert(idxC.hasFreshPositions)
+    assert(res(idxC.searchPhrasePositionalRounded(phrase, 1000)) == viaVerify)
+  }
+
   test("phrase search: non-adjacent AND matches are rejected; stop-only phrase empty") {
     // a reversed phrase has the same conjunctive candidates but (almost
     // surely) different adjacency set; verify the verifier actually filters
