@@ -100,7 +100,14 @@ object Bench {
     // path; the forced-cogroup variant is tier-2), prefix expansion, and
     // phrase (conjunctive DAAT + adjacency verification on candidates)
     "ep2_wand_tsm_lang_en", "ep2_wand_prefix_s",
-    "ep2_wand_phrase_ts").zipWithIndex.toMap
+    "ep2_wand_phrase_ts",
+    // facet aggregation over the match set (postings decode -> distinct ->
+    // attribute join -> groupBy) — its own plan family; fuzzy expansion is
+    // tier-2-redundant with prefix's dictionary-expansion machinery
+    "ep2_wand_facet_lang",
+    // more-like-this (point lookup -> profile probe -> weighted WAND) —
+    // the document-as-query plan family
+    "ep2_wand_mlt_42").zipWithIndex.toMap
   private val breadthExpensive = Seq(
     "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -452,6 +459,9 @@ object Bench {
       // released (alive-but-slow parent): the scaling draw may be polluted
       // by prewarm load and the JSON line says so
       var gateTimedOut = false
+      // partial reps rescued from a self-aborted ScalePair child
+      val partialT2 = ArrayBuffer.empty[Double]
+      val partialT8 = ArrayBuffer.empty[Double]
       def runScalePair(budgetSec: Double,
                        gateOn: scala.concurrent.Future[_]):
           Option[(Seq[Double], Seq[Double], String)] = {
@@ -528,6 +538,12 @@ object Bench {
               Some((r8.toSeq, r2.toSeq, d))
             case _ =>
               proc.waitFor()
+              // a self-aborted child may still have produced usable partial
+              // reps (e.g. the 2-core level landed, the 8-core tail did
+              // not): hand them to the caller so the fallback only has to
+              // fill the MISSING level instead of rebuilding both
+              partialT2 ++= r2
+              partialT8 ++= r8
               None
           }
         } catch { case _: java.io.IOException => None }
@@ -603,14 +619,36 @@ object Bench {
           catch { case _: Throwable => () }
           // a dead child may have printed `gate go=false` before failing;
           // the fallback children below run AFTER the prewarm join above,
-          // so their draw is not gate-polluted — don't stamp it as such
-          gateTimedOut = false
+          // so their draw is not gate-polluted — clear the stamp UNLESS
+          // rescued partial reps (which may carry the pollution) are used
+          if (partialT2.isEmpty && partialT8.isEmpty) gateTimedOut = false
+          // partial reps from a self-aborted child count: only the MISSING
+          // level needs a fallback build
+          t2 ++= partialT2
+          t8 ++= partialT8
+          // BUDGET-GATED: breadth tier 0+1 (~45 s) + the latency floor
+          // (~18 s) + the JSON line must survive whatever happens here —
+          // a zero-coverage artifact with a perfect scaling pair is worse
+          // than the reverse. Expected fallback cost: ~scaleDocs/6000 s at
+          // 2 cores, ~scaleDocs/22000 s at 8 (measured bands), each its
+          // own child JVM with warm-up. Skip a level (and with it the
+          // build section) sooner than starving breadth.
+          val breadthReserve = 75.0
+          def canAfford(cost: Double): Boolean = remaining > cost + breadthReserve
           // order mirrors ScalePair for comparability (each child is its
           // own JVM and self-warms from the same-plan warm corpus)
-          val (s2, _) = buildAt(2, 1)
-          t2 += s2
-          val (s8, _) = buildAt(8, 1)
-          t8 += s8
+          if (t2.isEmpty && canAfford(scaleDocs / 6000.0 + 15)) {
+            val (s2, _) = buildAt(2, 1)
+            t2 += s2
+          }
+          if (t8.isEmpty && t2.nonEmpty && canAfford(scaleDocs / 22000.0 + 15)) {
+            val (s8, _) = buildAt(8, 1)
+            t8 += s8
+          }
+          if (t2.isEmpty || t8.isEmpty)
+            System.err.println(s"[bench] scaling section dropped " +
+              s"(remaining=${jn(remaining, 1)}s reserve=$breadthReserve) — " +
+              "breadth/latency take priority")
       }
       setBuildJson()
 
@@ -674,9 +712,18 @@ object Bench {
       // --- query latency over the prebuilt compressed index, per mode:
       // disjunctive (the reference's semantics), conjunctive (leapfrog
       // DAAT AND), and the searchMany batch path (all 7 queries per job) --
-      if (remaining > 2 && keptIdxDir != null) {
+      // keptIdxDir is null only when the whole scaling section was dropped
+      // for budget; the latency floor must still land samples — fall back
+      // to the prewarm-built cached index (memoized: dirFor is a lookup
+      // here, not a build) and report ITS doc count, not scaleDocs
+      val latIdxDir =
+        if (keptIdxDir != null) keptIdxDir
+        else try index.IndexCache.dirFor(spark, sfDir, stem = false)
+        catch { case _: Throwable => null }
+      if (remaining > 2 && latIdxDir != null) {
         val latBox = elapsed + math.min(remaining - 4, 14.0)
-        val idx = new PostingIndex(spark, keptIdxDir).preload() // serving mode (reference holds its index in RAM too)
+        val idx = new PostingIndex(spark, latIdxDir).preload() // serving mode (reference holds its index in RAM too)
+        val latDocs = if (keptIdxDir != null) scaleDocs else idx.globals.nDocs
         // warm pass TIME-BOXED to the first ~third of the box: r3's warm
         // consumed the whole residual reserve before one sample landed —
         // slightly-cold samples beat samples:0
@@ -734,11 +781,11 @@ object Bench {
           val p50 = lat(lat.size / 2)
           val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
           latJson =
-            s""""query_latency":{"corpus_docs":$scaleDocs,"samples":${lat.size},""" +
+            s""""query_latency":{"corpus_docs":$latDocs,"samples":${lat.size},""" +
             s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)},""" +
             s""""modes":{"or":${pcts(bufOr)},"and":${pcts(bufAnd)},""" +
             s""""many_batch7":${pcts(bufMany)}}},"""
-        } else latJson = s""""query_latency":{"corpus_docs":$scaleDocs,"samples":0},"""
+        } else latJson = s""""query_latency":{"corpus_docs":$latDocs,"samples":0},"""
       }
 
       // extra 8-CORE-only scaling rep, noise hedge: the 4N level is the

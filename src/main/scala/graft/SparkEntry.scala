@@ -363,7 +363,30 @@ object SparkEntry {
       // phrase search over the POSITIONAL sidecar (index-native path,
       // sidecar built once per gate index and bound to its buildId)
       "ep2_wand_phrase_pos" -> ((s, dir) =>
-        withPositions(s, dir).searchPhrasePositionalRounded("table scan", 10)))
+        withPositions(s, dir).searchPhrasePositionalRounded("table scan", 10)),
+      // fuzzy search: 'dat' at maxEdits=2 reaches 4 vocabulary terms
+      // (data/dup/fast/part at sf0.01); maxExpansions=3 cuts the lowest-df
+      // one — the df-desc cap ordering is part of the gate
+      "ep2_wand_fuzzy_dat" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchFuzzyRounded("dat", 10, maxEdits = 2, maxExpansions = 3)),
+      // facet counts over the disjunctive match set (counts per lang of
+      // live docs containing >=1 query term; 'dup' is the rare term so the
+      // match set is not the whole corpus)
+      "ep2_wand_facet_lang" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .facetCounts("dup stream", Corpus.documents(s, dir), "lang")),
+      // more-like-this: doc 42's top-8 (tf desc, df asc, term asc) profile
+      // terms as a weighted disjunctive query, source doc excluded
+      "ep2_wand_mlt_42" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchMoreLikeThisRounded(42L, 10, Corpus.documents(s, dir), maxTerms = 8)),
+      // per-(term, doc) score explanation read from the INDEX BYTES (tf +
+      // baked weight decoded from doc 7's posting entries) vs the
+      // corpus-derived twin — pins index content finer than any top-k
+      "ep2_explain_tsm" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .explainScore("table scan merge", 7L)))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -649,6 +672,14 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKPhrase("table scan", 10),
       "ep2_wand_phrase_pos" ->
         OracleSql.bm25TopKPhrase("table scan", 10),
+      "ep2_wand_fuzzy_dat" ->
+        OracleSql.bm25TopKFuzzy("dat", 10, maxEdits = 2, maxExpansions = 3),
+      "ep2_wand_facet_lang" ->
+        OracleSql.facetCounts("dup stream", "lang"),
+      "ep2_wand_mlt_42" ->
+        OracleSql.bm25TopKMoreLikeThis(42L, 10, maxTerms = 8),
+      "ep2_explain_tsm" ->
+        OracleSql.explainScore("table scan merge", 7L),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus

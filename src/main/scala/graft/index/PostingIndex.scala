@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.search.{RelationalBM25, Wand}
+import graft.search.{BM25, RelationalBM25, Wand}
 
 /** Query-side handle on a built index (SURVEY.md EP2 rebuilt):
   *
@@ -392,6 +392,219 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc).limit(k)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Fuzzy (edit-distance dictionary-expansion) search (`tok~`-style)
+  // ---------------------------------------------------------------------
+
+  /** Top-k for a MISSPELLED term: the index vocabulary is expanded to the
+    * `maxExpansions` highest-df terms within Levenshtein distance
+    * `maxEdits` of `term` (ties term-ascending — fully deterministic), and
+    * the expansion scores as a disjunctive query with weight 1 per matched
+    * term — the same multi-term-query semantics as [[searchPrefixRounded]].
+    * An exact vocabulary hit (distance 0) is always inside the band and
+    * competes on df like any other expansion (no special-case boost: the
+    * deterministic cross-engine contract beats Lucene's similarity boost).
+    *
+    * The dictionary scan is a column-pruned pass over (term, n) with a
+    * codegen'd length-band prefilter (`|len(t) - len(term)| <= maxEdits`
+    * is implied by the distance bound, and rejects most of the vocabulary
+    * before the O(len^2) `levenshtein` evaluates) followed by map-side
+    * partial df aggregation — at 10^12 docs this touches the vocabulary,
+    * not the postings; a Levenshtein-automaton dictionary is the upgrade
+    * path if fuzzy volume ever dominates. Expansion df counts include
+    * tombstoned postings until a compact (same contract as every other
+    * index statistic under the overlay).
+    */
+  def searchFuzzyRounded(term: String, k: Int, maxEdits: Int = 1,
+                         maxExpansions: Int = PostingIndex.defaultMaxExpansions): DataFrame = {
+    val t = term.toLowerCase(java.util.Locale.ROOT)
+    require(t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"fuzzy term must be non-empty [a-z0-9]+, got '$term'")
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits must be 0..2, got $maxEdits")
+    import spark.implicits._
+    val expansions: Seq[(String, Double)] = postingsDF
+      .filter(abs(length(col("term")) - lit(t.length)) <= maxEdits &&
+        levenshtein(col("term"), lit(t)) <= maxEdits)
+      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select("term").as[String].collect().toSeq
+      .map(x => (x, 1.0))
+    if (expansions.isEmpty) emptyResult
+    else {
+      mergedTerms(expansions.sortBy(_._1), k, conj = false)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // More-like-this (document-as-query)
+  // ---------------------------------------------------------------------
+
+  /** Top-k documents most similar to SOURCE document `docId` (the Lucene
+    * MoreLikeThis surface rebuilt): the source content is re-analyzed
+    * through the index's own analyzer, its terms ranked
+    * (tf desc, df asc, term asc) — "frequent in the doc, rare in the
+    * corpus", an INTEGER-only ordering so the cross-engine expansion is
+    * exactly reproducible (Lucene's float tf·idf boost heuristic trades
+    * that determinism away) — capped to `maxTerms`, and the capped profile
+    * runs as a disjunctive weighted query with qtf = the term's tf in the
+    * source (the same weight a repeated query word gets in [[search]]).
+    * The source document itself never occupies a result slot: the pool
+    * asks for k+1 candidates so dropping the source still leaves an exact
+    * top-k (if the source is tombstoned the overlay already dropped it and
+    * the post-filter is a no-op).
+    *
+    * Scale shape: the content fetch is ONE pushed point lookup (the S9
+    * plan), the df probe a pruned (tb, term)-sliced dictionary pass over
+    * (term, n) — both bounded by a single document's vocabulary, never the
+    * corpus — and the scored search is the standard pruned-scan per-shard
+    * WAND. Profile df counts include tombstoned postings until a compact
+    * (the overlay statistics contract).
+    */
+  def searchMoreLikeThisRounded(docId: Long, k: Int, docs: DataFrame,
+                                maxTerms: Int = PostingIndex.defaultMaxExpansions): DataFrame = {
+    require(maxTerms > 0, s"maxTerms must be positive, got $maxTerms")
+    import spark.implicits._
+    val content = docs.filter(col("docId") === docId)
+      .select(col("content").cast("string")).limit(2).as[String].collect()
+    require(content.length == 1,
+      s"docId $docId matched ${content.length} corpus rows (want exactly 1)")
+    val tf: Map[String, Long] = analyzer.analyze(content(0))
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    if (tf.isEmpty) return emptyResult
+    val terms = tf.keys.toSeq
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val dfByTerm: Map[String, Long] = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
+      .as[(String, Long)].collect().toMap
+    // terms absent from the dictionary (possible when the corpus frame
+    // outruns the index) carry no signal — drop, like a stop word
+    val profile: Seq[(String, Double)] = terms
+      .filter(dfByTerm.contains)
+      .sortBy(t => (-tf(t), dfByTerm(t), t))
+      .take(maxTerms)
+      .map(t => (t, tf(t).toDouble))
+    if (profile.isEmpty) emptyResult
+    else
+      mergedTerms(profile.sortBy(_._1), k + 1, conj = false)
+        .filter(col("doc_id") =!= docId)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Score explanation (per-term breakdown for one (query, document) pair)
+  // ---------------------------------------------------------------------
+
+  /** Per-term BM25 breakdown of `docId`'s score for `query` — the Lucene
+    * `explain` surface: one row per query term PRESENT in the document,
+    * (term, qtf, tf, df, idf, contrib) with contrib = the baked posting
+    * weight × qtf, ordered by term. The breakdown reads the INDEX content
+    * itself — tf and the weight decode from the document's posting
+    * entries, df aggregates the term's block counters across shards — so
+    * gating it against the corpus-derived oracle pins per-(term, doc)
+    * index bytes, a strictly finer check than any top-k (idf recomputes
+    * from (N, df) by the pinned formula; sum(contrib) is the document's
+    * [[search]] score by construction). A tombstoned document explains to
+    * an empty frame — it can never occupy a result slot.
+    *
+    * Plan: the usual (tb, term)-pruned slice; df is a map-side partial agg
+    * over block counters (NO posting decode); only blocks in the
+    * document's OWN shard whose max_doc bound admits the doc decode. Both
+    * collects are bounded by the query's term count.
+    */
+  def explainScore(query: String, docId: Long): DataFrame = {
+    import spark.implicits._
+    def emptyExplain = spark.emptyDataFrame.select(
+      lit("").as("term"), lit(0.0).as("qtf"), lit(0L).as("tf"),
+      lit(0L).as("df"), lit(0.0).as("idf"), lit(0.0).as("contrib")).limit(0)
+    val q = queryTerms(query)
+    if (q.isEmpty) return emptyExplain
+    if (tombstones.nonEmpty &&
+      java.util.Arrays.binarySearch(tombstones, docId) >= 0) return emptyExplain
+    val terms = q.map(_._1)
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val slice = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val dfByTerm: Map[String, Long] = slice
+      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
+      .as[(String, Long)].collect().toMap
+    val sh = IndexFormat.docShard(docId, globals.shards)
+    val hits: Seq[(String, Long, Double)] = slice
+      .filter(col("shard") === sh && col("max_doc") >= docId)
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .as[BlockRow]
+      .flatMap { r =>
+        val ids = Codec.decodeDocIds(r.docs_bin, r.n)
+        val i = java.util.Arrays.binarySearch(ids, docId)
+        if (i < 0) Iterator.empty
+        else Iterator.single((r.term,
+          Codec.decodeVarLongs(r.tfs_bin, r.n)(i),
+          Codec.decodeDoubles(r.wts_bin)(i)))
+      }.collect().toSeq
+    val qtf = q.toMap
+    val n = globals.nDocs.toDouble
+    hits.sortBy(_._1)
+      .map { case (t, tf, w) =>
+        (t, qtf(t), tf, dfByTerm(t), BM25.idf(n, dfByTerm(t).toDouble),
+          w * qtf(t))
+      }
+      .toDF("term", "qtf", "tf", "df", "idf", "contrib")
+      // Spark round (not driver-side rint): the cross-engine rounding
+      // convention every other gate uses
+      .withColumn("idf", round(col("idf"), 4))
+      .withColumn("contrib", round(col("contrib"), 4))
+  }
+
+  // ---------------------------------------------------------------------
+  // Facet counts over the disjunctive match set
+  // ---------------------------------------------------------------------
+
+  /** For each value of `facetCol` in `docs`, the number of LIVE documents
+    * matching `query` disjunctively (>= 1 surviving analyzed term) — the
+    * aggregation a search UI renders next to the ranked list. Statistics
+    * are counts, not scores, so tombstones are excluded outright (a
+    * deleted doc must not inflate a facet) while df/avgdl play no part.
+    *
+    * Physical plan: the posting slice prunes by (tb, term) exactly like a
+    * search, per-block doc ids decode map-side, `distinct` is one shuffle
+    * keyed on doc_id (the match set — bounded by the query's selectivity,
+    * not the corpus), the attribute join is an equi-join on doc_id that
+    * AQE broadcasts when the match set is small, and the final count is a
+    * map-side-partial groupBy over `facetCol`. Nothing is collected.
+    */
+  def facetCounts(query: String, docs: DataFrame, facetCol: String): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms(query).map(_._1)
+    val facets = docs.select(col("docId").as("doc_id"),
+      col(facetCol).cast("string").as("facet"))
+    if (terms.isEmpty)
+      return facets.limit(0).groupBy("facet").agg(count("*").as("n_docs"))
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val exBc = tombstonesBc
+    val matched = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .select(col("n"), col("docs_bin"))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (n, bin) =>
+        val ids = Codec.decodeDocIds(bin, n)
+        if (exBc == null) ids
+        else {
+          val ex = exBc.value
+          ids.filter(d => java.util.Arrays.binarySearch(ex, d) < 0)
+        }
+      }
+      .toDF("doc_id")
+      .distinct()
+    matched.join(facets, "doc_id")
+      .groupBy("facet").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet").asc)
   }
 
   // ---------------------------------------------------------------------

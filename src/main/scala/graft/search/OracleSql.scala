@@ -150,6 +150,91 @@ LIMIT $k"""
       k, "documents", "", "", "", p)
   }
 
+  /** Fuzzy-expansion twin ([[graft.index.PostingIndex.searchFuzzyRounded]]):
+    * the expansion set — the `maxExpansions` highest-df index terms within
+    * Levenshtein distance `maxEdits` of `term`, ties term-ascending — is
+    * computed IN SQL from the same corpus (DuckDB `levenshtein` and Spark's
+    * built-in are both the classic insert/delete/substitute distance), each
+    * expanded term scoring with weight 1.
+    */
+  def bm25TopKFuzzy(term: String, k: Int, maxEdits: Int, maxExpansions: Int,
+                    p: BM25Params = BM25.default): String = {
+    require(term.nonEmpty && term.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"fuzzy term must be non-empty [a-z0-9]+, got '$term'")
+    bm25CoreQt(
+      s"""qt AS (SELECT term, CAST(1.0 AS DOUBLE) AS qtf FROM df
+  WHERE abs(length(term) - ${term.length}) <= $maxEdits
+    AND levenshtein(term, ${q(term)}) <= $maxEdits
+  ORDER BY df DESC, term ASC LIMIT $maxExpansions)""",
+      k, "documents", "", "", "", p)
+  }
+
+  /** More-like-this twin
+    * ([[graft.index.PostingIndex.searchMoreLikeThisRounded]]): the source
+    * document's term profile — its `maxTerms` analyzed terms ranked
+    * (tf desc, df asc, term asc), an integer-only, exactly-reproducible
+    * ordering — scores as a disjunctive query with qtf = the source tf;
+    * the source document itself is excluded from the candidates.
+    */
+  def bm25TopKMoreLikeThis(docId: Long, k: Int, maxTerms: Int,
+                           p: BM25Params = BM25.default): String =
+    bm25CoreQt(
+      s"""qt AS (SELECT term, CAST(tf AS DOUBLE) AS qtf FROM (
+  SELECT tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
+  WHERE tf.doc_id = $docId
+  ORDER BY tf.tf DESC, df.df ASC, tf.term ASC LIMIT $maxTerms) AS mlt)""",
+      k, "documents", s"WHERE tf.doc_id <> $docId", "", "", p)
+
+  /** Explain twin ([[graft.index.PostingIndex.explainScore]]): the
+    * per-term breakdown for one (query, document) pair recomputed from the
+    * corpus — same weight expression as [[bm25CoreQt]], emitted per term
+    * instead of summed, idf and contrib rounded at 4 dp. The engine side
+    * reads tf and the baked weight out of the document's POSTING ENTRIES,
+    * so this gate pins per-(term, doc) index bytes.
+    */
+  def explainScore(query: String, docId: Long,
+                   p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) =>
+      s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    val idfSql = "ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    s"""WITH $tokCte,
+$tfCte, $dfCte, $dlCte,
+$statsCte,
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf))
+SELECT tf.term AS term, qt.qtf AS qtf, CAST(tf.tf AS BIGINT) AS tf,
+  CAST(df.df AS BIGINT) AS df,
+  round($idfSql, 4) AS idf,
+  round($idfSql
+    * (tf.tf * (${p.k1} + 1.0))
+    / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
+    * qt.qtf, 4) AS contrib
+FROM tf JOIN df USING (term) JOIN qt USING (term)
+     JOIN dl USING (doc_id) CROSS JOIN stats
+WHERE tf.doc_id = $docId
+ORDER BY term ASC"""
+  }
+
+  /** Facet-count twin ([[graft.index.PostingIndex.facetCounts]]): per
+    * `facetCol` value, the count of documents containing >= 1 analyzed
+    * query term (the disjunctive match set; counts, not scores, so no BM25
+    * CTEs). `facetCol` must be a `documents` column; counts cast to BIGINT
+    * to match Spark's `count(...)`.
+    */
+  def facetCounts(query: String, facetCol: String): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false).map(_._1)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    require(facetCol.matches("[a-zA-Z_][a-zA-Z0-9_]*"), s"bad facet column '$facetCol'")
+    val termList = terms.map(q).mkString(", ")
+    s"""WITH $tokCte,
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ($termList))
+SELECT CAST(d.$facetCol AS VARCHAR) AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY n_docs DESC, facet ASC"""
+  }
+
   /** Phrase twin ([[graft.index.PostingIndex.searchPhraseRounded]]): docs
     * whose ANALYZED token stream contains the phrase's analyzed tokens
     * consecutively, scored by BM25 over the phrase terms (conjunctive

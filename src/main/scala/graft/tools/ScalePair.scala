@@ -110,6 +110,24 @@ object ScalePair {
       }
     }
 
+    // SELF-ABORT watchdog: a mandatory rep that balloons under host load
+    // (cold caches + a contended warm window -> un-JITed first rep) once
+    // overran the whole parent budget with nothing emitted; the parent's
+    // reader then blocked until ITS global watchdog — which killed the
+    // breadth/latency sections too. Past 1.25x budget + 25 s this child is
+    // not going to produce a usable pair: say so on stdout (the parent
+    // unblocks on EOF and falls back budget-aware) and halt.
+    val abortAt = budget * 1.25 + 25.0
+    val selfAbort = new Thread(() => {
+      try Thread.sleep(math.max(1L, ((abortAt - el) * 1000).toLong))
+      catch { case _: InterruptedException => return }
+      println(f"SCALEPAIR abort reason=budget-overrun el=$el%.1f budget=$budget%.1f")
+      System.out.flush()
+      Runtime.getRuntime.halt(3)
+    }, "scalepair-self-abort")
+    selfAbort.setDaemon(true)
+    selfAbort.start()
+
     var idx8 = ""
     var rep = 0
 

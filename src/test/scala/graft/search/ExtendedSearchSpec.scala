@@ -237,4 +237,175 @@ class ExtendedSearchSpec extends AnyFunSuite {
       "test corpus degenerate: every AND match is adjacent — pick other tokens")
     assert(res(idx.searchPhraseRounded("the and", 10, docs)).isEmpty)
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy search: expansion == levenshtein-band df-desc/term-asc cap; result == per-term reconstruction") {
+    import spark.implicits._
+    val vocabDf: Seq[(String, Long)] = spark.read.parquet(s"$idxDir/postings")
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("n").as("df"))
+      .as[(String, Long)].collect().toSeq
+    // a misspelling one edit from a real high-df term: mutate its 2nd char
+    val base = vocabDf.filter(_._1.length >= 5).maxBy { case (t, df) => (df, t) }._1
+    val fuzz = base.updated(1, if (base(1) == 'q') 'x' else 'q')
+    assert(lev(fuzz, base) == 1 && !vocabDf.exists(_._1 == fuzz))
+    for (maxEdits <- Seq(1, 2); maxExp <- Seq(2, 16)) {
+      val expansions = vocabDf
+        .filter { case (t, _) => math.abs(t.length - fuzz.length) <= maxEdits &&
+          lev(t, fuzz) <= maxEdits }
+        .sortBy { case (t, df) => (-df, t) }.take(maxExp).map(_._1)
+      assert(expansions.contains(base))
+      val got = res(idx.searchFuzzyRounded(fuzz, 10, maxEdits, maxExp))
+      assert(got.nonEmpty, s"maxEdits=$maxEdits maxExp=$maxExp")
+      // reconstruction through the public single-term search path (weight 1
+      // per expanded term; scores add) — same contract as the prefix test
+      val perTerm: Map[Long, Double] = expansions
+        .flatMap(t => res(idx.search(t, 1000)))
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      val expected = perTerm.toSeq
+        .map { case (d, s) => (d, math.rint(s * 1e4) / 1e4) }
+        .sortBy { case (d, s) => (-s, d) }.take(10)
+      assert(got.toSet == expected.toSet, s"maxEdits=$maxEdits maxExp=$maxExp")
+    }
+    // an exact vocabulary term at maxEdits=0 degenerates to the plain
+    // single-term ranking
+    assert(res(idx.searchFuzzyRounded(base, 10, maxEdits = 0)) ==
+      res(idx.searchRounded(base, 10)))
+  }
+
+  test("fuzzy search: no in-band vocabulary -> empty; bad input rejected") {
+    assert(res(idx.searchFuzzyRounded("qqqqqqqqqqqqqqqq", 10, maxEdits = 1)).isEmpty)
+    intercept[IllegalArgumentException](idx.searchFuzzyRounded("", 10))
+    intercept[IllegalArgumentException](idx.searchFuzzyRounded("a b", 10))
+    intercept[IllegalArgumentException](idx.searchFuzzyRounded("abc", 10, maxEdits = 3))
+  }
+
+  test("facet counts == brute-force analyzed-match counts; tombstones excluded") {
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val all: Seq[(Long, Set[String], String)] = docs
+      .select("docId", "content", "lang").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)).toSet, r.getString(2))).toSeq
+    val qTerms = analyzer.analyze(query).toSet
+    def truth(dead: Set[Long]): Map[String, Long] = all
+      .filter { case (d, ts, _) => !dead.contains(d) && ts.exists(qTerms) }
+      .groupBy(_._3).map { case (l, xs) => l -> xs.size.toLong }
+    def got(h: PostingIndex): Map[String, Long] =
+      h.facetCounts(query, docs, "lang").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(got(idx) == truth(Set.empty))
+    assert(got(idx).values.sum > 0)
+    // empty-term query -> empty frame with the facet schema
+    assert(idx.facetCounts("the and of", docs, "lang").collect().isEmpty)
+
+    // tombstoned docs must not inflate any facet
+    val dir = Files.createTempDirectory("graft-ext-facet").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val victims = docs.filter(pmod(col("docId"), lit(4L)) === 1).select("docId")
+    IndexBuilder.delete(spark, victims, dir, "f1")
+    PostingIndex.invalidate(dir)
+    val dead = victims.collect().map(_.getLong(0)).toSet
+    assert(got(PostingIndex.forDir(spark, dir)) == truth(dead))
+  }
+
+  test("more-like-this: profile == (tf desc, df asc, term asc) cap; result == weighted per-term reconstruction minus the source") {
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val all: Seq[(Long, Seq[String])] = docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)).toSeq)).toSeq
+    val corpusDf: Map[String, Long] = all.flatMap(_._2.distinct)
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    // a deterministic source with a non-trivial vocabulary (and, over the
+    // xxhash64 id scheme, a ~50% chance of being a NEGATIVE id)
+    val src = all.filter(_._2.distinct.size >= 10).minBy(_._1)
+    val srcTf: Map[String, Long] = src._2
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    for (maxTerms <- Seq(3, 8)) {
+      val profile: Seq[String] = srcTf.keys.toSeq
+        .sortBy(t => (-srcTf(t), corpusDf(t), t)).take(maxTerms)
+      // reconstruction through the public single-term search path with
+      // qtf = the source tf (scores add); source doc excluded
+      val perDoc: Map[Long, Double] = profile
+        .flatMap(t => res(idx.search(t, 1000)).map { case (d, s) => (d, srcTf(t) * s) })
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      val expected = (perDoc - src._1).toSeq
+        .map { case (d, s) => (d, math.rint(s * 1e4) / 1e4) }
+        .sortBy { case (d, s) => (-s, d) }.take(10)
+      val got = res(idx.searchMoreLikeThisRounded(src._1, 10, docs, maxTerms))
+      assert(got.nonEmpty && !got.exists(_._1 == src._1), s"maxTerms=$maxTerms")
+      assert(got.toSet == expected.toSet, s"maxTerms=$maxTerms")
+    }
+    // unknown source doc is an input error, not an empty result
+    intercept[IllegalArgumentException](
+      idx.searchMoreLikeThisRounded(Long.MaxValue - 1, 10, docs))
+  }
+
+  test("explainScore: index-decoded breakdown == independent corpus-derived BM25 components") {
+    // Spark's round(col, 4) is BigDecimal.valueOf + HALF_UP — mirror it
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val all: Seq[(Long, Seq[String])] = docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)).toSeq)).toSeq
+    val n = all.size.toDouble
+    val dlMap = all.map { case (d, ts) => d -> ts.size.toDouble }.toMap
+    val avgdl = all.map(_._2.size.toLong).sum.toDouble / n
+    val qTerms: Map[String, Double] = analyzer.analyze(query).toSeq
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toDouble) }
+    val dfMap: Map[String, Long] = all.flatMap(_._2.distinct)
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    // a doc containing >= 2 distinct query terms, deterministically chosen
+    val target = all.filter(_._2.toSet.count(qTerms.keySet) >= 2).minBy(_._1)
+    val expected = qTerms.keys.toSeq.sorted.flatMap { t =>
+      val tf = target._2.count(_ == t).toLong
+      if (tf == 0L) None
+      else {
+        val idf = BM25.idf(n, dfMap(t).toDouble)
+        val w = BM25.weight(tf.toDouble, dlMap(target._1), avgdl, idf, BM25.default)
+        Some((t, qTerms(t), tf, dfMap(t), r4(idf), r4(w * qTerms(t))))
+      }
+    }
+    assert(expected.size >= 2)
+    val got = idx.explainScore(query, target._1).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // no surviving query terms -> empty with the explain schema
+    assert(idx.explainScore("the and of", target._1).collect().isEmpty)
+  }
+
+  test("explainScore: tombstoned document explains to an empty frame") {
+    val dir = Files.createTempDirectory("graft-ext-explain").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val target = PostingIndex.forDir(spark, dir).search(query, 1).head().getLong(0)
+    assert(PostingIndex.forDir(spark, dir).explainScore(query, target).count() > 0)
+    import spark.implicits._
+    IndexBuilder.delete(spark, Seq(target).toDF("docId"), dir, "e1")
+    PostingIndex.invalidate(dir)
+    assert(PostingIndex.forDir(spark, dir).explainScore(query, target).collect().isEmpty)
+  }
+
+  test("more-like-this composes with the tombstone overlay") {
+    val dir = Files.createTempDirectory("graft-ext-mlt").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val src = docs.select("docId").orderBy(col("docId")).head().getLong(0)
+    val before = res(PostingIndex.forDir(spark, dir)
+      .searchMoreLikeThisRounded(src, 10, docs))
+    assert(before.nonEmpty)
+    // tombstone the current top hit: it must vanish while survivors keep
+    // their (pre-delete statistics) scores
+    val topHit = before.head._1
+    import spark.implicits._
+    IndexBuilder.delete(spark, Seq(topHit).toDF("docId"), dir, "m1")
+    PostingIndex.invalidate(dir)
+    val after = res(PostingIndex.forDir(spark, dir)
+      .searchMoreLikeThisRounded(src, 10, docs))
+    assert(!after.exists(_._1 == topHit))
+    assert(before.filterNot(_._1 == topHit).take(9) == after.take(9))
+  }
 }
