@@ -105,6 +105,10 @@ object Bench {
     // attribute join -> groupBy) — its own plan family; fuzzy expansion is
     // tier-2-redundant with prefix's dictionary-expansion machinery
     "ep2_wand_facet_lang",
+    // boolean must/should/mustNot (single-pass DAAT with forward
+    // not-cursor exclusion) — its own plan family; the no-must variant is
+    // tier-2-redundant with it
+    "ep2_wand_bool_tms",
     // more-like-this (point lookup -> profile probe -> weighted WAND) —
     // the document-as-query plan family
     "ep2_wand_mlt_42").zipWithIndex.toMap

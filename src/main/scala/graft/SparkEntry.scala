@@ -386,7 +386,18 @@ object SparkEntry {
       // corpus-derived twin — pins index content finer than any top-k
       "ep2_explain_tsm" -> ((s, dir) =>
         index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
-          .explainScore("table scan merge", 7L)))
+          .explainScore("table scan merge", 7L)),
+      // boolean query (must AND / should OR-score / mustNot exclusion):
+      // docs containing 'table' but not 'stream', scored over
+      // table+merge+scan — all three clause kinds load-bearing
+      "ep2_wand_bool_tms" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchBooleanRounded("table", "merge scan", "stream", 10)),
+      // pure should + mustNot (no must clause): the WAND-driven branch of
+      // the boolean evaluator with the forward not-cursor exclusion
+      "ep2_wand_bool_nomust" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchBooleanRounded("", "merge scan", "table", 10)))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -680,6 +691,10 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKMoreLikeThis(42L, 10, maxTerms = 8),
       "ep2_explain_tsm" ->
         OracleSql.explainScore("table scan merge", 7L),
+      "ep2_wand_bool_tms" ->
+        OracleSql.bm25TopKBoolean("table", "merge scan", "stream", 10),
+      "ep2_wand_bool_nomust" ->
+        OracleSql.bm25TopKBoolean("", "merge scan", "table", 10),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus

@@ -441,6 +441,64 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   }
 
   // ---------------------------------------------------------------------
+  // Boolean queries (must / should / must-not)
+  // ---------------------------------------------------------------------
+
+  /** Top-k for a BOOLEAN query — the Lucene BooleanQuery surface: a live
+    * document matches iff it contains EVERY analyzed `must` term and NONE
+    * of the `mustNot` terms (with `must` empty: iff it contains ≥ 1
+    * `should` term); its score sums the BM25 contributions of ALL
+    * positive (must ∪ should) terms it contains, qtf-weighted by each
+    * term's occurrence count within its clause (a term in both clauses
+    * accumulates both weights — the same additive contract as a repeated
+    * query word in [[search]]). A term that is both positive and negated
+    * can never match (the negation wins), and `must`/`should` both empty
+    * is rejected: a pure-negation query would enumerate the corpus.
+    *
+    * Scale shape: ONE (tb, term)-pruned scan over must ∪ should ∪ mustNot
+    * posting blocks, one shuffle keyed by shard, then a single-pass
+    * boolean DAAT per shard ([[Wand.topKBoolean]]): leapfrog over the
+    * must lists (or WAND over should), should lists probed forward at
+    * aligned targets, must-not lists probed forward as O(1)-memory
+    * exclusion cursors — no broadcast of the must-not doc set (which for
+    * a frequent negated term would be corpus-sized), no second shuffle,
+    * no decode of skipped blocks. Composes with the tombstone overlay.
+    */
+  def searchBooleanRounded(must: String, should: String, mustNot: String,
+                           k: Int): DataFrame = {
+    import spark.implicits._
+    val mustQ = queryTerms(must)
+    val shouldQ = queryTerms(should)
+    val notTerms = queryTerms(mustNot).map(_._1).toSet
+    require(mustQ.nonEmpty || shouldQ.nonEmpty,
+      "boolean query needs >= 1 surviving must or should term " +
+        "(a pure-negation query would enumerate the corpus)")
+    // positive weights merge across clauses (term-keyed qtf sums) so the
+    // engine and the SQL twin see the identical qt relation
+    val posQtf: Map[String, Double] = (mustQ ++ shouldQ)
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sum) }
+    val mustSet = mustQ.map(_._1).toSet
+    val allTerms = (posQtf.keySet ++ notTerms).toSeq.sorted
+    val tbs = allTerms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val kk = k
+    val blocks = postingsDF
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(allTerms: _*))
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .as[BlockRow]
+    val exBc = tombstonesBc
+    blocks.groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val ex = PostingIndex.combinedExclusion(
+          if (exBc == null) null else exBc.value, null)
+        Wand.topKBoolean(rows, posQtf, mustSet, notTerms, kk, ex)
+      }
+      .toDF("doc_id", "score")
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  // ---------------------------------------------------------------------
   // More-like-this (document-as-query)
   // ---------------------------------------------------------------------
 

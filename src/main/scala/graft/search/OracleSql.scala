@@ -169,6 +169,41 @@ LIMIT $k"""
       k, "documents", "", "", "", p)
   }
 
+  /** Boolean-query twin ([[graft.index.PostingIndex.searchBooleanRounded]]):
+    * candidates contain every distinct `must` term and no `mustNot` term
+    * (must empty: ≥ 1 `should` term via the qt inner join); the score sums
+    * the shared BM25 weight expression over the merged positive (must ∪
+    * should) qtf relation — identical to the engine's merged posQtf, so a
+    * term in both clauses carries the summed weight in BOTH engines.
+    */
+  def bm25TopKBoolean(must: String, should: String, mustNot: String, k: Int,
+                      p: BM25Params = BM25.default): String = {
+    val mustT = RelationalBM25.queryTerms(must, stem = false)
+    val shouldT = RelationalBM25.queryTerms(should, stem = false)
+    val notT = RelationalBM25.queryTerms(mustNot, stem = false).map(_._1)
+    require(mustT.nonEmpty || shouldT.nonEmpty,
+      "boolean query needs >= 1 surviving must or should term")
+    val pos = (mustT ++ shouldT).groupBy(_._1).toSeq
+      .map { case (t, xs) => (t, xs.map(_._2).sum) }.sortBy(_._1)
+    val values = pos.map { case (t, qtf) =>
+      s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    val conds = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (mustT.nonEmpty) {
+      val list = mustT.map(x => q(x._1)).mkString(", ")
+      conds += s"""tf.doc_id IN (SELECT doc_id FROM tf
+    WHERE term IN ($list) GROUP BY doc_id
+    HAVING count(DISTINCT term) = ${mustT.size})"""
+    }
+    if (notT.nonEmpty) {
+      val list = notT.map(q).mkString(", ")
+      conds += s"tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ($list))"
+    }
+    val candWhere =
+      if (conds.isEmpty) "" else "WHERE " + conds.mkString("\n    AND ")
+    bm25CoreQt(s"qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf))",
+      k, "documents", candWhere, "", "", p)
+  }
+
   /** More-like-this twin
     * ([[graft.index.PostingIndex.searchMoreLikeThisRounded]]): the source
     * document's term profile — its `maxTerms` analyzed terms ranked

@@ -249,6 +249,154 @@ object Wand {
     out.iterator
   }
 
+  /** Boolean (must / should / must-not) top-k over one shard — the Lucene
+    * BooleanQuery surface, single-pass index-native: `posQtf` carries the
+    * qtf weights of every POSITIVE (must ∪ should) term, `mustTerms` the
+    * subset a document must contain ALL of, `notTerms` the terms a
+    * document must contain NONE of. Matching: all-must ∧ no-not when must
+    * is non-empty; ≥1-should ∧ no-not otherwise. Scoring: the sum of
+    * EVERY positive term's contribution present in the doc (a should term
+    * adds score to a must-driven match, Lucene-style), in lexicographic
+    * term order (the shared exactness contract).
+    *
+    * Scale shape: must-driven matching is leapfrog DAAT (the conjunctive
+    * machinery); should-only matching is classic WAND (no single-term
+    * impact-order fast path — see below). Must-not exclusion rides the
+    * SAME shard pass as forward-only cursors probed at evaluation points:
+    * every posting of a doc lives in the doc's shard, evaluation targets
+    * are non-decreasing in both branches, so exclusion costs O(1) memory
+    * regardless of the must-not terms' document frequency — no broadcast
+    * set, no extra shuffle, no decode of skipped not-blocks (max_doc
+    * seek). This is why the impact-ordered single-term path is NOT taken:
+    * it evaluates docs out of order, which would break the forward-only
+    * not-cursors.
+    */
+  def topKBoolean(rows: Iterator[BlockRow], posQtf: Map[String, Double],
+                  mustTerms: Set[String], notTerms: Set[String], k: Int,
+                  excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
+    rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
+    // every posting of a doc lives in the doc's shard: a shard missing any
+    // must term has no boolean match at all
+    if (mustTerms.exists(t => !byTerm.contains(t))) return Iterator.empty
+    val pos: Array[Cursor] = byTerm.toArray.filter(p => posQtf.contains(p._1))
+      .sortBy(_._1).map { case (t, bs) =>
+        new Cursor(t, posQtf(t), bs.sortBy(_.block_id).toArray) }
+    if (pos.isEmpty) return Iterator.empty
+    val nots: Array[Cursor] = byTerm.toArray.filter(p => notTerms.contains(p._1))
+      .sortBy(_._1).map { case (t, bs) =>
+        new Cursor(t, 0.0, bs.sortBy(_.block_id).toArray) }
+    @inline def dropped(doc: Long): Boolean = {
+      if (excluded != null && excluded(doc)) return true
+      var i = 0
+      while (i < nots.length) {
+        val c = nots(i)
+        if (c.curDoc < doc) c.seek(doc)
+        if (c.curDoc == doc) return true
+        i += 1
+      }
+      false
+    }
+    val heap = new java.util.PriorityQueue[Hit](k, worstFirst)
+    @inline def offer(doc: Long, score: Double): Unit = {
+      if (heap.size < k) heap.add(Hit(doc, score))
+      else {
+        val w = heap.peek()
+        if (score > w.score || (score == w.score && doc < w.doc)) {
+          heap.poll(); heap.add(Hit(doc, score))
+        }
+      }
+    }
+    // non-driver cursors seek forward to the evaluation point; summation
+    // over `pos` is term-sorted (the shared exactness contract)
+    @inline def scoreAt(doc: Long): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < pos.length) {
+        val c = pos(i)
+        if (c.curDoc < doc) c.seek(doc)
+        if (c.curDoc == doc) s += c.contribution
+        i += 1
+      }
+      s
+    }
+    if (mustTerms.nonEmpty) {
+      // leapfrog DAAT over the must subset; should cursors only probed at
+      // aligned targets (targets non-decreasing -> forward-only)
+      val must = pos.filter(c => mustTerms.contains(c.term))
+      var totalUb = 0.0
+      pos.foreach(c => totalUb += c.ub)
+      var done = false
+      while (!done) {
+        // static-bound early exit (tie-safe: strict <)
+        if (heap.size == k && totalUb < heap.peek().score) done = true
+        var target = Long.MinValue // docIds are hash-valued: negative half the time
+        var i = 0
+        while (i < must.length) {
+          if (must(i).curDoc > target) target = must(i).curDoc
+          i += 1
+        }
+        if (done) ()
+        else if (target == Exhausted) done = true
+        else {
+          var aligned = true
+          i = 0
+          while (i < must.length && aligned) {
+            must(i).seek(target)
+            if (must(i).curDoc != target) aligned = false
+            i += 1
+          }
+          if (aligned && must.forall(_.curDoc == target)) {
+            if (!dropped(target)) offer(target, scoreAt(target))
+            i = 0
+            while (i < must.length) { must(i).next(); i += 1 }
+          }
+        }
+      }
+    } else {
+      // pure should (+ not): classic WAND over the positive cursors, same
+      // tie-safe pruning as topK; pivot evaluations are non-decreasing
+      val order = pos.clone()
+      var done = false
+      while (!done) {
+        java.util.Arrays.sort(order, (a: Cursor, b: Cursor) =>
+          java.lang.Long.compare(a.curDoc, b.curDoc))
+        val th = if (heap.size < k) Double.NegativeInfinity else heap.peek().score
+        var acc = 0.0
+        var p = 0
+        var found = false
+        while (p < order.length && !found) {
+          acc += order(p).ub
+          if (acc >= th || th == Double.NegativeInfinity) found = true else p += 1
+        }
+        if (!found || order(p).curDoc == Exhausted) done = true
+        else {
+          val pivotDoc = order(p).curDoc
+          if (order(0).curDoc == pivotDoc) {
+            if (!dropped(pivotDoc)) offer(pivotDoc, scoreAt(pivotDoc))
+            var i = 0
+            while (i < pos.length) {
+              if (pos(i).curDoc == pivotDoc) pos(i).next()
+              i += 1
+            }
+          } else {
+            var sel = 0
+            var i = 1
+            while (i < p) {
+              if (order(i).curDoc < pivotDoc && order(i).ub > order(sel).ub) sel = i
+              i += 1
+            }
+            order(sel).seek(pivotDoc)
+          }
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { val h = heap.poll(); out(i) = (h.doc, h.score); i -= 1 }
+    out.iterator
+  }
+
   /** Every conjunctive match (no top-k cut): the same leapfrog DAAT as
     * [[topKConjunctive]] minus the heap and the bound-based early exit —
     * the phrase evaluator needs EVERY doc containing all terms, because a

@@ -408,4 +408,102 @@ class ExtendedSearchSpec extends AnyFunSuite {
     assert(!after.exists(_._1 == topHit))
     assert(before.filterNot(_._1 == topHit).take(9) == after.take(9))
   }
+
+  // deterministic local corpus view for the boolean ground truths
+  private lazy val boolAll: Seq[(Long, Set[String])] = {
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)).toSet)).toSeq
+  }
+  // the four highest-df terms (ties term-asc): dense enough that every
+  // clause combination below has matches in a 300-doc corpus
+  private lazy val Seq(tA, tB, tC, tD) = boolAll.flatMap(_._2)
+    .groupBy(identity).toSeq.map { case (t, xs) => (t, xs.size) }
+    .sortBy { case (t, n) => (-n, t) }.take(4).map(_._1)
+
+  /** Brute-force boolean ground truth through the PUBLIC single-term
+    * search path (scores add; qtf weights multiply), k=10.
+    */
+  private def boolTruth(must: Seq[String], should: Seq[String],
+                        not: Seq[String],
+                        dead: Set[Long] = Set.empty): Seq[(Long, Double)] = {
+    val posQtf = (must ++ should).groupBy(identity)
+      .map { case (t, xs) => (t, xs.size.toDouble) }
+    val perTerm: Map[String, Map[Long, Double]] = posQtf.keys.map { t =>
+      t -> res(idx.search(t, 1000)).toMap
+    }.toMap
+    boolAll
+      .filter { case (d, ts) =>
+        !dead.contains(d) &&
+          must.forall(ts) && not.forall(t => !ts(t)) &&
+          (must.nonEmpty || should.exists(ts))
+      }
+      .map { case (d, _) =>
+        val s = posQtf.collect {
+          case (t, w) if perTerm(t).contains(d) => w * perTerm(t)(d)
+        }.sum
+        (d, math.rint(s * 1e4) / 1e4)
+      }
+      .sortBy { case (d, s) => (-s, d) }.take(10)
+  }
+
+  test("boolean search: must+should+mustNot == brute-force reconstruction over clause combinations") {
+    val configs = Seq(
+      (Seq(tA), Seq(tB, tC), Seq(tD)),      // all three clause kinds
+      (Seq(tA, tB), Seq.empty[String], Seq(tC)), // pure must + not
+      (Seq.empty[String], Seq(tA, tB), Seq(tC)), // pure should + not (WAND branch)
+      (Seq(tA), Seq(tB), Seq.empty[String]))     // no negation
+    for ((m, s, n) <- configs) {
+      val expected = boolTruth(m, s, n)
+      assert(expected.nonEmpty, s"degenerate fixture for ($m, $s, $n)")
+      val got = res(idx.searchBooleanRounded(m.mkString(" "), s.mkString(" "),
+        n.mkString(" "), 10))
+      assert(got.toSet == expected.toSet, s"($m, $s, $n)")
+    }
+  }
+
+  test("boolean search: degenerate forms reduce to the simpler operators") {
+    // should-only, no negation == plain disjunctive search
+    assert(res(idx.searchBooleanRounded("", s"$tA $tB", "", 10)) ==
+      res(idx.searchRounded(s"$tA $tB", 10)))
+    // must-only, no negation == conjunctive search
+    assert(res(idx.searchBooleanRounded(s"$tA $tB", "", "", 10)) ==
+      res(idx.searchConjunctiveRounded(s"$tA $tB", 10)))
+    // a term in BOTH must and should carries the summed qtf — identical to
+    // repeating the word in a plain query
+    assert(res(idx.searchBooleanRounded(tA, tA, "", 10)) ==
+      res(idx.searchRounded(s"$tA $tA", 10)))
+  }
+
+  test("boolean search: contradictions, empty inputs, and unknown terms") {
+    // a term both required and negated can never match
+    assert(res(idx.searchBooleanRounded(tA, "", tA, 10)).isEmpty)
+    // must term absent from the vocabulary -> no conjunctive match
+    assert(res(idx.searchBooleanRounded("zzzzunknownzzz", tB, "", 10)).isEmpty)
+    // unknown mustNot term excludes nothing
+    assert(res(idx.searchBooleanRounded(tA, "", "zzzzunknownzzz", 10)) ==
+      res(idx.searchBooleanRounded(tA, "", "", 10)))
+    // no positive clause is an input error (pure negation would enumerate
+    // the corpus); stop-word-only positives analyze to the same error
+    intercept[IllegalArgumentException](idx.searchBooleanRounded("", "", tA, 10))
+    intercept[IllegalArgumentException](
+      idx.searchBooleanRounded("the and", "of", tA, 10))
+  }
+
+  test("boolean search composes with the tombstone overlay") {
+    val dir = Files.createTempDirectory("graft-ext-bool").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val before = res(PostingIndex.forDir(spark, dir)
+      .searchBooleanRounded(tA, tB, tD, 10))
+    assert(before.nonEmpty)
+    val victim = before.head._1
+    import spark.implicits._
+    IndexBuilder.delete(spark, Seq(victim).toDF("docId"), dir, "b1")
+    PostingIndex.invalidate(dir)
+    val after = res(PostingIndex.forDir(spark, dir)
+      .searchBooleanRounded(tA, tB, tD, 10))
+    assert(!after.exists(_._1 == victim))
+    // survivors keep their (pre-delete statistics) scores and order
+    assert(before.filterNot(_._1 == victim).take(9) == after.take(9))
+  }
 }
