@@ -25,6 +25,8 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   * spark-submit --class graft.Main app.jar \
   *   clone   <srcIndexDir> <dstIndexDir>
   * spark-submit --class graft.Main app.jar \
+  *   merge   <srcIndexDirA> <srcIndexDirB> <dstIndexDir> [--no-disjoint-check]
+  * spark-submit --class graft.Main app.jar \
   *   positions <corpusParquet> <indexDir>
   * spark-submit --class graft.Main app.jar \
   *   serve  <sfDir> <port>
@@ -136,6 +138,25 @@ object Main {
       IndexBuilder.cloneIndex(src, dst)
       println(s"cloned $src -> $dst (hardlinks where the fs allows)")
 
+    case "merge" :: srcA :: srcB :: dst :: rest =>
+      // merge two independently built indexes (no re-tokenization; result
+      // bit-identical to a build over the union corpus). Sources need the
+      // same config, no pending tombstones (compact first), and disjoint
+      // doc ids (checked unless --no-disjoint-check, for callers that
+      // guarantee disjoint id ranges and want to skip the join)
+      val check = rest match {
+        case Nil => true
+        case "--no-disjoint-check" :: Nil => false
+        case other => throw new IllegalArgumentException(s"unexpected args: $other")
+      }
+      val spark = session()
+      val t0 = System.nanoTime()
+      val g = IndexBuilder.merge(spark, srcA, srcB, dst, checkDisjoint = check)
+      println(f"merged $srcA + $srcB -> $dst: docs=${g.nDocs} " +
+        f"vocab=${g.vocabularySize} tokens=${g.totalTokens} " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+
     case "positions" :: corpus :: idxDir :: restP =>
       // positional sidecar for phrase search; bound to the index's CURRENT
       // buildId (append/compact invalidate it — re-run this afterwards)
@@ -185,6 +206,7 @@ object Main {
           |       graft.Main delete  <idsParquet> <indexDir> <deleteId>
           |       graft.Main compact <indexDir>
           |       graft.Main clone   <srcIndexDir> <dstIndexDir>
+          |       graft.Main merge   <srcIndexDirA> <srcIndexDirB> <dstIndexDir> [--no-disjoint-check]
           |       graft.Main positions <corpus> <indexDir> [--jsonl|--csv]
           |       graft.Main stats   <indexDir>
           |       graft.Main serve   <sfDir> <port>""".stripMargin)

@@ -144,6 +144,50 @@ object SparkEntry {
       dst
     })
 
+  private val mergedDone = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Variant index exercising [[index.IndexBuilder.merge]] end-to-end on
+    * the gated surface: the corpus split into halves by pmod(docId, 2),
+    * each half built as its OWN index, then merged — the merged index must
+    * answer the standard WAND query exactly like the whole-corpus oracle
+    * (merge == union rebuild is additionally bit-identity-spec'd in
+    * LifecycleSpec). Cross-process reuse via the lc_source marker pattern.
+    */
+  private def mergedDir(s: SparkSession, dir: String): String =
+    mergedDone.getOrElseUpdate(dir, {
+      val src = index.IndexCache.dirFor(s, dir, stem = false)
+      val dst = src + "_lc_merged"
+      val srcBuild = index.PostingIndex.readGlobals(s, src).buildId
+      val marker = java.nio.file.Paths.get(dst, "lc_source.txt")
+      val reusable = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == srcBuild &&
+        index.PostingIndex.isComplete(s, dst)
+      if (!reusable) {
+        rmTreeLocal(dst)
+        val cfg = index.IndexConfig(shards = 8, termBuckets = 4, stem = false)
+        val corpus = Corpus.documents(s, dir)
+        val halfA = java.nio.file.Files
+          .createTempDirectory("graft-merge-halfA").toString
+        val halfB = java.nio.file.Files
+          .createTempDirectory("graft-merge-halfB").toString
+        index.IndexBuilder.build(s, corpus.filter(pmod(col("docId"), lit(2L)) === 0), halfA, cfg)
+        index.IndexBuilder.build(s, corpus.filter(pmod(col("docId"), lit(2L)) === 1), halfB, cfg)
+        index.IndexBuilder.merge(s, halfA, halfB, dst)
+        rmTreeLocal(halfA); rmTreeLocal(halfB)
+        java.nio.file.Files.writeString(marker, srcBuild)
+        index.PostingIndex.invalidate(dst)
+      }
+      dst
+    })
+
+  private def rmTreeLocal(p: String): Unit = {
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
   private def stemmedTf(s: SparkSession, dir: String): DataFrame = {
     val path = stemmedTfPathFor(dir)
     stemmedTfDone.getOrElseUpdate(dir, {
@@ -397,7 +441,12 @@ object SparkEntry {
       // the boolean evaluator with the forward not-cursor exclusion
       "ep2_wand_bool_nomust" -> ((s, dir) =>
         index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
-          .searchBooleanRounded("", "merge scan", "table", 10)))
+          .searchBooleanRounded("", "merge scan", "table", 10)),
+      // S4 lifecycle, index MERGE: two half-corpus indexes merged without
+      // re-tokenization must answer exactly like the whole-corpus oracle
+      "ep2_wand_tsm_merged" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, mergedDir(s, dir))
+          .searchRounded("table scan merge", 10)))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -695,6 +744,10 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKBoolean("table", "merge scan", "stream", 10),
       "ep2_wand_bool_nomust" ->
         OracleSql.bm25TopKBoolean("", "merge scan", "table", 10),
+      // the merged index answers against the WHOLE-corpus oracle: merge
+      // must be invisible to query semantics
+      "ep2_wand_tsm_merged" ->
+        OracleSql.bm25TopK("table scan merge", 10),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus

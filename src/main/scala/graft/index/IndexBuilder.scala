@@ -378,6 +378,85 @@ object IndexBuilder {
     }
   }
 
+  /** MERGE two independently built indexes into a new one at `dst` WITHOUT
+    * re-tokenizing either corpus — the ops verb that makes parallel partial
+    * builds composable at 100 TB: build shards of the corpus as separate
+    * indexes on separate schedules (or clusters), then merge, paying only
+    * the stats + postings-encode phases over the already-materialized tf
+    * relations. BM25 bakes GLOBAL statistics into every posting weight, so
+    * a merge re-derives stats and re-encodes postings over the union —
+    * the result is BIT-IDENTICAL to a from-scratch build over the union
+    * corpus (spec'd in LifecycleSpec), the same exactness contract as
+    * [[append]]; segment-concatenation designs that keep stale weights
+    * drift from the rebuild and are deliberately not taken.
+    *
+    * Requirements: identical layout/analyzer config (fail fast otherwise —
+    * tf rows carry tb/shard routing from their build config), no pending
+    * tombstones on either source (a deleted doc's tf rows are still live
+    * until [[compact]]; run compact first), and disjoint doc-id sets
+    * (checked by default — a shared id would silently merge two documents'
+    * postings; pass checkDisjoint=false to skip the check when the caller
+    * guarantees disjointness, e.g. id ranges assigned per partial build).
+    * Pending `tf_appends` on a source are fine: [[readTf]] folds them.
+    *
+    * Crash-safe like [[build]]: the union tf/doclist writes are idempotent
+    * overwrites, globals.json commits the stats phase last, and the
+    * postings phase resumes from the manifest.
+    */
+  def merge(spark: SparkSession, srcA: String, srcB: String, dst: String,
+            checkDisjoint: Boolean = true): IndexGlobals = {
+    val gA = PostingIndex.readGlobals(spark, srcA)
+    val gB = PostingIndex.readGlobals(spark, srcB)
+    require(gA.shards == gB.shards && gA.termBuckets == gB.termBuckets &&
+      gA.blockSize == gB.blockSize && gA.stem == gB.stem &&
+      gA.k1 == gB.k1 && gA.b == gB.b,
+      s"merge config mismatch: $srcA has (shards=${gA.shards}, tb=${gA.termBuckets}, " +
+        s"blockSize=${gA.blockSize}, stem=${gA.stem}, k1=${gA.k1}, b=${gA.b}); " +
+        s"$srcB has (shards=${gB.shards}, tb=${gB.termBuckets}, " +
+        s"blockSize=${gB.blockSize}, stem=${gB.stem}, k1=${gB.k1}, b=${gB.b})")
+    Seq(srcA, srcB).foreach(s => require(
+      !Files.exists(Paths.get(s, "tombstones")),
+      s"merge source $s has pending tombstones; run IndexBuilder.compact first " +
+        "(a deleted doc's tf rows are live until compacted and would leak " +
+        "into the merged index)"))
+    val cfg = IndexConfig(shards = gA.shards, termBuckets = gA.termBuckets,
+      blockSize = gA.blockSize, params = graft.search.BM25Params(gA.k1, gA.b),
+      stem = gA.stem)
+    val root = Paths.get(dst)
+    Files.createDirectories(root)
+    val freshDocCounts: Option[Map[(Int, Int), Long]] =
+      if (!Files.exists(root.resolve("globals.json"))) Some {
+        val (idsA, exactA) = readDocIds(spark, srcA)
+        val (idsB, exactB) = readDocIds(spark, srcB)
+        if (!(exactA && exactB))
+          System.err.println(s"[merge] a source lacks a complete doclist " +
+            "ledger; token-less docs of that source drop out of N (the " +
+            "compact fallback caveat)")
+        if (checkDisjoint)
+          require(idsA.join(idsB, "doc_id").isEmpty,
+            s"merge sources $srcA and $srcB share doc ids — a shared id " +
+              "would silently merge two documents' postings; disambiguate " +
+              "ids or pass checkDisjoint=false only with disjoint ranges")
+        stage("merge:tf-union")(
+          readTf(spark, srcA).unionByName(readTf(spark, srcB))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dst/tf"))
+        // stale state from a reused dst dir must not union into the merge
+        deleteRecursive(Paths.get(dst, "tf_appends"))
+        deleteRecursive(Paths.get(dst, "doclist"))
+        deleteRecursive(Paths.get(dst, "tombstones"))
+        Files.deleteIfExists(Paths.get(dst, "batches.json"))
+        val n = stage("merge:doclist")(
+          writeDocList(idsA.unionByName(idsB).select(col("doc_id").as("docId")),
+            dst, "base"))
+        statsFromTf(spark, dst, cfg, () => n, s"merge($srcA, $srcB)")
+      }
+      else None
+    val globals = PostingIndex.readGlobals(spark, dst)
+    checkConfig(globals, cfg, dst)
+    buildPostings(spark, dst, cfg, globals, freshDocCounts)
+    globals
+  }
+
   private def tbUdf(buckets: Int) = udf((t: String) => IndexFormat.termBucket(t, buckets))
   private def shardUdf(shards: Int) = udf((d: Long) => IndexFormat.docShard(d, shards))
 

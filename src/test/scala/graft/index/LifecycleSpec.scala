@@ -132,6 +132,67 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("merge == from-scratch build over the union corpus (bit-identical); idempotent") {
+    val half = pmod(col("docId"), lit(2L)) === 0
+    val a = tmpDir("mergeA")
+    IndexBuilder.build(spark, docs.filter(half), a, cfg)
+    val b = tmpDir("mergeB")
+    IndexBuilder.build(spark, docs.filter(!half), b, cfg)
+    val m = tmpDir("merged")
+    IndexBuilder.merge(spark, a, b, m)
+    val fresh = tmpDir("mergeFresh")
+    IndexBuilder.build(spark, docs, fresh, cfg)
+    assert(decoded(m) == decoded(fresh))
+    assert(Manifest.totals(m) == Manifest.totals(fresh))
+    val gM = PostingIndex.readGlobals(spark, m)
+    val gF = PostingIndex.readGlobals(spark, fresh)
+    assert((gM.nDocs, gM.totalTokens, gM.avgdl, gM.vocabularySize) ==
+      (gF.nDocs, gF.totalTokens, gF.avgdl, gF.vocabularySize))
+    val im = new PostingIndex(spark, m)
+    val ifr = new PostingIndex(spark, fresh)
+    queries.foreach { q =>
+      assert(resultSeq(im.search(q, 10)) == resultSeq(ifr.search(q, 10)), s"'$q'")
+    }
+    // re-merge into the finished dst: globals commit + manifest make it a
+    // no-op (the build()-style resume contract)
+    val before = decoded(m)
+    IndexBuilder.merge(spark, a, b, m)
+    assert(decoded(m) == before)
+  }
+
+  test("merge folds a source's pending appends; bad inputs fail fast") {
+    val third0 = pmod(col("docId"), lit(3L)) === 0
+    val third1 = pmod(col("docId"), lit(3L)) === 1
+    val third2 = pmod(col("docId"), lit(3L)) === 2
+    val a = tmpDir("mergeApA")
+    IndexBuilder.build(spark, docs.filter(third0), a, cfg)
+    IndexBuilder.append(spark, docs.filter(third1), a, cfg, "m1")
+    val b = tmpDir("mergeApB")
+    IndexBuilder.build(spark, docs.filter(third2), b, cfg)
+    val m = tmpDir("mergedAp")
+    IndexBuilder.merge(spark, a, b, m)
+    val fresh = tmpDir("mergeApFresh")
+    IndexBuilder.build(spark, docs, fresh, cfg)
+    assert(decoded(m) == decoded(fresh))
+
+    // overlapping doc ids: a shared id would silently merge two documents
+    intercept[IllegalArgumentException](
+      IndexBuilder.merge(spark, a, a, tmpDir("mergeDup")))
+    // pending tombstones: deleted docs' tf rows would leak into the merge
+    val t = tmpDir("mergeTomb")
+    IndexBuilder.build(spark, docs.filter(third2), t, cfg)
+    IndexBuilder.delete(spark,
+      docs.filter(third2).limit(3).select("docId"), t, "mt1")
+    intercept[IllegalArgumentException](
+      IndexBuilder.merge(spark, a, t, tmpDir("mergeTombDst")))
+    // layout/analyzer config mismatch: tf routing columns would disagree
+    val c = tmpDir("mergeCfg")
+    IndexBuilder.build(spark, docs.filter(third2), c,
+      cfg.copy(termBuckets = cfg.termBuckets * 2))
+    intercept[IllegalArgumentException](
+      IndexBuilder.merge(spark, a, c, tmpDir("mergeCfgDst")))
+  }
+
   test("compact folds appended batches and tombstones together") {
     val dir = tmpDir("mix")
     val half1 = docs.filter(pmod(col("docId"), lit(2L)) === 0)
