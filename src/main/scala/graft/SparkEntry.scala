@@ -446,7 +446,16 @@ object SparkEntry {
       // re-tokenization must answer exactly like the whole-corpus oracle
       "ep2_wand_tsm_merged" -> ((s, dir) =>
         index.PostingIndex.forDir(s, mergedDir(s, dir))
-          .searchRounded("table scan merge", 10)))
+          .searchRounded("table scan merge", 10)),
+      // deep pagination: page 2 via the search_after cursor (page 1's
+      // last row) must equal the oracle's OFFSET page of the same order
+      "ep2_wand_tsm_page2" -> ((s, dir) => {
+        val idx = index.PostingIndex.forDir(s,
+          index.IndexCache.dirFor(s, dir, stem = false))
+        val last = idx.searchRounded("table scan merge", 10).collect().last
+        idx.searchAfterRounded("table scan merge", 10,
+          last.getDouble(1), last.getLong(0))
+      }))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -748,6 +757,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
       // must be invisible to query semantics
       "ep2_wand_tsm_merged" ->
         OracleSql.bm25TopK("table scan merge", 10),
+      "ep2_wand_tsm_page2" ->
+        OracleSql.bm25TopKPage("table scan merge", 10, offset = 10),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus

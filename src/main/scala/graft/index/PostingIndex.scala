@@ -145,13 +145,17 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * tombstone mechanism with the predicate inverted).
     */
   private def mergedTerms(q: Seq[(String, Double)], k: Int, conj: Boolean,
-      allowBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null)
+      allowBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null,
+      afterScore: Double = Double.PositiveInfinity,
+      afterDoc: Long = Long.MinValue)
       : DataFrame = {
     import spark.implicits._
     val terms = q.map(_._1)
     val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtf = q.toMap
     val kk = k
+    val aS = afterScore
+    val aD = afterDoc
     val blocks = postingsDF
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
       .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
@@ -164,10 +168,32 @@ final class PostingIndex(spark: SparkSession, dir: String) {
           if (exBc == null) null else exBc.value,
           if (allowBc == null) null else allowBc.value)
         if (conj) Wand.topKConjunctive(rows, qtf, kk, ex)
-        else Wand.topK(rows, qtf, kk, ex)
+        else Wand.topK(rows, qtf, kk, ex, aS, aD)
       }
       .toDF("doc_id", "score")
   }
+
+  /** Deep pagination — the search_after contract: the top-k results
+    * ranking STRICTLY AFTER the cursor `(afterScore, afterDoc)` in the
+    * public rounded (score desc, doc_id asc) total order, so page N+1 is
+    * this call with page N's last row as the cursor. Each shard's WAND
+    * heap admits only post-cursor candidates: a deep page costs one
+    * k-slot heap per shard exactly like the first page — never a
+    * top-((N+1)·k) refetch, and never an OFFSET sort (which at 10^12 docs
+    * would materialize every preceding page on one node). The cursor
+    * compares in ROUNDED score space because that is the order the public
+    * results (and the DuckDB twin) expose — a raw-space cursor would
+    * disagree with the very rows the caller paged from.
+    */
+  def searchAfterRounded(query: String, k: Int, afterScore: Double,
+                         afterDoc: Long): DataFrame =
+    queryTerms(query) match {
+      case q if q.isEmpty => emptyResult
+      case q =>
+        mergedTerms(q, k, conj = false, allowBc = null, afterScore, afterDoc)
+          .withColumn("score", round(col("score"), 4))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
 
   /** Conjunctive (AND) variant: only documents containing EVERY query term
     * score (posting-list intersection, leapfrog DAAT). Beyond the

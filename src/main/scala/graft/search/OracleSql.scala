@@ -61,6 +61,16 @@ object OracleSql {
   def bm25TopK(query: String, k: Int, p: BM25Params = BM25.default): String =
     bm25Core(query, k, "documents", "", conjunctive = false, p)
 
+  /** Pagination twin ([[graft.index.PostingIndex.searchAfterRounded]]):
+    * page (offset/k)+1 of the same rounded total order — OFFSET is exact
+    * in SQL at oracle scale; the engine side uses the cursor form
+    * precisely because OFFSET does not scale.
+    */
+  def bm25TopKPage(query: String, k: Int, offset: Int,
+                   p: BM25Params = BM25.default): String =
+    bm25Core(query, k, "documents", "", conjunctive = false, p) +
+      s" OFFSET $offset"
+
   /** Conjunctive (AND) variant: only docs matching EVERY distinct query
     * term score — `HAVING count(*) = |terms|` over the per-(doc, term)
     * weight rows.

@@ -99,15 +99,26 @@ object Wand {
     * top-k slot — while the block-max upper bounds stay valid bounds, so
     * WAND pruning remains exact for the surviving docs.
     */
+  /** `afterScore`/`afterDoc` (optional) are a deep-pagination cursor in
+    * the PUBLIC result space — the 4-dp-ROUNDED (score desc, doc_id asc)
+    * total order every gate compares on: only candidates ranking strictly
+    * after the cursor may take a heap slot, so page N+1 asks for the top-k
+    * after page N's last row instead of top-((N+1)·k) re-fetched. The
+    * default cursor (+∞) admits everything. Pruning stays exact: the
+    * upper-bound threshold still bounds every admissible candidate's
+    * score from above.
+    */
   def topK(rows: Iterator[BlockRow], qtf: Map[String, Double], k: Int,
-           excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
+           excluded: Long => Boolean = null,
+           afterScore: Double = Double.PositiveInfinity,
+           afterDoc: Long = Long.MinValue): Iterator[(Long, Double)] = {
     // group blocks by term; sort each term's blocks by block_id (=docId order)
     val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BlockRow]]
     rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
     if (byTerm.isEmpty) return Iterator.empty
     if (byTerm.size == 1) {
       val (t, bs) = byTerm.head
-      return singleTermTopK(bs, qtf(t), k, excluded)
+      return singleTermTopK(bs, qtf(t), k, excluded, afterScore, afterDoc)
     }
     val cursors: Array[Cursor] = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
       new Cursor(t, qtf(t), bs.sortBy(_.block_id).toArray)
@@ -118,6 +129,9 @@ object Wand {
       if (heap.size < k) Double.NegativeInfinity else heap.peek().score
 
     @inline def offer(doc: Long, score: Double): Unit = {
+      // cursor check in the rounded public order (see scaladoc)
+      val r = math.rint(score * 1e4) / 1e4
+      if (r > afterScore || (r == afterScore && doc <= afterDoc)) return
       if (heap.size < k) heap.add(Hit(doc, score))
       else {
         val w = heap.peek()
@@ -455,7 +469,9 @@ object Wand {
     * (df ~ N) query whose docId-ordered traversal would decode every block.
     */
   private def singleTermTopK(blocks: mutable.ArrayBuffer[BlockRow], qtf: Double,
-                             k: Int, excluded: Long => Boolean = null): Iterator[(Long, Double)] = {
+                             k: Int, excluded: Long => Boolean = null,
+                             afterScore: Double = Double.PositiveInfinity,
+                             afterDoc: Long = Long.MinValue): Iterator[(Long, Double)] = {
     val heap = new java.util.PriorityQueue[Hit](k, worstFirst)
     val sorted = blocks.sortBy(-_.max_w)
     var bi = 0
@@ -470,7 +486,10 @@ object Wand {
         while (i < blk.n) {
           if (excluded == null || !excluded(docs(i))) {
             val score = qtf * wts(i)
-            if (heap.size < k) heap.add(Hit(docs(i), score))
+            // cursor check in the rounded public order (see topK scaladoc)
+            val r = math.rint(score * 1e4) / 1e4
+            if (r > afterScore || (r == afterScore && docs(i) <= afterDoc)) ()
+            else if (heap.size < k) heap.add(Hit(docs(i), score))
             else {
               val w = heap.peek()
               if (score > w.score || (score == w.score && docs(i) < w.doc)) {

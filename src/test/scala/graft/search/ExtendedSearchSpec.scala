@@ -490,6 +490,30 @@ class ExtendedSearchSpec extends AnyFunSuite {
       idx.searchBooleanRounded("the and", "of", tA, 10))
   }
 
+  test("search_after pagination walks the full ranking without gaps or duplicates") {
+    // ground truth: the complete rounded total order
+    val full = res(idx.searchRounded(s"$tA $tB $tC", 1000))
+    assert(full.size > 20, "fixture too small to paginate")
+    // cursor-walk pages of 7 until exhaustion; concatenation must equal
+    // the full ranking exactly (no gaps, no duplicates, order preserved)
+    val pages = Iterator.iterate(res(idx.searchRounded(s"$tA $tB $tC", 7))) {
+      prev =>
+        val (d, s) = prev.last
+        res(idx.searchAfterRounded(s"$tA $tB $tC", 7, s, d))
+    }.takeWhile(_.nonEmpty).take(1 + full.size / 7 + 2).toSeq
+    assert(pages.flatten == full)
+    // the +infinity cursor is the first page
+    assert(res(idx.searchAfterRounded(s"$tA $tB $tC", 7,
+      Double.PositiveInfinity, Long.MinValue)) == full.take(7))
+    // a cursor inside a rounded-score TIE resumes by doc_id: synthesize by
+    // cutting mid-tie if one exists in the fixture, else mid-ranking
+    val ties = full.groupBy(_._2).filter(_._2.size >= 2)
+    val (cd, cs) = if (ties.nonEmpty) ties.maxBy(_._1)._2.head
+      else full(full.size / 2)
+    val after = res(idx.searchAfterRounded(s"$tA $tB $tC", 1000, cs, cd))
+    assert(after == full.dropWhile(x => !(x._1 == cd && x._2 == cs)).drop(1))
+  }
+
   test("boolean search composes with the tombstone overlay") {
     val dir = Files.createTempDirectory("graft-ext-bool").toString
     IndexBuilder.build(spark, docs, dir, cfg)
