@@ -66,6 +66,17 @@ object Explain {
         .getSeq[Float](1).map(_.toDouble).toArray
       graft.ops.Similarity.ivfTopK(emb, q, 10)
     }
+    show("boolean must/should/mustNot (expect the SAME pruned-scan + one " +
+      "shard shuffle shape as ep2 — all three clauses' terms in ONE scan " +
+      "filter; exclusion never a join)") {
+      new PostingIndex(spark, idxDir)
+        .searchBooleanRounded("table", "merge scan", "stream", 10)
+    }
+    show("search_after page 2 (expect the IDENTICAL plan to ep2 — the " +
+      "cursor lives inside the DAAT heap, never a filter/offset stage)") {
+      new PostingIndex(spark, idxDir)
+        .searchAfterRounded("table scan merge", 10, 0.9, Long.MinValue)
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
