@@ -447,6 +447,12 @@ object SparkEntry {
       "ep2_wand_tsm_merged" -> ((s, dir) =>
         index.PostingIndex.forDir(s, mergedDir(s, dir))
           .searchRounded("table scan merge", 10)),
+      // significant terms: the most distinctive terms of the 'dup stream'
+      // match set vs the whole corpus (fg/bg df-ratio lift) — pins the
+      // match-set decode AND the materialized tf relation end-to-end
+      "ep2_sigterms_dup" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .significantTerms("dup stream", 8)),
       // deep pagination: page 2 via the search_after cursor (page 1's
       // last row) must equal the oracle's OFFSET page of the same order
       "ep2_wand_tsm_page2" -> ((s, dir) => {
@@ -759,6 +765,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopK("table scan merge", 10),
       "ep2_wand_tsm_page2" ->
         OracleSql.bm25TopKPage("table scan merge", 10, offset = 10),
+      "ep2_sigterms_dup" ->
+        OracleSql.significantTerms("dup stream", 8),
       // the built index's content gated against corpus-derived counts: the
       // manifest term counters must equal distinct (term, shard) slices
       // (docShard hash twin), the globals vocabulary must equal the corpus

@@ -670,9 +670,22 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       col(facetCol).cast("string").as("facet"))
     if (terms.isEmpty)
       return facets.limit(0).groupBy("facet").agg(count("*").as("n_docs"))
+    matchedDocIds(terms).join(facets, "doc_id")
+      .groupBy("facet").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet").asc)
+  }
+
+  /** The LIVE disjunctive match set of `terms` as a (doc_id) frame: the
+    * posting slice prunes by (tb, term), per-block doc ids decode
+    * map-side with tombstones excluded at decode time, `distinct` is one
+    * shuffle on the match set (query-selectivity-bounded, not
+    * corpus-bounded). Shared by [[facetCounts]] and [[significantTerms]].
+    */
+  private def matchedDocIds(terms: Seq[String]): DataFrame = {
+    import spark.implicits._
     val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val exBc = tombstonesBc
-    val matched = postingsDF
+    postingsDF
       .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
       .select(col("n"), col("docs_bin"))
       .as[(Int, Array[Byte])]
@@ -686,9 +699,50 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       }
       .toDF("doc_id")
       .distinct()
-    matched.join(facets, "doc_id")
-      .groupBy("facet").agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("facet").asc)
+  }
+
+  /** The `maxTerms` most DISTINCTIVE terms of the documents matching
+    * `query` disjunctively, against the whole corpus as background — the
+    * search-UI "significant terms" aggregation: one row per term present
+    * in the match set, (term, fg_df, bg_df, lift) with
+    * lift = (fg_df / |M|) / (bg_df / N) — the foreground/background
+    * document-frequency ratio — ordered (lift desc rounded 6 dp, term
+    * asc). The match set M is LIVE (tombstones excluded); the background
+    * df is the index STATISTIC (includes tombstoned postings until a
+    * compact — the overlay statistics contract every ranking shares).
+    *
+    * Cost shape: the match set is the usual pruned decode, but the
+    * foreground pass joins the index's materialized tf relation
+    * (column-pruned to (doc_id, term)) against the match set — a full tf
+    * scan per call, like every engine's significant-terms (the aggregation
+    * is definitionally over every term of the matched docs, which the
+    * term-keyed postings cannot prune). AQE broadcasts the match set when
+    * the query is selective; the background df joins the tiny stats
+    * relation. An analytics-tier operator, not a serving-path one.
+    */
+  def significantTerms(query: String, maxTerms: Int): DataFrame = {
+    require(maxTerms > 0, s"maxTerms must be positive, got $maxTerms")
+    def emptySig = spark.emptyDataFrame.select(
+      lit("").as("term"), lit(0L).as("fg_df"), lit(0L).as("bg_df"),
+      lit(0.0).as("lift")).limit(0)
+    val terms = queryTerms(query).map(_._1)
+    if (terms.isEmpty) return emptySig
+    val matched = matchedDocIds(terms)
+    val m = matched.count().toDouble
+    if (m == 0) return emptySig
+    val n = globals.nDocs.toDouble
+    val fg = IndexBuilder.readTf(spark, dir).select("doc_id", "term")
+      .join(matched, "doc_id")
+      .groupBy("term").agg(count(lit(1)).cast("long").as("fg_df"))
+    val bg = spark.read.parquet(s"$dir/stats")
+      .select(col("term"), col("df").cast("long").as("bg_df"))
+    fg.join(bg, "term")
+      .withColumn("lift", round(
+        (col("fg_df").cast("double") / lit(m)) /
+          (col("bg_df").cast("double") / lit(n)), 6))
+      .orderBy(col("lift").desc, col("term").asc)
+      .limit(maxTerms)
+      .select("term", "fg_df", "bg_df", "lift")
   }
 
   // ---------------------------------------------------------------------

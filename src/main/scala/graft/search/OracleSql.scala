@@ -280,6 +280,33 @@ GROUP BY 1
 ORDER BY n_docs DESC, facet ASC"""
   }
 
+  /** Significant-terms twin
+    * ([[graft.index.PostingIndex.significantTerms]]): the match set and
+    * BOTH document-frequency sides recomputed from the corpus — fg over
+    * the matched docs, bg over everything (index stats == corpus df by
+    * the a1/a5 gates) — with the identical two-division lift expression
+    * and 6-dp rounding, ordered (lift desc, term asc).
+    */
+  def significantTerms(query: String, maxTerms: Int): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false).map(_._1)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val termList = terms.map(q).mkString(", ")
+    s"""WITH $tokCte,
+$tfCte, $dfCte,
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ($termList)),
+mn AS (SELECT CAST((SELECT count(*) FROM matched) AS DOUBLE) AS m,
+              CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
+fg AS (SELECT term, count(*) AS fg_df
+       FROM tf JOIN matched USING (doc_id) GROUP BY term)
+SELECT fg.term AS term, CAST(fg.fg_df AS BIGINT) AS fg_df,
+  CAST(df.df AS BIGINT) AS bg_df,
+  round((CAST(fg.fg_df AS DOUBLE) / mn.m) / (CAST(df.df AS DOUBLE) / mn.n), 6)
+    AS lift
+FROM fg JOIN df USING (term) CROSS JOIN mn
+ORDER BY lift DESC, term ASC
+LIMIT $maxTerms"""
+  }
+
   /** Phrase twin ([[graft.index.PostingIndex.searchPhraseRounded]]): docs
     * whose ANALYZED token stream contains the phrase's analyzed tokens
     * consecutively, scored by BM25 over the phrase terms (conjunctive

@@ -15,6 +15,10 @@ import graft.index.{IndexCache, Manifest, PostingIndex}
   *
   *   POST /search    {"query": "...", "limit": 10, "conjunctive": false}
   *                   -> [{"id":..,"score":..,"lang":"..","source":"..","snippet":".."}]
+  *                   extended modes (beyond the reference contract):
+  *                   "must"/"must_not" clause strings -> boolean search
+  *                   with `query` as the should clause;
+  *                   "after_score"+"after_doc" -> search_after pagination
   *   GET  /stats     -> {"document_count":..,"vocabulary_size":..,
   *                       "postings":..,"posting_bytes":..}
   *   GET  /document/{id} -> full document row or 404
@@ -104,7 +108,22 @@ final class SearchServer(spark: SparkSession, sfDir: String, port: Int) {
         val query = jsonField(body, "query").getOrElse("")
         val limit = jsonField(body, "limit").flatMap(_.toIntOption).getOrElse(10)
         val conj = jsonField(body, "conjunctive").contains("true")
-        val top = if (conj) idx.searchConjunctive(query, limit) else idx.search(query, limit)
+        // extended modes beyond the reference contract (absent fields =
+        // the reference behavior): must/must_not clauses -> boolean
+        // search with `query` as the should clause; after_score+after_doc
+        // -> search_after deep pagination
+        val must = jsonField(body, "must").getOrElse("")
+        val mustNot = jsonField(body, "must_not").getOrElse("")
+        val afterScore = jsonField(body, "after_score").flatMap(_.toDoubleOption)
+        val top =
+          if (must.nonEmpty || mustNot.nonEmpty)
+            idx.searchBooleanRounded(must, query, mustNot, limit)
+          else if (afterScore.isDefined)
+            idx.searchAfterRounded(query, limit, afterScore.get,
+              jsonField(body, "after_doc").flatMap(_.toLongOption)
+                .getOrElse(Long.MinValue))
+          else if (conj) idx.searchConjunctive(query, limit)
+          else idx.search(query, limit)
         val rows = broadcastHydrate(top)
         respond(ex, 200, rows.mkString("[", ",", "]"))
       } catch {

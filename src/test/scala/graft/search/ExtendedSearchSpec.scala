@@ -490,6 +490,47 @@ class ExtendedSearchSpec extends AnyFunSuite {
       idx.searchBooleanRounded("the and", "of", tA, 10))
   }
 
+  test("significant terms == brute-force fg/bg df-ratio lift; tombstones shape fg only") {
+    // Spark round(col, 6) is BigDecimal HALF_UP — mirror it exactly
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val corpusN = boolAll.size.toDouble
+    val bgDf: Map[String, Long] = boolAll.flatMap(_._2)
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    def truth(q: Seq[String], dead: Set[Long], n: Int): Seq[(String, Long, Long, Double)] = {
+      val matched = boolAll.collect {
+        case (d, ts) if !dead.contains(d) && q.exists(ts) => d }.toSet
+      val m = matched.size.toDouble
+      boolAll.filter(x => matched(x._1)).flatMap(_._2)
+        .groupBy(identity).toSeq
+        .map { case (t, xs) =>
+          (t, xs.size.toLong, bgDf(t),
+            r6((xs.size / m) / (bgDf(t) / corpusN))) }
+        .sortBy { case (t, _, _, l) => (-l, t) }.take(n)
+    }
+    def got(h: PostingIndex, q: String, n: Int): Seq[(String, Long, Long, Double)] =
+      h.significantTerms(q, n).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    for (n <- Seq(5, 40)) {
+      val expected = truth(Seq(tB, tC), Set.empty, n)
+      assert(expected.nonEmpty)
+      assert(got(idx, s"$tB $tC", n) == expected, s"n=$n")
+    }
+    // empty-term query -> empty frame with the schema
+    assert(idx.significantTerms("the and of", 5).collect().isEmpty)
+
+    // tombstones: the match set (and thus fg) shrinks; bg df and N keep
+    // the index statistics (pre-compact contract)
+    val dir = Files.createTempDirectory("graft-ext-sig").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val victims = docs.filter(pmod(col("docId"), lit(4L)) === 1).select("docId")
+    IndexBuilder.delete(spark, victims, dir, "sg1")
+    PostingIndex.invalidate(dir)
+    val dead = victims.collect().map(_.getLong(0)).toSet
+    assert(got(PostingIndex.forDir(spark, dir), s"$tB $tC", 20) ==
+      truth(Seq(tB, tC), dead, 20))
+  }
+
   test("search_after pagination walks the full ranking without gaps or duplicates") {
     // ground truth: the complete rounded total order
     val full = res(idx.searchRounded(s"$tA $tB $tC", 1000))

@@ -73,6 +73,31 @@ class SearchServerSpec extends AnyFunSuite {
       val (c7, _) = http("POST", s"$base/search",
         Some("""{"query": "table scan", "conjunctive": true, "limit": 3}"""))
       assert(c7 == 200)
+
+      // boolean mode: must/must_not clauses with `query` as should —
+      // must agree with the engine's boolean search directly
+      val idxH = graft.index.PostingIndex.forDir(spark,
+        graft.index.IndexCache.dirFor(spark, "/root/testdata/sf0.001", stem = true))
+      val (c8, boolHits) = http("POST", s"$base/search",
+        Some("""{"query": "merge scan", "must": "table", "must_not": "stream", "limit": 5}"""))
+      assert(c8 == 200)
+      val boolIds = """"id":(\d+)""".r.findAllMatchIn(boolHits).map(_.group(1).toLong).toSeq
+      val boolDirect = idxH.searchBooleanRounded("table", "merge scan", "stream", 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(boolIds == boolDirect)
+
+      // search_after pagination: page 2 via page 1's last row as cursor
+      val page1 = idxH.searchRounded("table scan merge", 5).collect()
+      val last = page1.last
+      val (c9, p2Hits) = http("POST", s"$base/search",
+        Some(s"""{"query": "table scan merge", "limit": 5, """ +
+          s""""after_score": ${last.getDouble(1)}, "after_doc": ${last.getLong(0)}}"""))
+      assert(c9 == 200)
+      val p2Ids = """"id":(\d+)""".r.findAllMatchIn(p2Hits).map(_.group(1).toLong).toSeq
+      val p2Direct = idxH.searchAfterRounded("table scan merge", 5,
+        last.getDouble(1), last.getLong(0)).collect().map(_.getLong(0)).toSeq
+      assert(p2Ids == p2Direct && p2Ids.nonEmpty)
+      assert(p2Ids.toSet.intersect(page1.map(_.getLong(0)).toSet).isEmpty)
     } finally srv.stop()
   }
 }
