@@ -771,9 +771,13 @@ object Bench {
       // tier-2 variants shed first, and the floor still lands >= 10 samples
       // when tier-2 already ran overlapped, tier-0/1 is the LAST breadth
       // section and its tail must not shed a coverage query to an
-      // over-sized reserve (observed: dedup tail query skipped at
-      // remaining=21.4 under reserve=22 while latency then used only ~14)
-      runBreadth(spark, tier01, reserve = if (tier2Fut != null) 18 else 22)
+      // over-sized reserve (observed twice: a dedup tail query skipped at
+      // remaining=21.4/16.7 under reserve=22/18 while latency then landed
+      // 21 samples with seconds to spare). 14 suffices: the per-query
+      // timeout (remaining - (reserve-4), capped 15) stops an overrunning
+      // last query before it can starve the latency floor, and the floor
+      // itself needs ~10 s for >= 10 samples
+      runBreadth(spark, tier01, reserve = if (tier2Fut != null) 14 else 22)
       System.err.println(
         s"[bench] breadth tier0+1 done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
       if (tier2Fut == null) runBreadth(spark, tier2, reserve = 18)
