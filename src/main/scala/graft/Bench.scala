@@ -111,7 +111,11 @@ object Bench {
     "ep2_wand_bool_tms",
     // more-like-this (point lookup -> profile probe -> weighted WAND) —
     // the document-as-query plan family
-    "ep2_wand_mlt_42").zipWithIndex.toMap
+    "ep2_wand_mlt_42",
+    // table-valued batch search (distributed query analysis -> term x
+    // query-batch block join -> shard x batch cogroup) — the offline-eval
+    // plan family; the broadcast batch form and suggest are tier-2
+    "ep2_wand_many_tbl").zipWithIndex.toMap
   private val breadthExpensive = Seq(
     "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -461,7 +461,30 @@ object SparkEntry {
         val last = idx.searchRounded("table scan merge", 10).collect().last
         idx.searchAfterRounded("table scan merge", 10,
           last.getDouble(1), last.getLong(0))
-      }))
+      }),
+      // batch search (broadcast-qtf form): the whole reference query set
+      // answered in ONE job — per-query rows must equal searchRounded's
+      "ep2_wand_many" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchManyRounded(benchQueries.map(_._2), 10)),
+      // batch search (table-valued form): the query set as a RELATION —
+      // the 10^6-query offline-eval plan (analyzed distributedly, blocks
+      // replicated per query-batch, shard x batch cogroup); non-contiguous
+      // ids exercise the pmod batching, the all-stopword query the drop
+      // contract
+      "ep2_wand_many_tbl" -> ((s, dir) => {
+        import s.implicits._
+        val qs = Seq((3L, "table scan merge"), (7L, "dup stream"),
+          (12L, "slow group query"), (15L, "the and of"))
+          .toDF("query_id", "query")
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchManyTable(qs, 10, queryBatches = 3)
+      }),
+      // did-you-mean suggestions: the fuzzy dictionary probe as its own
+      // surface — (term, df) within edit distance 2 of 'dat', df desc
+      "ep2_suggest_dat" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .suggest("dat", maxEdits = 2, maxSuggestions = 5)))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -765,6 +788,15 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopK("table scan merge", 10),
       "ep2_wand_tsm_page2" ->
         OracleSql.bm25TopKPage("table scan merge", 10, offset = 10),
+      "ep2_wand_many" ->
+        OracleSql.bm25TopKMany(benchQueries.map(_._2).zipWithIndex
+          .map { case (q, i) => (i.toLong, q) }, 10),
+      "ep2_wand_many_tbl" ->
+        OracleSql.bm25TopKMany(Seq((3L, "table scan merge"),
+          (7L, "dup stream"), (12L, "slow group query"),
+          (15L, "the and of")), 10),
+      "ep2_suggest_dat" ->
+        OracleSql.suggestTerms("dat", maxEdits = 2, maxSuggestions = 5),
       "ep2_sigterms_dup" ->
         OracleSql.significantTerms("dup stream", 8),
       // the built index's content gated against corpus-derived counts: the

@@ -226,15 +226,40 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * Returns (query_id, doc_id, score) ordered (query_id, score desc,
     * doc_id).
     */
-  def searchMany(queries: Seq[String], k: Int): DataFrame = {
+  def searchMany(queries: Seq[String], k: Int): DataFrame =
+    manyPool(queries, k) match {
+      case None       => emptyManyResult
+      case Some(pool) => rankPerQuery(pool, k)
+    }
+
+  /** Oracle-comparable batch form: per-query results identical to
+    * [[searchRounded]] — 4-decimal rounding applied to the pooled
+    * shard candidates BEFORE the per-query k-cut, so the cut happens in
+    * the same (rounded desc, doc_id asc) total order the DuckDB twin
+    * limits on ([[graft.search.OracleSql.bm25TopKMany]]).
+    */
+  def searchManyRounded(queries: Seq[String], k: Int): DataFrame =
+    manyPool(queries, k) match {
+      case None => emptyManyResult
+      case Some(pool) =>
+        rankPerQuery(pool.withColumn("score", round(col("score"), 4)), k)
+    }
+
+  /** The shared batch candidate pool: one pruned scan over the union of
+    * all live queries' terms, ONE shuffle keyed by shard alone, every
+    * query's WAND run inside its shard group (blocks are NOT replicated
+    * per query — see [[searchMany]]). Emits per-(query, shard) top-k
+    * candidates (query_id, doc_id, score); None when no query survives
+    * analysis. The query set rides a broadcast qtf map — the right call
+    * up to ~10^4-10^5 reranking/eval queries; past that, use
+    * [[searchManyTable]] (the query set as a relation).
+    */
+  private def manyPool(queries: Seq[String], k: Int): Option[DataFrame] = {
     import spark.implicits._
     val qTerms: Seq[(Int, Seq[(String, Double)])] =
       queries.zipWithIndex.map { case (q, i) => (i, queryTerms(q)) }
     val live = qTerms.filter(_._2.nonEmpty)
-    if (live.isEmpty) {
-      return spark.emptyDataFrame.select(lit(0).as("query_id"),
-        lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
-    }
+    if (live.isEmpty) return None
     val allTerms = live.flatMap(_._2.map(_._1)).distinct.sorted
     val tbs = allTerms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
     val qtfByQuery: Map[Int, Map[String, Double]] =
@@ -247,7 +272,7 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         "docs_bin", "wts_bin", "tfs_bin")
       .as[BlockRow]
     val exBc = tombstonesBc
-    val perShard = blocks
+    Some(blocks
       .groupByKey(_.shard)
       .flatMapGroups { (_, rows) =>
         // materialize the shard's block slice once; every query reuses it
@@ -257,16 +282,110 @@ final class PostingIndex(spark: SparkSession, dir: String) {
           else { val a = exBc.value; d => java.util.Arrays.binarySearch(a, d) >= 0 }
         bQtf.value.iterator.flatMap { case (qid, qtf) =>
           Wand.topK(rs.iterator.filter(r => qtf.contains(r.term)), qtf, kk, ex)
-            .map { case (d, s) => (qid, d, s) }
+            .map { case (d, s) => (qid.toLong, d, s) }
         }
       }
-      .toDF("query_id", "doc_id", "score")
-    val ranked = perShard.withColumn("rk",
+      .toDF("query_id", "doc_id", "score"))
+  }
+
+  private def emptyManyResult: DataFrame =
+    spark.emptyDataFrame.select(lit(0L).as("query_id"),
+      lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+
+  /** Per-query k-cut over a (query_id, doc_id, score) candidate pool:
+    * row_number in (score desc, doc_id asc) within each query — ONE
+    * shuffle partitioned by query_id carrying at most shards*k rows per
+    * query, fully parallel across queries (never a global sort).
+    */
+  private def rankPerQuery(pool: DataFrame, k: Int): DataFrame =
+    pool.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id").asc)))
       .filter(col("rk") <= k).drop("rk")
-    ranked.orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
+
+  /** Offline-evaluation batch search — the query set as a RELATION
+    * (`queries`: columns (query_id: long, query: string)), for workloads
+    * where it is too large to broadcast or even to hold on the driver
+    * (scoring a 10^6-query eval/click log against the full index). Output
+    * rows are identical to [[searchManyRounded]] per query.
+    *
+    * Scale shape (how 10^6 queries x 10^12 docs stays one pipeline):
+    *
+    *  1. queries are analyzed DISTRIBUTEDLY with the index's own chain
+    *     (qt = (query_id, term, qtf) — no driver tokenization, no
+    *     collect);
+    *  2. queries hash into `queryBatches` groups (pmod(query_id, B));
+    *     posting blocks inner-join the DISTINCT (term, qbatch) relation,
+    *     so a block is replicated once per query-BATCH that needs its
+    *     term — bounded by B, never by |queries| (a hot shared term would
+    *     otherwise fan out once per query);
+    *  3. the qt relation replicates per index shard (|qt| * shards small
+    *     rows — linear, and postings dominate it by orders of magnitude)
+    *     and cogroups with the batched blocks on (shard, qbatch): each
+    *     task holds ONE batch's qtf maps plus ONE shard's term-filtered
+    *     block slice, and runs every batch query's WAND over it —
+    *     task memory is O(batch + slice) regardless of |queries|;
+    *  4. the per-query k-cut is [[rankPerQuery]]'s window — one shuffle
+    *     on query_id over <= shards*k candidate rows per query.
+    *
+    * Tune B so a batch's qtf maps fit a task comfortably (|queries|/B ~
+    * 10^3) — larger B costs block replication, smaller B costs task
+    * memory. The tombstone overlay composes like every search path.
+    * Analysis-empty queries contribute no output rows (same contract as
+    * [[searchManyRounded]]).
+    */
+  def searchManyTable(queries: DataFrame, k: Int,
+                      queryBatches: Int = 64): DataFrame = {
+    import spark.implicits._
+    val b = math.max(1, queryBatches)
+    val an = analyzer
+    val analyzeQ = udf((s: String) => an.analyze(s))
+    val qt = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(analyzeQ(col("query"))).as("term"))
+      .groupBy("query_id", "term")
+      .agg(count(lit(1)).cast("double").as("qtf"))
+      .withColumn("qbatch", pmod(col("query_id"), lit(b.toLong)).cast("int"))
+    val termBatches = qt.select("term", "qbatch").distinct()
+    val blocksK = postingsDF
+      .select("tb", "shard", "term", "block_id", "n", "max_doc", "max_w",
+        "docs_bin", "wts_bin", "tfs_bin")
+      .join(termBatches, "term")
+      .select(col("qbatch").as("_1"),
+        struct(col("tb"), col("shard"), col("term"), col("block_id"),
+          col("n"), col("max_doc"), col("max_w"), col("docs_bin"),
+          col("wts_bin"), col("tfs_bin")).as("_2"))
+      .as[(Int, BlockRow)]
+      .groupByKey { case (qb, blk) => (blk.shard, qb) }
+    val shardIds = (0 until globals.shards).toArray
+    val qtK = qt
+      .select(explode(lit(shardIds)).as("_1"), col("qbatch").as("_2"),
+        col("query_id").as("_3"), col("term").as("_4"), col("qtf").as("_5"))
+      .as[(Int, Int, Long, String, Double)]
+      .groupByKey(r => (r._1, r._2))
+    val kk = k
+    val exBc = tombstonesBc
+    val pool = blocksK.cogroup(qtK) { case (_, bIt, qIt) =>
+      val qts = qIt.toArray
+      if (qts.isEmpty) Iterator.empty
+      else {
+        val rs = bIt.map(_._2).toArray
+        if (rs.isEmpty) Iterator.empty
+        else {
+          val ex: Long => Boolean =
+            if (exBc == null) null
+            else { val a = exBc.value; d => java.util.Arrays.binarySearch(a, d) >= 0 }
+          qts.groupBy(_._3).iterator.flatMap { case (qid, rows) =>
+            val qtf = rows.map(r => (r._4, r._5)).toMap
+            Wand.topK(rs.iterator.filter(r => qtf.contains(r.term)), qtf, kk, ex)
+              .map { case (d, s) => (qid, d, s) }
+          }
+        }
+      }
+    }.toDF("query_id", "doc_id", "score")
+    rankPerQuery(pool.withColumn("score", round(col("score"), 4)), k)
   }
 
   /** Oracle-comparable form: 4-decimal rounded scores (cross-engine float
@@ -445,25 +564,39 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     */
   def searchFuzzyRounded(term: String, k: Int, maxEdits: Int = 1,
                          maxExpansions: Int = PostingIndex.defaultMaxExpansions): DataFrame = {
-    val t = term.toLowerCase(java.util.Locale.ROOT)
-    require(t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
-      s"fuzzy term must be non-empty [a-z0-9]+, got '$term'")
-    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits must be 0..2, got $maxEdits")
     import spark.implicits._
-    val expansions: Seq[(String, Double)] = postingsDF
-      .filter(abs(length(col("term")) - lit(t.length)) <= maxEdits &&
-        levenshtein(col("term"), lit(t)) <= maxEdits)
-      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
-      .orderBy(col("df").desc, col("term").asc)
-      .limit(maxExpansions)
-      .select("term").as[String].collect().toSeq
-      .map(x => (x, 1.0))
+    val expansions: Seq[(String, Double)] =
+      suggest(term, maxEdits, maxExpansions)
+        .select("term").as[String].collect().toSeq
+        .map(x => (x, 1.0))
     if (expansions.isEmpty) emptyResult
     else {
       mergedTerms(expansions.sortBy(_._1), k, conj = false)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc).limit(k)
     }
+  }
+
+  /** Did-you-mean term suggestions: the `maxSuggestions` index-vocabulary
+    * terms within Levenshtein distance `maxEdits` of `term`, ranked
+    * (df desc, term asc) — the same deterministic dictionary probe
+    * [[searchFuzzyRounded]] expands through, exposed as its own surface
+    * (term, df) for spell-correction UIs. Same scale posture as the
+    * fuzzy probe: a column-pruned vocabulary pass, never a postings
+    * decode; df counts include tombstoned postings until a compact.
+    */
+  def suggest(term: String, maxEdits: Int = 1,
+              maxSuggestions: Int = PostingIndex.defaultMaxExpansions): DataFrame = {
+    val t = term.toLowerCase(java.util.Locale.ROOT)
+    require(t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"suggest term must be non-empty [a-z0-9]+, got '$term'")
+    require(maxEdits >= 0 && maxEdits <= 2, s"maxEdits must be 0..2, got $maxEdits")
+    postingsDF
+      .filter(abs(length(col("term")) - lit(t.length)) <= maxEdits &&
+        levenshtein(col("term"), lit(t)) <= maxEdits)
+      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxSuggestions)
   }
 
   // ---------------------------------------------------------------------

@@ -119,10 +119,7 @@ stats AS (
 $qtCte,
 w AS (
   SELECT tf.doc_id,
-         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * (tf.tf * (${p.k1} + 1.0))
-           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
-           * qt.qtf AS w
+         ${weightSql(p)} AS w
   FROM tf JOIN df USING (term) JOIN qt USING (term)
        JOIN dl USING (doc_id) CROSS JOIN stats
   $candWhere)
@@ -130,6 +127,66 @@ SELECT doc_id, round(sum(w), 4) AS score
 FROM w GROUP BY doc_id$having
 ORDER BY round(sum(w), 4) DESC, doc_id ASC
 LIMIT $k"""
+  }
+
+  /** The single copy of the BM25 weight expression — shared by the
+    * single-query core ([[bm25CoreQt]]) and the batch twin
+    * ([[bm25TopKMany]]) so the oracle math cannot drift between the
+    * per-query and batch surfaces. Mirrors [[RelationalBM25.topK]]
+    * literal construction order ((k1 + 1.0), (1.0 - b)).
+    */
+  private def weightSql(p: BM25Params): String =
+    s"""ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (${p.k1} + 1.0))
+           / (tf.tf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * dl.dl / stats.avgdl))
+           * qt.qtf"""
+
+  /** Batch-search twin ([[graft.index.PostingIndex.searchManyRounded]] /
+    * [[graft.index.PostingIndex.searchManyTable]]): per-query BM25 top-k
+    * over an explicit (query_id, query) set in one statement — the qt
+    * relation carries query_id, the weight rows group by (query_id,
+    * doc_id), and the k-cut is a per-query row_number over the same
+    * rounded (score desc, doc_id asc) total order as [[bm25TopK]].
+    * Queries whose terms all analyze away contribute no rows (the engine
+    * drops them identically).
+    */
+  def bm25TopKMany(queries: Seq[(Long, String)], k: Int,
+                   p: BM25Params = BM25.default): String = {
+    val values = queries.flatMap { case (qid, query) =>
+      RelationalBM25.queryTerms(query, stem = false).map { case (t, qtf) =>
+        s"($qid, ${q(t)}, CAST($qtf AS DOUBLE))" }
+    }.mkString(", ")
+    require(values.nonEmpty, "no live query terms across the batch")
+    s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
+qt AS (SELECT * FROM (VALUES $values) AS v(query_id, term, qtf)),
+w AS (
+  SELECT qt.query_id, tf.doc_id,
+         ${weightSql(p)} AS w
+  FROM tf JOIN df USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats),
+s AS (SELECT query_id, doc_id, round(sum(w), 4) AS score
+      FROM w GROUP BY query_id, doc_id),
+r AS (SELECT s.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk FROM s)
+SELECT query_id, doc_id, score FROM r WHERE rk <= $k
+ORDER BY query_id ASC, score DESC, doc_id ASC"""
+  }
+
+  /** Suggestion twin ([[graft.index.PostingIndex.suggest]]): the
+    * did-you-mean dictionary probe — the `maxSuggestions` highest-df
+    * corpus terms within Levenshtein distance `maxEdits` of `term`, ties
+    * term-ascending, df exposed (index df == corpus df by the S8 gate;
+    * both sides count live + tombstoned postings until a compact).
+    */
+  def suggestTerms(term: String, maxEdits: Int, maxSuggestions: Int): String = {
+    require(term.nonEmpty && term.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"suggest term must be non-empty [a-z0-9]+, got '$term'")
+    s"""WITH $tokCte, $tfCte, $dfCte
+SELECT term, df FROM df
+WHERE abs(length(term) - ${term.length}) <= $maxEdits
+  AND levenshtein(term, ${q(term)}) <= $maxEdits
+ORDER BY df DESC, term ASC
+LIMIT $maxSuggestions"""
   }
 
   /** Attribute-filtered twin ([[graft.index.PostingIndex.searchFiltered]]):

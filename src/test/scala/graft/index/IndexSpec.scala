@@ -253,11 +253,11 @@ class IndexSpec extends AnyFunSuite {
     val idx = new PostingIndex(spark, dir)
     val qs = referenceQueries.take(6) :+ "the and of" // incl. degenerate
     val got = idx.searchMany(qs, 10).collect()
-      .groupBy(_.getInt(0))
+      .groupBy(_.getLong(0))
       .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
     qs.zipWithIndex.foreach { case (q, i) =>
       val single = resultSeq(idx.search(q, 10))
-      assert(got.getOrElse(i, Seq.empty) == single, s"query '$q'")
+      assert(got.getOrElse(i.toLong, Seq.empty) == single, s"query '$q'")
     }
   }
 

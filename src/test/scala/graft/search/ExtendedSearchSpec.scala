@@ -571,4 +571,89 @@ class ExtendedSearchSpec extends AnyFunSuite {
     // survivors keep their (pre-delete statistics) scores and order
     assert(before.filterNot(_._1 == victim).take(9) == after.take(9))
   }
+
+  // -----------------------------------------------------------------------
+  // Batch search (broadcast + table-valued forms) and suggestions
+  // -----------------------------------------------------------------------
+
+  private def resMany(df: DataFrame): Map[Long, Seq[(Long, Double)]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
+
+  test("searchManyRounded == per-query searchRounded (incl. degenerate query)") {
+    val qs = Seq("longest river complexity", s"$tA $tB", "the and of", tC)
+    val got = resMany(idx.searchManyRounded(qs, 10))
+    qs.zipWithIndex.foreach { case (q, i) =>
+      assert(got.getOrElse(i.toLong, Seq.empty) == res(idx.searchRounded(q, 10)),
+        s"query '$q'")
+    }
+    // an all-degenerate batch is empty with the batch schema
+    val empty = idx.searchManyRounded(Seq("the and", "of"), 10)
+    assert(empty.columns.toSeq == Seq("query_id", "doc_id", "score"))
+    assert(empty.collect().isEmpty)
+  }
+
+  test("searchManyTable == searchManyRounded; batch-count and id invariant") {
+    import spark.implicits._
+    val qs = Seq("longest river complexity", s"$tA $tB $tC", "the and of", tD)
+    val expected = resMany(idx.searchManyRounded(qs, 10))
+    for (b <- Seq(1, 3, 64)) {
+      val qdf = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("query_id", "query")
+      assert(resMany(idx.searchManyTable(qdf, 10, queryBatches = b)) == expected,
+        s"queryBatches=$b")
+    }
+    // non-contiguous and NEGATIVE caller ids: results keyed by the caller's
+    // ids (pmod batching must not care)
+    val shifted = qs.zipWithIndex.map { case (q, i) => (i * 7L - 3L, q) }
+      .toDF("query_id", "query")
+    val gotS = resMany(idx.searchManyTable(shifted, 10, queryBatches = 4))
+    qs.indices.foreach { i =>
+      assert(gotS.getOrElse(i * 7L - 3L, Seq.empty)
+        == expected.getOrElse(i.toLong, Seq.empty), s"i=$i")
+    }
+    // all-degenerate query table -> empty
+    assert(idx.searchManyTable(
+      Seq((1L, "the and of")).toDF("query_id", "query"), 10).collect().isEmpty)
+  }
+
+  test("searchManyTable composes with the tombstone overlay") {
+    val dir = Files.createTempDirectory("graft-ext-many").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    import spark.implicits._
+    val h0 = PostingIndex.forDir(spark, dir)
+    val before = res(h0.searchRounded(tA, 10))
+    assert(before.nonEmpty)
+    val victim = before.head._1
+    IndexBuilder.delete(spark, Seq(victim).toDF("docId"), dir, "m1")
+    PostingIndex.invalidate(dir)
+    val h = PostingIndex.forDir(spark, dir)
+    val got = resMany(h.searchManyTable(
+      Seq((5L, tA)).toDF("query_id", "query"), 10, queryBatches = 2))
+    assert(got(5L) == res(h.searchRounded(tA, 10)))
+    assert(!got(5L).exists(_._1 == victim))
+  }
+
+  test("suggest == levenshtein-band df-desc/term-asc cap; edges rejected") {
+    import spark.implicits._
+    val vocabDf: Seq[(String, Long)] = spark.read.parquet(s"$idxDir/postings")
+      .groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("n").cast("long").as("df"))
+      .as[(String, Long)].collect().toSeq
+    val base = vocabDf.filter(_._1.length >= 5).maxBy { case (t, df) => (df, t) }._1
+    val fuzz = base.updated(1, if (base(1) == 'q') 'x' else 'q')
+    for (maxEdits <- Seq(1, 2); n <- Seq(1, 4, 1000)) {
+      val expected = vocabDf
+        .filter { case (t, _) => math.abs(t.length - fuzz.length) <= maxEdits &&
+          lev(t, fuzz) <= maxEdits }
+        .sortBy { case (t, df) => (-df, t) }.take(n)
+      val got = idx.suggest(fuzz, maxEdits, n).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected, s"maxEdits=$maxEdits n=$n")
+    }
+    assert(idx.suggest("zzzzzzzzzz", 1, 5).collect().isEmpty)
+    intercept[IllegalArgumentException](idx.suggest("", 1, 5))
+    intercept[IllegalArgumentException](idx.suggest("a b", 1, 5))
+    intercept[IllegalArgumentException](idx.suggest("abc", 3, 5))
+  }
 }
