@@ -72,12 +72,49 @@ object IndexBuilder {
     * (tb, shard), rows clustered by term key and docId-sorted within it —
     * exactly what the streaming block encoder requires.
     */
-  private def postingsShape(postings: DataFrame, parts: Int,
-                            termKey: String): DataFrame =
+  /** Route each (tb, shard) group to ITS OWN shuffle partition — exactly,
+    * not modulo hash luck. Plain `repartition(parts, tb, shard)` murmur3-
+    * hashes the parts distinct keys into parts buckets, and balls-in-bins
+    * leaves ~1/e of the encode tasks EMPTY while a few carry 3-4 whole
+    * (tb, shard) groups (measured at shards=16 x tb=4: 26/64 empty, max
+    * load 4) — at high parallelism the multi-group stragglers ARE the
+    * stage wall (a 4-group task runs 4x the mean; ~40% makespan overhead
+    * at 8 cores vs ~6% at 2, which directly depressed the N->4N scaling
+    * ratio). The fix stays declarative: a driver-side probe search finds,
+    * for each target partition p, an int whose Murmur3Hash(seed 42 — the
+    * HashPartitioning seed) lands on p (coupon-collector, ~parts*ln(parts)
+    * probes of a pure int hash); each (tb, shard) key then carries its
+    * probe in a routing column and `repartition(parts, pk)` places every
+    * group alone in its partition. Group completeness is what the encoder
+    * needs and is preserved (same (tb, shard) -> same pk -> same
+    * partition); block bytes are partition-placement-independent, so index
+    * content is unchanged (spec-pinned by the config-invariance gate).
+    */
+  private[index] def postingsShape(postings: DataFrame, tbs: Seq[Int],
+                                   shards: Int, termKey: String): DataFrame = {
+    val parts = shards * math.max(1, tbs.size)
+    val slotProbe: Array[Int] = {
+      val found = new Array[Int](parts)
+      val have = new Array[Boolean](parts)
+      var v = 0
+      var remaining = parts
+      while (remaining > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        val p = java.lang.Math.floorMod(h, parts)
+        if (!have(p)) { have(p) = true; found(p) = v; remaining -= 1 }
+        v += 1
+      }
+      found
+    }
+    val tbIdx = typedLit(tbs.zipWithIndex.toMap)
+    val probes = typedLit(slotProbe.toSeq)
     postings
-      .repartition(parts, col("tb"), col("shard"))
+      .withColumn("pk", element_at(probes,
+        element_at(tbIdx, col("tb")) * shards + col("shard") + 1))
+      .repartition(parts, col("pk"))
       .sortWithinPartitions("tb", "shard", termKey, "doc_id")
       .select("tb", "shard", termKey, "doc_id", "w", "tf")
+  }
 
   private[index] def stage[A](name: String)(f: => A): A = {
     if (!timings) f
@@ -599,8 +636,8 @@ object IndexBuilder {
     // moves O(partitions) files instead of O(partitions * tasks) — this was
     // the dominant serial cost at bench scale. Hot terms are still split
     // by shard; within a partition the sort keeps (tb, shard, term) groups
-    // contiguous and docId-ordered for the streaming encoder.
-    val parts = cfg.shards * math.max(1, tbsInWave.size)
+    // contiguous and docId-ordered for the streaming encoder. The 1:1
+    // key-to-partition routing lives in [[postingsShape]].
     val acc = new PartCounters
     spark.sparkContext.register(acc, s"graft-part-counters-w$wave")
     val waveStatsDf = spark.read.parquet(s"$dir/stats")
@@ -645,7 +682,7 @@ object IndexBuilder {
         .withColumn("tid", tidUdf(col("term")))
         .select(col("tb"), col("shard"), col("tid"), col("doc_id"), col("tf"),
           wUdf(col("tid"), col("tf"), col("dl")).as("w")),
-        parts, "tid")
+        tbsInWave, cfg.shards, "tid")
         // The sort key is the DICTIONARY id; ids are assigned in stats-row
         // order, which is arbitrary but a bijection with terms, so per-term
         // grouping (all the encoder needs) is preserved and the sort
@@ -669,7 +706,7 @@ object IndexBuilder {
         .join(waveStatsDf, "term")
         .select(col("tb"), col("shard"), col("term"), col("doc_id"), col("tf"),
           wUdf(col("tf"), col("dl"), col("idf")).as("w")),
-        parts, "term")
+        tbsInWave, cfg.shards, "term")
         .as[TermPostingRow]
         .mapPartitions { rows =>
           new TermBlockEncodeIterator(rows, blockSize, acc)

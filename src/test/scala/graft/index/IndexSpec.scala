@@ -261,6 +261,27 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("postingsShape routes every (tb, shard) group to its own partition") {
+    // Pins the contract the 1:1 routing relies on: HashPartitioning =
+    // pmod(Murmur3Hash(seed 42), parts) over the probe column. If a Spark
+    // upgrade changed the seed or hash, groups would still be COMPLETE
+    // (same pk -> same partition) but collisions would silently return —
+    // this spec turns that into a failure instead of a scaling regression.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val tbs = 0 until 4
+    val shards = 16
+    val rows = for (t <- tbs; s <- 0 until shards; r <- 0 until 3)
+      yield (t, s, s"t$r", (r * 100 + s).toLong, 1.0, 1L)
+    val df = rows.toDF("tb", "shard", "term", "doc_id", "w", "tf")
+    val placed = IndexBuilder.postingsShape(df, tbs, shards, "term")
+      .select(spark_partition_id().as("pid"), col("tb"), col("shard"))
+      .distinct().collect()
+    val byPid = placed.groupBy(_.getInt(0))
+    assert(byPid.size == tbs.size * shards, "one non-empty partition per key")
+    assert(byPid.values.forall(_.length == 1), "exactly one (tb, shard) per partition")
+  }
+
   test("degenerate corpora: empty and token-less builds do not corrupt state") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("docId", "content")
