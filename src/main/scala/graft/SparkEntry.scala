@@ -484,7 +484,21 @@ object SparkEntry {
       // surface — (term, df) within edit distance 2 of 'dat', df desc
       "ep2_suggest_dat" -> ((s, dir) =>
         index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
-          .suggest("dat", maxEdits = 2, maxSuggestions = 5)))
+          .suggest("dat", maxEdits = 2, maxSuggestions = 5)),
+      // hybrid lexical+vector retrieval: BM25 WAND top-50 fused with the
+      // exact cosine top-50 (query vector = embeddings row 0) by
+      // reciprocal-rank fusion — both candidate lists, the rank
+      // assignment, the absent-rank-0 coalescing, and the fused order
+      // are value-gated
+      "ep2_hybrid_rrf" -> ((s, dir) => {
+        val idx = index.PostingIndex.forDir(s,
+          index.IndexCache.dirFor(s, dir, stem = false))
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0).head()
+          .getSeq[Float](1).map(_.toDouble).toArray
+        search.Hybrid.rrfSearch(idx, emb, "table scan merge", q, 10,
+          candidates = 50)
+      }))
     base ++ bm25 ++ wand ++ wandK ++ wandStemmed ++ wandExtra ++ opsQueries ++ tpchQueries
   }
 
@@ -797,6 +811,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
           (15L, "the and of")), 10),
       "ep2_suggest_dat" ->
         OracleSql.suggestTerms("dat", maxEdits = 2, maxSuggestions = 5),
+      "ep2_hybrid_rrf" ->
+        OracleSql.hybridRrf("table scan merge", 0L, 10, candidates = 50),
       "ep2_sigterms_dup" ->
         OracleSql.significantTerms("dup stream", 8),
       // the built index's content gated against corpus-derived counts: the

@@ -172,6 +172,50 @@ SELECT query_id, doc_id, score FROM r WHERE rk <= $k
 ORDER BY query_id ASC, score DESC, doc_id ASC"""
   }
 
+  /** Exact cosine top-k twin (the `ann_brute_cosine` form, parameterized):
+    * the query vector is embeddings row `qVecId`; 6-dp rounding,
+    * (cos desc, vec_id asc) total order.
+    */
+  def cosineTopK(qVecId: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qVecId),
+qx AS (SELECT generate_subscripts(qv, 1) AS i, CAST(unnest(qv) AS DOUBLE) AS x FROM q),
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot, sum(e.x * e.x) AS na
+      FROM ex e JOIN qx q USING (i) GROUP BY 1),
+qn AS (SELECT sum(x*x) AS nb FROM qx)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, qn ORDER BY cos DESC, vec_id LIMIT $k"""
+
+  /** Hybrid-retrieval twin ([[graft.search.Hybrid.rrfSearch]]):
+    * reciprocal-rank fusion of the BM25 top-`candidates` (the shared
+    * [[bm25TopK]] core) and the cosine top-`candidates`
+    * ([[cosineTopK]]) — ranks assigned over each list's public rounded
+    * total order, absent-from-a-list coalesced to rank 0 (contributes
+    * nothing, and hashes identically across engines where NULL might
+    * not), 1/(rrfK + rank) contributions summed lex-first in both
+    * engines, 6-dp rounded, (rrf desc, doc_id asc) total order.
+    */
+  def hybridRrf(query: String, qVecId: Long, k: Int, candidates: Int,
+                rrfK: Int = 60): String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    s"""WITH lex AS (SELECT doc_id, row_number() OVER (
+    ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM (${bm25TopK(query, candidates)})),
+vec AS (SELECT vec_id AS doc_id, row_number() OVER (
+    ORDER BY cos DESC, vec_id ASC) AS vec_rank
+  FROM (${cosineTopK(qVecId, candidates)})),
+f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(v.vec_rank, 0) AS vec_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+SELECT doc_id, lex_rank, vec_rank,
+       round((CASE WHEN lex_rank > 0 THEN $one / ($rrfK + lex_rank) ELSE $zero END)
+           + (CASE WHEN vec_rank > 0 THEN $one / ($rrfK + vec_rank) ELSE $zero END), 6) AS rrf
+FROM f ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
+  }
+
   /** Suggestion twin ([[graft.index.PostingIndex.suggest]]): the
     * did-you-mean dictionary probe — the `maxSuggestions` highest-df
     * corpus terms within Levenshtein distance `maxEdits` of `term`, ties

@@ -77,6 +77,15 @@ object Explain {
       new PostingIndex(spark, idxDir)
         .searchAfterRounded("table scan merge", 10, 0.9, Long.MinValue)
     }
+    show("table-valued batch search (expect: query analysis as its own " +
+      "small subtree; blocks JOIN the distinct (term, qbatch) relation — " +
+      "never a per-query fanout; ONE CoGroup on (shard, qbatch); final " +
+      "per-query k-cut a query_id-partitioned window, never a global sort)") {
+      import spark.implicits._
+      val qs = Seq((3L, "table scan merge"), (7L, "dup stream"),
+        (12L, "slow group query")).toDF("query_id", "query")
+      new PostingIndex(spark, idxDir).searchManyTable(qs, 10, queryBatches = 3)
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
