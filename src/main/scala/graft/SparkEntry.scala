@@ -485,6 +485,16 @@ object SparkEntry {
       "ep2_suggest_dat" -> ((s, dir) =>
         index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
           .suggest("dat", maxEdits = 2, maxSuggestions = 5)),
+      // query-time synonym expansion: 'table' also matches row/column,
+      // 'merge' also matches join, expanded terms inherit the source qtf
+      // and weights sum — the whole expansion computed by BOTH engines
+      "ep2_wand_syn_tm" -> ((s, dir) => {
+        import s.implicits._
+        val syns = Seq(("table", "row"), ("table", "column"),
+          ("merge", "join")).toDF("term", "syn")
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchSynonymsRounded("table merge", syns, 10)
+      }),
       // hybrid lexical+vector retrieval: BM25 WAND top-50 fused with the
       // exact cosine top-50 (query vector = embeddings row 0) by
       // reciprocal-rank fusion — both candidate lists, the rank
@@ -813,6 +823,9 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.suggestTerms("dat", maxEdits = 2, maxSuggestions = 5),
       "ep2_hybrid_rrf" ->
         OracleSql.hybridRrf("table scan merge", 0L, 10, candidates = 50),
+      "ep2_wand_syn_tm" ->
+        OracleSql.bm25TopKSynonyms("table merge",
+          Seq(("table", "row"), ("table", "column"), ("merge", "join")), 10),
       "ep2_sigterms_dup" ->
         OracleSql.significantTerms("dup stream", 8),
       // the built index's content gated against corpus-derived counts: the

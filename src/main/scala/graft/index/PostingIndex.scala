@@ -577,6 +577,49 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Query-time synonym expansion (the Lucene synonym-filter surface, as
+    * a deterministic cross-engine contract): each analyzed query term t
+    * contributes itself plus its synonyms from the `synonyms` relation
+    * (columns (term, syn), values lowercase [a-z0-9]+ index vocabulary),
+    * every expanded term carrying t's qtf; a term reachable from several
+    * query terms — or itself a query term — SUMS its weights (the same
+    * additive merge as boolean clauses and repeated query words). At most
+    * `maxExpansionsPerTerm` synonyms per term, deterministic (syn asc)
+    * cap. A synonym absent from the corpus vocabulary has no postings and
+    * contributes nothing — in both engines, so normalization mismatches
+    * self-neutralize rather than diverge.
+    *
+    * Scale shape: the synonyms relation is a CATALOG table at 10^12 docs;
+    * the lookup is a pushed-filter probe (`term IN` the query's few
+    * terms) collecting a |query|·cap-bounded expansion — never a scan of
+    * the synonym table into the driver, never a join against postings.
+    */
+  def searchSynonymsRounded(query: String, synonyms: DataFrame, k: Int,
+                            maxExpansionsPerTerm: Int = 8): DataFrame = {
+    val q = queryTerms(query)
+    if (q.isEmpty) return emptyResult
+    val qtf = q.toMap
+    val terms = q.map(_._1)
+    val rows = synonyms
+      .filter(col("term").isin(terms: _*))
+      .select("term", "syn").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { case (_, s) =>
+      require(s.nonEmpty && s.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+        s"synonym must be lowercase [a-z0-9]+, got '$s'") }
+    val expanded: Seq[(String, Double)] = rows.toSeq
+      .groupBy(_._1).toSeq
+      .flatMap { case (t, ss) =>
+        ss.map(_._2).distinct.sorted.take(maxExpansionsPerTerm)
+          .map(s => (s, qtf(t)))
+      }
+    val merged = (q ++ expanded).groupBy(_._1).toSeq
+      .map { case (t, xs) => (t, xs.map(_._2).sum) }.sortBy(_._1)
+    mergedTerms(merged, k, conj = false)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Did-you-mean term suggestions: the `maxSuggestions` index-vocabulary
     * terms within Levenshtein distance `maxEdits` of `term`, ranked
     * (df desc, term asc) — the same deterministic dictionary probe

@@ -172,6 +172,40 @@ SELECT query_id, doc_id, score FROM r WHERE rk <= $k
 ORDER BY query_id ASC, score DESC, doc_id ASC"""
   }
 
+  /** Synonym-expansion twin
+    * ([[graft.index.PostingIndex.searchSynonymsRounded]]): the expanded
+    * query-term relation is computed IN SQL from the same (term, syn)
+    * VALUES — base terms keep their qtf, each term's synonyms (distinct,
+    * (syn asc) row_number cap) inherit it, and weights SUM per expanded
+    * term (the engine's additive merge contract). A synonym outside the
+    * corpus vocabulary joins no tf rows and contributes nothing — in both
+    * engines.
+    */
+  def bm25TopKSynonyms(query: String, synonyms: Seq[(String, String)],
+                       k: Int, maxExpansionsPerTerm: Int = 8,
+                       p: BM25Params = BM25.default): String = {
+    val base = RelationalBM25.queryTerms(query, stem = false)
+    require(base.nonEmpty, s"query '$query' has no surviving terms")
+    val baseValues = base.map { case (t, qtf) =>
+      s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    val synValues = synonyms.map { case (t, s) => s"(${q(t)}, ${q(s)})" }
+      .mkString(", ")
+    bm25CoreQt(
+      s"""qt AS (
+  SELECT term, CAST(sum(qtf) AS DOUBLE) AS qtf FROM (
+    SELECT term, qtf FROM qbase
+    UNION ALL
+    SELECT s.syn AS term, qbase.qtf
+    FROM (SELECT term, syn, row_number() OVER (
+            PARTITION BY term ORDER BY syn ASC) AS rn
+          FROM (SELECT DISTINCT * FROM (VALUES $synValues) AS v(term, syn))) s
+    JOIN qbase USING (term)
+    WHERE s.rn <= $maxExpansionsPerTerm)
+  GROUP BY term)""",
+      k, "documents", "", "",
+      s"qbase AS (SELECT * FROM (VALUES $baseValues) AS b(term, qtf))", p)
+  }
+
   /** Exact cosine top-k twin (the `ann_brute_cosine` form, parameterized):
     * the query vector is embeddings row `qVecId`; 6-dp rounding,
     * (cos desc, vec_id asc) total order.

@@ -634,6 +634,50 @@ class ExtendedSearchSpec extends AnyFunSuite {
     assert(!got(5L).exists(_._1 == victim))
   }
 
+  test("synonym expansion == weighted per-term reconstruction; cap, collision, unknown-syn") {
+    import spark.implicits._
+    // real vocabulary terms for the expansion targets
+    val vocab: Seq[String] = spark.read.parquet(s"$idxDir/postings")
+      .select("term").distinct().as[String].collect().toSeq.sorted
+    val Seq(sA, sB, sC) = vocab.filterNot(Seq(tA, tB).contains).take(3)
+
+    def reconstruct(weights: Map[String, Double], k: Int): Seq[(Long, Double)] =
+      weights.toSeq.flatMap { case (t, w) =>
+        res(idx.search(t, 1000)).map { case (d, s) => (d, s * w) } }
+        .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }.toSeq
+        .map { case (d, s) => (d, math.rint(s * 1e4) / 1e4) }
+        .sortBy { case (d, s) => (-s, d) }.take(k)
+
+    val syns = Seq((tA, sA), (tA, sB), (tB, sC)).toDF("term", "syn")
+    // search(t, …) scores with weight 1; synonym expansion of "tA tB"
+    // gives every expanded term weight 1 too, so reconstruction weights
+    // are 1 for tA, sA, sB, tB, sC
+    val expected = reconstruct(
+      Map(tA -> 1.0, sA -> 1.0, sB -> 1.0, tB -> 1.0, sC -> 1.0), 10)
+    assert(res(idx.searchSynonymsRounded(s"$tA $tB", syns, 10)) == expected)
+
+    // per-term cap keeps the lexicographically FIRST synonym
+    val first = Seq(sA, sB).min
+    val capped = reconstruct(Map(tA -> 1.0, first -> 1.0, tB -> 1.0, sC -> 1.0), 10)
+    assert(res(idx.searchSynonymsRounded(s"$tA $tB", syns, 10,
+      maxExpansionsPerTerm = 1)) == capped)
+
+    // a synonym COLLIDING with another query term sums weights (tA -> tB
+    // on query "tA tB": tB carries qtf 2)
+    val collide = Seq((tA, tB)).toDF("term", "syn")
+    val collided = reconstruct(Map(tA -> 1.0, tB -> 2.0), 10)
+    assert(res(idx.searchSynonymsRounded(s"$tA $tB", collide, 10)) == collided)
+
+    // out-of-vocabulary synonym contributes nothing; empty query rejected
+    val oov = Seq((tA, "zzzzunknown")).toDF("term", "syn")
+    assert(res(idx.searchSynonymsRounded(tA, oov, 10))
+      == res(idx.searchRounded(tA, 10)))
+    assert(res(idx.searchSynonymsRounded("the and of", syns, 10)).isEmpty)
+    // malformed synonym value rejected
+    intercept[IllegalArgumentException](
+      res(idx.searchSynonymsRounded(tA, Seq((tA, "Bad Syn")).toDF("term", "syn"), 10)))
+  }
+
   test("suggest == levenshtein-band df-desc/term-asc cap; edges rejected") {
     import spark.implicits._
     val vocabDf: Seq[(String, Long)] = spark.read.parquet(s"$idxDir/postings")
