@@ -48,7 +48,8 @@ object BuildTo {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PART_BYTES", "8m"))
       // pack small files (the tf intermediate) into few scan tasks: task
       // LAUNCH is ~5-10 ms of serial driver time each, and hundreds of
       // tiny-file tasks per stage put seconds of non-scaling work on the

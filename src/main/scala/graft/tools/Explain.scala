@@ -77,6 +77,16 @@ object Explain {
       new PostingIndex(spark, idxDir)
         .searchAfterRounded("table scan merge", 10, 0.9, Long.MinValue)
     }
+    show("hybrid RRF (expect: the two retrievals as independent subtrees — " +
+      "WAND pruned scan + cosine TakeOrdered — joined full-outer over " +
+      "<= 2*candidates rows; fusion math in Project, never a re-score of " +
+      "either corpus)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      graft.search.Hybrid.rrfSearch(new PostingIndex(spark, idxDir), emb,
+        "table scan merge", q, 10, candidates = 50)
+    }
     show("table-valued batch search (expect: query analysis as its own " +
       "small subtree; blocks JOIN the distinct (term, qbatch) relation — " +
       "never a per-query fanout; ONE CoGroup on (shard, qbatch); final " +

@@ -52,7 +52,8 @@ object ScalePair {
       .master(s"local[$n]")
       .appName(s"graft-scalepair-$n")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PART_BYTES", "8m"))
       .config("spark.sql.files.openCostInBytes", "0")
       .config("spark.local.dir", localDir)
       // v2 committer: task-side output commit (parallel) instead of the v1
