@@ -518,6 +518,16 @@ object SparkEntry {
   private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       ops.Dedup.exact(rawDocs(s, dir)).orderBy("doc_id")),
+    // percolator: which registered standing queries does each document
+    // match (conjunctive containment) — incl. a degenerate all-stopword
+    // query that must match nothing
+    "percolate_std" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "table scan"), (2L, "dup stream"),
+        (3L, "slow query group"), (4L, "the and of"))
+        .toDF("query_id", "query")
+      ops.Percolate.percolate(rawDocs(s, dir), qs)
+    }),
     // Lee-et-al-style duplicated-span (w-token window) profile
     "dedup_spans" -> ((s, dir) =>
       ops.Spans.dupSpanStats(rawDocs(s, dir), w = 6).orderBy("doc_id")),
@@ -891,6 +901,8 @@ ORDER BY r_name, rnk""")
     val ngCapCtes = ops.DedupOracleSql.ngramCapCtes
     Map(
       "dedup_spans" -> ops.Spans.dupSpansSql(w = 6),
+      "percolate_std" -> OracleSql.percolate(Seq((1L, "table scan"),
+        (2L, "dup stream"), (3L, "slow query group"), (4L, "the and of"))),
       "dedup_exact" ->
         """WITH h AS (SELECT doc_id, sha256(text) AS hsh FROM documents),
 g AS (SELECT hsh, min(doc_id) AS canon_id, count(*) AS dup_count FROM h GROUP BY hsh)

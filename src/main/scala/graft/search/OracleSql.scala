@@ -206,6 +206,29 @@ ORDER BY query_id ASC, score DESC, doc_id ASC"""
       s"qbase AS (SELECT * FROM (VALUES $baseValues) AS b(term, qtf))", p)
   }
 
+  /** Percolator twin ([[graft.ops.Percolate.percolate]]): conjunctive
+    * standing-query containment recomputed from the corpus — distinct
+    * per-document terms joined to the analyzed query-term VALUES, match
+    * counts compared to each query's distinct-term count. Queries whose
+    * terms all analyze away contribute no VALUES rows and match nothing
+    * (the engine's contract).
+    */
+  def percolate(queries: Seq[(Long, String)]): String = {
+    val rows = queries.flatMap { case (qid, query) =>
+      RelationalBM25.queryTerms(query, stem = false).map(_._1).distinct
+        .map(t => s"($qid, ${q(t)})")
+    }
+    require(rows.nonEmpty, "no live query terms across the standing set")
+    s"""WITH $tokCte,
+qt AS (SELECT * FROM (VALUES ${rows.mkString(", ")}) AS v(query_id, term)),
+qn AS (SELECT query_id, count(*) AS n FROM qt GROUP BY query_id),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+m AS (SELECT dt.doc_id, qt.query_id, count(*) AS c
+      FROM dt JOIN qt USING (term) GROUP BY 1, 2)
+SELECT m.doc_id, m.query_id FROM m JOIN qn USING (query_id)
+WHERE m.c = qn.n ORDER BY doc_id, query_id"""
+  }
+
   /** Exact cosine top-k twin (the `ann_brute_cosine` form, parameterized):
     * the query vector is embeddings row `qVecId`; 6-dp rounding,
     * (cos desc, vec_id asc) total order.

@@ -27,6 +27,37 @@ class OpsSpec extends AnyFunSuite {
 
   private def docsDF = corpus.toDF("doc_id", "text")
 
+  test("percolate == brute-force conjunctive containment; batch-boundary invariant") {
+    val an = graft.analysis.Analyzer.noStem(graft.analysis.Analyzer.defaultStopWords)
+    val queries = Seq(
+      1L -> "quick fox",          // matches the base family
+      2L -> "distributed shuffle", // matches only doc 4
+      3L -> "quick engines",      // cross-doc terms: conjunctive -> nothing
+      4L -> "the and of",         // analyzes away -> matches nothing
+      5L -> "warm windowsill")    // 'warm' only in some base variants
+    val expected = (for {
+      (d, text) <- corpus
+      dTerms = an.analyze(text).toSet
+      (qid, query) <- queries
+      qTerms = an.analyze(query).toSet
+      if qTerms.nonEmpty && qTerms.subsetOf(dTerms)
+    } yield (d, qid)).sorted
+    assert(expected.nonEmpty && expected.exists(_._2 == 2L)
+      && !expected.exists(_._2 == 3L) && !expected.exists(_._2 == 4L))
+    val qdf = queries.toDF("query_id", "query")
+    val got = Percolate.percolate(docsDF, qdf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // per-document operator: percolating micro-batches independently and
+    // unioning equals percolating the whole corpus (the foreachBatch
+    // streaming contract)
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val viaBatches = (Percolate.percolate(b1.toDF("doc_id", "text"), qdf).collect() ++
+      Percolate.percolate(b2.toDF("doc_id", "text"), qdf).collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(viaBatches == expected)
+  }
+
   test("exact dedup finds the planted exact duplicate and only it") {
     val res = Dedup.exact(docsDF).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
