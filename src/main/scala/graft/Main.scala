@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
@@ -28,6 +29,12 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   *   merge   <srcIndexDirA> <srcIndexDirB> <dstIndexDir> [--no-disjoint-check]
   * spark-submit --class graft.Main app.jar \
   *   positions <corpusParquet> <indexDir>
+  * spark-submit --class graft.Main app.jar \
+  *   suggest <indexDir> <term> [--edits 1] [--n 10]
+  * spark-submit --class graft.Main app.jar \
+  *   batch-search <indexDir> <queriesParquet> <outDir> [--k 10] [--batches 64]
+  * spark-submit --class graft.Main app.jar \
+  *   percolate <corpus> <queriesParquet> <outDir>
   * spark-submit --class graft.Main app.jar \
   *   serve  <sfDir> <port>
   * }}}
@@ -103,6 +110,54 @@ object Main {
       val idx = new PostingIndex(spark, idxDir)
       val top = if (conj) idx.searchConjunctive(query, k) else idx.search(query, k)
       top.collect().foreach(r => println(f"${r.getLong(0)}%20d  ${r.getDouble(1)}%.6f"))
+      spark.stop()
+
+    // did-you-mean: (term, df) suggestions within --edits of the input
+    case "suggest" :: idxDir :: term :: restS =>
+      var edits = 1
+      var n = 10
+      var r = restS
+      while (r.nonEmpty) r match {
+        case "--edits" :: v :: tail => edits = v.toInt; r = tail
+        case "--n" :: v :: tail => n = v.toInt; r = tail
+        case other => throw new IllegalArgumentException(s"unexpected args: $other")
+      }
+      val spark = session()
+      new PostingIndex(spark, idxDir).suggest(term, edits, n).collect()
+        .foreach(row => println(f"${row.getString(0)}%-30s ${row.getLong(1)}%12d"))
+      spark.stop()
+
+    // offline batch evaluation: queries parquet (query_id, query) -> top-k
+    // per query written as parquet (the table-valued no-broadcast plan)
+    case "batch-search" :: idxDir :: queriesParquet :: outDir :: restB =>
+      var k = 10
+      var batches = 64
+      var r = restB
+      while (r.nonEmpty) r match {
+        case "--k" :: v :: tail => k = v.toInt; r = tail
+        case "--batches" :: v :: tail => batches = v.toInt; r = tail
+        case other => throw new IllegalArgumentException(s"unexpected args: $other")
+      }
+      val spark = session()
+      val idx = new PostingIndex(spark, idxDir)
+      val t0 = System.nanoTime()
+      idx.searchManyTable(spark.read.parquet(queriesParquet), k, batches)
+        .write.mode("overwrite").parquet(outDir)
+      println(f"batch-search done -> $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+
+    // percolation: which standing queries (query_id, query parquet) does
+    // each corpus document match — (doc_id, query_id) pairs to parquet
+    case "percolate" :: corpus :: queriesParquet :: outDir :: restP2 =>
+      val (fmtP, extraP) = parseFormat(restP2)
+      require(extraP.isEmpty, s"unexpected args: $extraP")
+      val spark = session()
+      val docs = readCorpus(spark, corpus, fmtP)
+        .select(col("docId").as("doc_id"), col("content").as("text"))
+      val t0 = System.nanoTime()
+      ops.Percolate.percolate(docs, spark.read.parquet(queriesParquet))
+        .write.mode("overwrite").parquet(outDir)
+      println(f"percolate done -> $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.stop()
 
     case "append" :: corpus :: idxDir :: batchId :: restA =>
@@ -208,6 +263,9 @@ object Main {
           |       graft.Main clone   <srcIndexDir> <dstIndexDir>
           |       graft.Main merge   <srcIndexDirA> <srcIndexDirB> <dstIndexDir> [--no-disjoint-check]
           |       graft.Main positions <corpus> <indexDir> [--jsonl|--csv]
+          |       graft.Main suggest <indexDir> <term> [--edits N] [--n N]
+          |       graft.Main batch-search <indexDir> <queriesParquet> <outDir> [--k N] [--batches N]
+          |       graft.Main percolate <corpus> <queriesParquet> <outDir> [--jsonl|--csv]
           |       graft.Main stats   <indexDir>
           |       graft.Main serve   <sfDir> <port>""".stripMargin)
       sys.exit(2)
