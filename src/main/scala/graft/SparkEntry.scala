@@ -408,6 +408,11 @@ object SparkEntry {
       // sidecar built once per gate index and bound to its buildId)
       "ep2_wand_phrase_pos" -> ((s, dir) =>
         withPositions(s, dir).searchPhrasePositionalRounded("table scan", 10)),
+      // proximity (sloppy ordered phrase): 'table merge' within a window
+      // of <= 1+2 analyzed positions — strictly between the adjacent
+      // phrase (slop 0) and the conjunctive AND (slop infinity)
+      "ep2_wand_prox_tm" -> ((s, dir) =>
+        withPositions(s, dir).searchProximityRounded("table merge", 2, 10)),
       // fuzzy search: 'dat' at maxEdits=2 reaches 4 vocabulary terms
       // (data/dup/fast/part at sf0.01); maxExpansions=3 cuts the lowest-df
       // one — the df-desc cap ordering is part of the gate
@@ -804,6 +809,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKPhrase("table scan", 10),
       "ep2_wand_phrase_pos" ->
         OracleSql.bm25TopKPhrase("table scan", 10),
+      "ep2_wand_prox_tm" ->
+        OracleSql.bm25TopKProximity("table merge", 2, 10),
       "ep2_wand_fuzzy_dat" ->
         OracleSql.bm25TopKFuzzy("dat", 10, maxEdits = 2, maxExpansions = 3),
       "ep2_wand_facet_lang" ->

@@ -1018,7 +1018,40 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       .toDF("doc_id", "score")
   }
 
-  private def phrasePositional(seq: Array[String], k: Int): DataFrame = {
+  private def phrasePositional(seq: Array[String], k: Int): DataFrame =
+    positionalWindowed(seq, slop = 0, k)
+
+  /** Proximity search (sloppy ordered phrase) over the positional
+    * sidecar: a document matches iff its analyzed stream contains
+    * positions p_0 < p_1 < ... < p_{m-1}, position p_j holding phrase
+    * token j, with span p_{m-1} - p_0 <= (m-1) + slop — the deterministic
+    * ordered-window contract (slop = 0 IS phrase adjacency; Lucene's
+    * edit-distance slop admits reorderings, which a cross-engine gate
+    * cannot pin as cheaply). Scores are the conjunctive BM25 of the
+    * phrase terms, exactly like [[searchPhraseRounded]]. Positional
+    * sidecar required (the production proximity path — candidate
+    * re-analysis would also work but proximity queries are latency-tier).
+    */
+  def searchProximityRounded(phrase: String, slop: Int, k: Int): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(hasFreshPositions,
+      s"index $dir has no positional sidecar for buildId ${globals.buildId}; " +
+        "run IndexBuilder.buildPositions (append/compact invalidate it)")
+    val seq = analyzer.analyze(phrase)
+    require(seq.length >= 2,
+      s"proximity needs >= 2 surviving terms, got '${seq.mkString(" ")}'")
+    positionalWindowed(seq, slop, k)
+  }
+
+  /** Shared positional verifier: conjunctive candidates filtered to docs
+    * whose minimal ordered window over the phrase tokens is within
+    * (m-1) + slop. Greedy chain per start position is exact for the
+    * ordered contract: from a fixed p_0, picking the SMALLEST valid next
+    * position minimizes the final span, so an in-bound chain exists iff a
+    * greedy one does.
+    */
+  private def positionalWindowed(seq: Array[String], slop: Int,
+                                 k: Int): DataFrame = {
     import spark.implicits._
     val candidates = phraseCandidates(seq)
     val distinctTerms = seq.distinct.sorted.toSeq
@@ -1027,6 +1060,7 @@ final class PostingIndex(spark: SparkSession, dir: String) {
       .filter(col("tb").isin(tbs: _*) && col("term").isin(distinctTerms: _*))
       .select("term", "doc_id", "npos", "pos_bin")
     val phraseSeq = seq // ordered tokens, duplicates included
+    val bound = (phraseSeq.length - 1).toLong + slop
     val verified = pos.join(candidates, "doc_id")
       .select(col("doc_id"), col("score"), col("term"), col("npos"), col("pos_bin"))
       .as[(Long, Double, String, Int, Array[Byte])]
@@ -1036,16 +1070,24 @@ final class PostingIndex(spark: SparkSession, dir: String) {
         val byTerm = rows.map { case (_, _, t, n, bin) =>
           t -> Codec.decodeDocIds(bin, n)
         }.toMap
-        val ok = byTerm.get(phraseSeq(0)).exists(_.exists { p =>
+        val first = byTerm.getOrElse(phraseSeq(0), Array.emptyLongArray)
+        var ok = false
+        var i = 0
+        while (i < first.length && !ok) {
+          val p0 = first(i)
+          var prev = p0
+          var alive = true
           var j = 1
-          var good = true
-          while (j < phraseSeq.length && good) {
-            good = byTerm.get(phraseSeq(j))
-              .exists(a => java.util.Arrays.binarySearch(a, p + j) >= 0)
-            j += 1
+          while (j < phraseSeq.length && alive) {
+            val arr = byTerm.getOrElse(phraseSeq(j), Array.emptyLongArray)
+            var lo = java.util.Arrays.binarySearch(arr, prev + 1)
+            if (lo < 0) lo = -lo - 1
+            if (lo >= arr.length) alive = false
+            else { prev = arr(lo); j += 1 }
           }
-          good
-        })
+          if (alive && prev - p0 <= bound) ok = true
+          i += 1
+        }
         if (ok) Iterator.single(key) else Iterator.empty
       }
       .toDF("doc_id", "score")

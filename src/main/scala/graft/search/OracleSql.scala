@@ -494,6 +494,51 @@ LIMIT $maxTerms"""
       s"\nHAVING count(*) = ${terms.size}", phraseCte, p)
   }
 
+  /** Proximity twin ([[graft.index.PostingIndex.searchProximityRounded]]):
+    * the ordered-window contract recomputed from the corpus — analyzed
+    * 0-based positions via a per-doc row_number over the tokenizer
+    * ordinals (identical to the positional sidecar's analyzed-stream
+    * indices), then an m-way increasing-chain join with span bound
+    * (m-1) + slop. Existence of ANY in-bound increasing chain is
+    * equivalent to the engine's per-start greedy minimum (greedy
+    * minimizes the end position step by step). Scores: conjunctive BM25
+    * of the phrase terms — the [[bm25TopKPhrase]] scoring contract.
+    */
+  def bm25TopKProximity(phrase: String, slop: Int, k: Int,
+                        p: BM25Params = BM25.default): String = {
+    val seq = graft.analysis.Analyzer.noStem(graft.analysis.Analyzer.defaultStopWords)
+      .analyze(phrase)
+    require(seq.length >= 2,
+      s"proximity needs >= 2 surviving terms, got '${seq.mkString(" ")}'")
+    val terms = seq.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    val bound = seq.length - 1 + slop
+    val joins = (1 until seq.length).map { j =>
+      s"""  JOIN ap a$j ON a$j.doc_id = a0.doc_id AND a$j.term = ${q(seq(j))}
+       AND a$j.pos > a${j - 1}.pos"""
+    }.mkString("\n")
+    val proxCte =
+      s"""toksq AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS ord, unnest(a) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[^a-zA-Z0-9]+') AS a
+        FROM docs)),
+ap AS (
+  SELECT doc_id, lower(tok) AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM toksq
+  WHERE length(tok) > 2 AND lower(tok) NOT IN ($stopList)),
+proxdocs AS (
+  SELECT DISTINCT a0.doc_id FROM ap a0
+$joins
+  WHERE a0.term = ${q(seq(0))}
+    AND a${seq.length - 1}.pos - a0.pos <= $bound)"""
+    bm25CoreQt(s"qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf))",
+      k, "documents",
+      "WHERE tf.doc_id IN (SELECT doc_id FROM proxdocs)",
+      s"\nHAVING count(*) = ${terms.size}", proxCte, p)
+  }
+
   /** `deletedPred` contract for the lifecycle twins: a predicate over the
     * BARE column `doc_id` (no table qualification — the tombstoned twin
     * re-anchors it onto the weight CTE's `tf.doc_id` at a word boundary).

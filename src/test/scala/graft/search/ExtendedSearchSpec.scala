@@ -634,6 +634,61 @@ class ExtendedSearchSpec extends AnyFunSuite {
     assert(!got(5L).exists(_._1 == victim))
   }
 
+  test("proximity == brute-force ordered-window re-analysis; slop 0 == phrase; big slop == AND") {
+    val dir = Files.createTempDirectory("graft-ext-prox").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    IndexBuilder.buildPositions(spark, docs, dir)
+    val idxP = new PostingIndex(spark, dir)
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val all: Seq[(Long, Array[String])] = docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), analyzer.analyze(r.getString(1)))).toSeq
+    def windowMatch(ts: Array[String], seq: Array[String], slop: Int): Boolean = {
+      val bound = seq.length - 1 + slop
+      ts.indices.exists { i =>
+        if (ts(i) != seq(0)) false
+        else {
+          var prev = i
+          var ok = true
+          var j = 1
+          while (j < seq.length && ok) {
+            var n = prev + 1
+            while (n < ts.length && ts(n) != seq(j)) n += 1
+            if (n >= ts.length) ok = false else { prev = n; j += 1 }
+          }
+          ok && prev - i <= bound
+        }
+      }
+    }
+    val (_, toks) = all.find(_._2.length > 12).get
+    // a 2-gram with a gap: tokens 5 and 7 (one token apart)
+    val gapped = Array(toks(5), toks(7))
+    for (ph <- Seq(Array(toks(5), toks(6)), gapped,
+                   Array(toks(3), toks(5), toks(7)));
+         slop <- Seq(0, 1, 2, 5)) {
+      val truth = all.filter { case (_, ts) => windowMatch(ts, ph, slop) }
+        .map(_._1).toSet
+      val got = res(idxP.searchProximityRounded(ph.mkString(" "), slop, 1000))
+      assert(got.map(_._1).toSet == truth, s"phrase=${ph.mkString(" ")} slop=$slop")
+      // matching docs score as the conjunctive ranking scores them
+      val conj = res(idxP.searchConjunctiveRounded(ph.mkString(" "), 1000)).toMap
+      assert(got.forall { case (d, s) => conj(d) == s })
+    }
+    // slop 0 == the phrase surface exactly
+    val ph2 = s"${toks(5)} ${toks(6)}"
+    assert(res(idxP.searchProximityRounded(ph2, 0, 1000))
+      == res(idxP.searchPhrasePositionalRounded(ph2, 1000)))
+    // an ordered gapped pair: matched at slop >= gap, missed below it
+    assert(res(idxP.searchProximityRounded(gapped.mkString(" "), 0, 1000)).size
+      <= res(idxP.searchProximityRounded(gapped.mkString(" "), 1, 1000)).size)
+    // a giant slop window == conjunctive AND restricted to ordered chains;
+    // for a 2-gram both orders usually exist somewhere, so just pin truth
+    val big = res(idxP.searchProximityRounded(ph2, 10000, 1000)).map(_._1).toSet
+    assert(big == all.filter { case (_, ts) =>
+      windowMatch(ts, Array(toks(5), toks(6)), 10000) }.map(_._1).toSet)
+    intercept[IllegalArgumentException](idxP.searchProximityRounded("the and", 1, 5))
+    intercept[IllegalArgumentException](idxP.searchProximityRounded(toks(5), 1, 5))
+  }
+
   test("synonym expansion == weighted per-term reconstruction; cap, collision, unknown-syn") {
     import spark.implicits._
     // real vocabulary terms for the expansion targets
