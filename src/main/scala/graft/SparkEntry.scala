@@ -413,6 +413,12 @@ object SparkEntry {
       // phrase (slop 0) and the conjunctive AND (slop infinity)
       "ep2_wand_prox_tm" -> ((s, dir) =>
         withPositions(s, dir).searchProximityRounded("table merge", 2, 10)),
+      // wildcard query: 's*a*' expands to the 3 highest-df matching
+      // vocabulary terms (scan/spark/small/stream compete on df — the cap
+      // ordering is part of the gate), LIKE probe in both engines
+      "ep2_wand_wild_sa" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchWildcardRounded("s*a*", 10, maxExpansions = 3)),
       // fuzzy search: 'dat' at maxEdits=2 reaches 4 vocabulary terms
       // (data/dup/fast/part at sf0.01); maxExpansions=3 cuts the lowest-df
       // one — the df-desc cap ordering is part of the gate
@@ -813,6 +819,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKProximity("table merge", 2, 10),
       "ep2_wand_fuzzy_dat" ->
         OracleSql.bm25TopKFuzzy("dat", 10, maxEdits = 2, maxExpansions = 3),
+      "ep2_wand_wild_sa" ->
+        OracleSql.bm25TopKWildcard("s*a*", 10, maxExpansions = 3),
       "ep2_wand_facet_lang" ->
         OracleSql.facetCounts("dup stream", "lang"),
       "ep2_wand_mlt_42" ->

@@ -539,6 +539,42 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Wildcard query (`s*a?` style): the vocabulary expands to the
+    * `maxExpansions` highest-df terms matching the pattern (`*` = any
+    * run, `?` = one char; ties term-ascending), each scoring with
+    * weight 1 — the [[searchPrefixRounded]] multi-term contract with a
+    * LIKE probe instead of a prefix probe (SQL LIKE is the shared
+    * cross-engine pattern language: `*`→`%`, `?`→`_`, and the vocabulary
+    * is [a-z0-9]+ so no escaping exists). A LEADING wildcard is rejected
+    * (Lucene's default posture: it forces a full-dictionary scan with no
+    * prefix pruning; the literal head keeps parquet min/max row-group
+    * pruning on `term` live).
+    */
+  def searchWildcardRounded(pattern: String, k: Int,
+                            maxExpansions: Int = PostingIndex.defaultMaxExpansions): DataFrame = {
+    val p = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty && p.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '*' || c == '?'),
+      s"wildcard pattern must be [a-z0-9*?]+, got '$pattern'")
+    require((p.head >= 'a' && p.head <= 'z') || (p.head >= '0' && p.head <= '9'),
+      s"leading wildcard rejected (full-dictionary scan): '$pattern'")
+    val like = p.replace("*", "%").replace("?", "_")
+    import spark.implicits._
+    val expansions: Seq[(String, Double)] = postingsDF
+      .filter(col("term").like(like))
+      .groupBy("term").agg(sum(col("n")).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select("term").as[String].collect().toSeq
+      .map(t => (t, 1.0))
+    if (expansions.isEmpty) emptyResult
+    else {
+      mergedTerms(expansions.sortBy(_._1), k, conj = false)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Fuzzy (edit-distance dictionary-expansion) search (`tok~`-style)
   // ---------------------------------------------------------------------

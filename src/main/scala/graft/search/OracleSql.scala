@@ -318,6 +318,26 @@ LIMIT $maxSuggestions"""
       k, "documents", "", "", "", p)
   }
 
+  /** Wildcard-expansion twin
+    * ([[graft.index.PostingIndex.searchWildcardRounded]]): the expansion
+    * set — the `maxExpansions` highest-df index terms matching the
+    * `*`/`?` pattern (SQL LIKE both engines), ties term-ascending — each
+    * scoring with weight 1.
+    */
+  def bm25TopKWildcard(pattern: String, k: Int, maxExpansions: Int,
+                       p: BM25Params = BM25.default): String = {
+    val pl = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(pl.nonEmpty && pl.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '*' || c == '?'),
+      s"wildcard pattern must be [a-z0-9*?]+, got '$pattern'")
+    val like = pl.replace("*", "%").replace("?", "_")
+    bm25CoreQt(
+      s"""qt AS (SELECT term, CAST(1.0 AS DOUBLE) AS qtf FROM df
+  WHERE term LIKE ${q(like)}
+  ORDER BY df DESC, term ASC LIMIT $maxExpansions)""",
+      k, "documents", "", "", "", p)
+  }
+
   /** Fuzzy-expansion twin ([[graft.index.PostingIndex.searchFuzzyRounded]]):
     * the expansion set — the `maxExpansions` highest-df index terms within
     * Levenshtein distance `maxEdits` of `term`, ties term-ascending — is

@@ -733,6 +733,41 @@ class ExtendedSearchSpec extends AnyFunSuite {
       res(idx.searchSynonymsRounded(tA, Seq((tA, "Bad Syn")).toDF("term", "syn"), 10)))
   }
 
+  test("wildcard search: expansion == LIKE df-desc/term-asc cap; leading wildcard rejected") {
+    import spark.implicits._
+    val vocabDf: Seq[(String, Long)] = spark.read.parquet(s"$idxDir/postings")
+      .groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("n").cast("long").as("df"))
+      .as[(String, Long)].collect().toSeq
+    // a pattern guaranteed productive: first char + '*' + last char of a
+    // real term (matches it, and possibly others)
+    val t0 = vocabDf.filter(_._1.length >= 4).maxBy { case (t, df) => (df, t) }._1
+    val pat = s"${t0.head}*${t0.last}"
+    val rx = ("^" + pat.replace("*", ".*").replace("?", ".") + "$").r
+    for (maxExp <- Seq(1, 3, 100)) {
+      val expansions = vocabDf
+        .filter { case (t, _) => rx.matches(t) }
+        .sortBy { case (t, df) => (-df, t) }.take(maxExp).map(_._1)
+      assert(expansions.contains(t0) || maxExp < expansions.size + 1)
+      val got = res(idx.searchWildcardRounded(pat, 10, maxExp))
+      val perTerm: Map[Long, Double] = expansions
+        .flatMap(t => res(idx.search(t, 1000)))
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      val expected = perTerm.toSeq
+        .map { case (d, s) => (d, math.rint(s * 1e4) / 1e4) }
+        .sortBy { case (d, s) => (-s, d) }.take(10)
+      assert(got == expected, s"pat=$pat maxExp=$maxExp")
+    }
+    // '?' is exactly-one-char: a term with one char replaced matches itself
+    val q1 = t0.updated(1, '?').take(t0.length)
+    assert(res(idx.searchWildcardRounded(q1, 10, 100)).nonEmpty)
+    assert(res(idx.searchWildcardRounded("zz*zz", 10, 8)).isEmpty)
+    intercept[IllegalArgumentException](idx.searchWildcardRounded("*abc", 10))
+    intercept[IllegalArgumentException](idx.searchWildcardRounded("?abc", 10))
+    intercept[IllegalArgumentException](idx.searchWildcardRounded("a%b", 10))
+    intercept[IllegalArgumentException](idx.searchWildcardRounded("", 10))
+  }
+
   test("suggest == levenshtein-band df-desc/term-asc cap; edges rejected") {
     import spark.implicits._
     val vocabDf: Seq[(String, Long)] = spark.read.parquet(s"$idxDir/postings")

@@ -130,6 +130,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(Manifest.totals(inc) == totalsBefore, "restart must be a no-op")
   }
 
+  test("streaming percolation (foreachBatch) == batch percolate over the whole corpus") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.functions.col
+    import graft.corpus.{Corpus, SyntheticCorpus}
+    import graft.ops.Percolate
+    import spark.implicits._
+    val docs = Corpus.fromCodeDocs(SyntheticCorpus.generate(spark, 150, seed = 13L))
+      .select(col("docId").as("doc_id"), col("content").as("text"))
+    val queries = Seq((1L, "longest river"), (2L, "artificial intelligence"),
+      (3L, "science change"), (4L, "the and of")).toDF("query_id", "query")
+    val expected = Percolate.percolate(docs, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(expected.nonEmpty)
+
+    val srcDir = Files.createTempDirectory("graft-perc-src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-perc-ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // alerting sink analog: each micro-batch percolates independently
+        // (the operator is per-document, so boundaries cannot change
+        // results); a real deployment writes matches to its alert bus
+        batches += 1
+        buf ++= Percolate.percolate(batch.toDF(), queries).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    assert(batches >= 2, "expected multiple micro-batches")
+    assert(buf.toSeq.sorted == expected)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals the batch form") {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001"
