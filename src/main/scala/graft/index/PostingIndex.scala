@@ -334,7 +334,9 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     * 10^3) — larger B costs block replication, smaller B costs task
     * memory. The tombstone overlay composes like every search path.
     * Analysis-empty queries contribute no output rows (same contract as
-    * [[searchManyRounded]]).
+    * [[searchManyRounded]]); `query_id` must be unique — duplicate ids
+    * MERGE their term multisets into one query (the groupBy sums qtf
+    * across rows sharing an id).
     */
   def searchManyTable(queries: DataFrame, k: Int,
                       queryBatches: Int = 64): DataFrame = {
