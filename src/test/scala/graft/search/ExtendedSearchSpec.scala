@@ -617,6 +617,39 @@ class ExtendedSearchSpec extends AnyFunSuite {
       Seq((1L, "the and of")).toDF("query_id", "query"), 10).collect().isEmpty)
   }
 
+  test("batch search property: table == broadcast == per-query over random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val vocabPool = Seq("longest", "river", "best", "complexity", "world",
+      "war", "common", "search", "science", "health", "climate", "the", "of")
+    (1 to 8).foreach { trial =>
+      val n = 30 + rnd.nextInt(120)
+      val corpus = Corpus.fromCodeDocs(
+        SyntheticCorpus.generate(spark, n, seed = 1000L + trial))
+      val dir = Files.createTempDirectory(s"graft-many-prop$trial").toString
+      val c = IndexConfig(shards = 1 + rnd.nextInt(5),
+        termBuckets = 1 + rnd.nextInt(3), blockSize = 4 + rnd.nextInt(24),
+        stem = false)
+      IndexBuilder.build(spark, corpus, dir, c)
+      val h = new PostingIndex(spark, dir)
+      val qs = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        (0 until 1 + rnd.nextInt(3))
+          .map(_ => vocabPool(rnd.nextInt(vocabPool.size))).mkString(" ")
+      }
+      val k = 1 + rnd.nextInt(12)
+      val expected = resMany(h.searchManyRounded(qs, k))
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(expected.getOrElse(i.toLong, Seq.empty)
+          == res(h.searchRounded(q, k)), s"trial=$trial '$q'")
+      }
+      val qdf = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("query_id", "query")
+      val got = resMany(h.searchManyTable(qdf, k,
+        queryBatches = 1 + rnd.nextInt(5)))
+      assert(got == expected, s"trial=$trial k=$k qs=$qs")
+    }
+  }
+
   test("searchManyTable composes with the tombstone overlay") {
     val dir = Files.createTempDirectory("graft-ext-many").toString
     IndexBuilder.build(spark, docs, dir, cfg)
