@@ -413,6 +413,14 @@ object SparkEntry {
       // phrase (slop 0) and the conjunctive AND (slop infinity)
       "ep2_wand_prox_tm" -> ((s, dir) =>
         withPositions(s, dir).searchProximityRounded("table merge", 2, 10)),
+      // KWIC highlighting: top-10 hydrated with the context window around
+      // the first query-term occurrence (term, pos, snippet all gated)
+      "f7_kwic_tsm" -> ((s, dir) => {
+        val idx = index.PostingIndex.forDir(s,
+          index.IndexCache.dirFor(s, dir, stem = false))
+        search.Snippets.kwic(idx.searchRounded("table scan merge", 10),
+          rawDocs(s, dir), idx.queryTerms("table scan merge").map(_._1))
+      }),
       // wildcard query: 's*a*' expands to the 3 highest-df matching
       // vocabulary terms (scan/spark/small/stream compete on df — the cap
       // ordering is part of the gate), LIKE probe in both engines
@@ -821,6 +829,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKFuzzy("dat", 10, maxEdits = 2, maxExpansions = 3),
       "ep2_wand_wild_sa" ->
         OracleSql.bm25TopKWildcard("s*a*", 10, maxExpansions = 3),
+      "f7_kwic_tsm" ->
+        OracleSql.kwicTopK("table scan merge", 10),
       "ep2_wand_facet_lang" ->
         OracleSql.facetCounts("dup stream", "lang"),
       "ep2_wand_mlt_42" ->

@@ -559,6 +559,40 @@ $joins
       s"\nHAVING count(*) = ${terms.size}", proxCte, p)
   }
 
+  /** KWIC-snippet twin ([[graft.search.Snippets.kwic]]): the top-k from
+    * the shared BM25 core, each row joined to its document and to the
+    * first (pos asc, term asc) substring occurrence of any analyzed
+    * query term in the lowercased text; snippet = the +-window substring
+    * around it, both engines clipping at the text ends identically.
+    * No-match rows carry ('', 0, '') rather than dropping.
+    */
+  def kwicTopK(query: String, k: Int, window: Int = 30,
+               p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+      .map(_._1).distinct.sorted
+    val termValues = terms.map(t => s"(${q(t)})").mkString(", ")
+    s"""WITH topk AS (
+${bm25TopK(query, k, p)}
+),
+h AS (SELECT topk.doc_id, t.term, strpos(lower(d.text), t.term) AS pos
+      FROM topk JOIN documents d ON d.doc_id = topk.doc_id
+      CROSS JOIN (SELECT * FROM (VALUES $termValues) AS v(term)) t),
+b AS (SELECT doc_id, term, pos,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY pos ASC, term ASC) AS rk
+      FROM h WHERE pos > 0)
+SELECT topk.doc_id, topk.score,
+       coalesce(b.term, '') AS term,
+       coalesce(b.pos, 0) AS pos,
+       CASE WHEN b.pos > 0 THEN substring(lower(d2.text),
+              greatest(b.pos - $window, 1), ${2 * window} + length(b.term))
+            ELSE '' END AS kwic
+FROM topk
+JOIN documents d2 ON d2.doc_id = topk.doc_id
+LEFT JOIN b ON b.doc_id = topk.doc_id AND b.rk = 1
+ORDER BY topk.score DESC, topk.doc_id ASC"""
+  }
+
   /** `deletedPred` contract for the lifecycle twins: a predicate over the
     * BARE column `doc_id` (no table qualification — the tombstoned twin
     * re-anchors it onto the weight CTE's `tf.doc_id` at a word boundary).

@@ -801,6 +801,39 @@ class ExtendedSearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.searchWildcardRounded("", 10))
   }
 
+  test("kwic == driver-side first-occurrence reconstruction; no-match rows kept") {
+    import org.apache.spark.sql.functions.col
+    val terms = idx.queryTerms(query).map(_._1)
+    val topk = idx.searchRounded(query, 10)
+    val docsKw = docs.select(col("docId").as("doc_id"), col("content").as("text"))
+    val w = 10
+    val got = Snippets.kwic(topk, docsKw, terms, window = w).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getInt(3), r.getString(4))).toSeq
+    val textById: Map[Long, String] = docs.select("docId", "content").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase).toMap
+    val expected = res(topk).map { case (d, s) =>
+      val txt = textById(d)
+      val cands = terms.distinct.sorted.flatMap { t =>
+        val i = txt.indexOf(t); if (i >= 0) Some((i + 1, t)) else None }
+      if (cands.isEmpty) (d, s, "", 0, "")
+      else {
+        val (pos, t) = cands.minBy { case (p, tt) => (p, tt) }
+        val start = math.max(pos - w, 1)
+        val kw = txt.substring(start - 1,
+          math.min(txt.length, start - 1 + 2 * w + t.length))
+        (d, s, t, pos, kw)
+      }
+    }
+    assert(got == expected)
+    assert(got.exists(_._4 > 1), "fixture degenerate: no mid-text match")
+    // terms absent from every document: rows survive with ('', 0, '')
+    val gotNo = Snippets.kwic(topk, docsKw, Seq("zzzznotfound"), w).collect()
+    assert(gotNo.length == got.length)
+    assert(gotNo.forall(r => r.getString(2) == "" && r.getInt(3) == 0
+      && r.getString(4) == ""))
+  }
+
   test("suggest == levenshtein-band df-desc/term-asc cap; edges rejected") {
     import spark.implicits._
     val vocabDf: Seq[(String, Long)] = spark.read.parquet(s"$idxDir/postings")
