@@ -545,7 +545,10 @@ object SparkEntry {
       val qs = Seq((1L, "table scan"), (2L, "dup stream"),
         (3L, "slow query group"), (4L, "the and of"))
         .toDF("query_id", "query")
-      ops.Percolate.percolate(rawDocs(s, dir), qs)
+      // gate-side ordering: the operator itself is unordered (a global
+      // sort per streaming micro-batch is the caller's choice, not the
+      // operator's)
+      ops.Percolate.percolate(rawDocs(s, dir), qs).orderBy("doc_id", "query_id")
     }),
     // Lee-et-al-style duplicated-span (w-token window) profile
     "dedup_spans" -> ((s, dir) =>

@@ -68,11 +68,10 @@ object IndexBuilder {
     */
   @volatile private[index] var lastWaveUsedDict: Boolean = true
 
-  /** The shared shuffle shape of both encode paths: one partition per
-    * (tb, shard), rows clustered by term key and docId-sorted within it —
-    * exactly what the streaming block encoder requires.
-    */
-  /** Route each (tb, shard) group to ITS OWN shuffle partition — exactly,
+  /** The shared shuffle shape of both encode paths — one partition per
+    * (tb, shard), rows clustered by term key and docId-sorted within it,
+    * exactly what the streaming block encoder requires — with each group
+    * routed to ITS OWN shuffle partition: exactly,
     * not modulo hash luck. Plain `repartition(parts, tb, shard)` murmur3-
     * hashes the parts distinct keys into parts buckets, and balls-in-bins
     * leaves ~1/e of the encode tasks EMPTY while a few carry 3-4 whole
@@ -108,9 +107,15 @@ object IndexBuilder {
     }
     val tbIdx = typedLit(tbs.zipWithIndex.toMap)
     val probes = typedLit(slotProbe.toSeq)
+    // a tb outside this wave's tbs would make element_at return NULL and
+    // silently route every such row to one partition — fail loudly instead
+    // (codegen'd branch, no hot-path cost on valid rows)
+    val slot = element_at(tbIdx, col("tb"))
     postings
-      .withColumn("pk", element_at(probes,
-        element_at(tbIdx, col("tb")) * shards + col("shard") + 1))
+      .withColumn("pk",
+        when(slot.isNull, raise_error(concat(
+          lit("postingsShape: tb outside wave tbs: "), col("tb").cast("string"))))
+          .otherwise(element_at(probes, slot * shards + col("shard") + 1)))
       .repartition(parts, col("pk"))
       .sortWithinPartitions("tb", "shard", termKey, "doc_id")
       .select("tb", "shard", termKey, "doc_id", "w", "tf")

@@ -25,7 +25,8 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     if (globals.stem) Analyzer.default else Analyzer.noStem(Analyzer.defaultStopWords)
 
   def queryTerms(query: String): Seq[(String, Double)] =
-    analyzer.analyze(query).toSeq.groupBy(identity).toSeq
+    if (query == null) Seq.empty
+    else analyzer.analyze(query).toSeq.groupBy(identity).toSeq
       .map { case (t, xs) => (t, xs.size.toDouble) }.sortBy(_._1)
 
   /** Optional serving mode: pin the posting segments in executor memory
@@ -344,7 +345,10 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     val b = math.max(1, queryBatches)
     val an = analyzer
     val analyzeQ = udf((s: String) => an.analyze(s))
+    // NULL query strings (reachable through any relational input) drop
+    // like analysis-empty queries — never reach the analyzer UDF
     val qt = queries
+      .filter(col("query").isNotNull)
       .select(col("query_id").cast("long").as("query_id"),
         explode(analyzeQ(col("query"))).as("term"))
       .groupBy("query_id", "term")
@@ -638,9 +642,18 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     if (q.isEmpty) return emptyResult
     val qtf = q.toMap
     val terms = q.map(_._1)
+    // the per-term cap is applied INSIDE the plan (row_number window over
+    // the probed rows) so the collect is |query|*cap-bounded by
+    // construction — a hot term with a catalog's worth of synonyms never
+    // reaches the driver (the window mirrors the oracle twin's SQL)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("syn")
     val rows = synonyms
       .filter(col("term").isin(terms: _*))
-      .select("term", "syn").distinct().collect()
+      .select("term", "syn").distinct()
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= maxExpansionsPerTerm)
+      .select("term", "syn").collect()
       .map(r => (r.getString(0), r.getString(1)))
     rows.foreach { case (_, s) =>
       require(s.nonEmpty && s.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
@@ -648,8 +661,7 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     val expanded: Seq[(String, Double)] = rows.toSeq
       .groupBy(_._1).toSeq
       .flatMap { case (t, ss) =>
-        ss.map(_._2).distinct.sorted.take(maxExpansionsPerTerm)
-          .map(s => (s, qtf(t)))
+        ss.map(_._2).distinct.sorted.map(s => (s, qtf(t)))
       }
     val merged = (q ++ expanded).groupBy(_._1).toSeq
       .map { case (t, xs) => (t, xs.map(_._2).sum) }.sortBy(_._1)

@@ -37,23 +37,29 @@ import graft.functions.Udfs
 object Percolate {
 
   /** (doc_id, query_id) pairs — every live registered query each document
-    * matches — ordered (doc_id, query_id). `docs` carries the documents
-    * table shape (doc_id, text); `queries` carries (query_id, query).
+    * matches. UNORDERED: per-micro-batch output ordering is the caller's
+    * concern (a global sort here would add a single-partition-bound
+    * shuffle to every streaming micro-batch; the gate wrapper in
+    * SparkEntry orders for the oracle compare). `docs` carries the
+    * documents table shape (doc_id, text); `queries` carries
+    * (query_id, query). NULL/analysis-empty queries and NULL documents
+    * are dropped (the same no-match contract as empty analysis).
     */
   def percolate(docs: DataFrame, queries: DataFrame,
                 stem: Boolean = false): DataFrame = {
     val analyzeFn = if (stem) Udfs.analyze else Udfs.analyzeNoStem
     val qt = queries
+      .filter(col("query").isNotNull)
       .select(col("query_id").cast("long").as("query_id"),
         explode(array_distinct(analyzeFn(col("query")))).as("term"))
     val qn = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
-    val dt = docs.select(col("doc_id"),
-      explode(array_distinct(analyzeFn(col("text")))).as("term"))
+    val dt = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(analyzeFn(col("text")))).as("term"))
     dt.join(broadcast(qt), "term")
       .groupBy("doc_id", "query_id").agg(count(lit(1)).as("m"))
       .join(broadcast(qn), "query_id")
       .filter(col("m") === col("n_terms"))
       .select("doc_id", "query_id")
-      .orderBy("doc_id", "query_id")
   }
 }

@@ -156,7 +156,13 @@ LIMIT $k"""
       RelationalBM25.queryTerms(query, stem = false).map { case (t, qtf) =>
         s"($qid, ${q(t)}, CAST($qtf AS DOUBLE))" }
     }.mkString(", ")
-    require(values.nonEmpty, "no live query terms across the batch")
+    // every query analyzed away: mirror the ENGINE's empty-result contract
+    // (searchManyRounded/searchManyTable return an empty frame) instead of
+    // throwing — a degenerate WHERE FALSE statement with the batch schema
+    if (values.isEmpty)
+      return """SELECT CAST(NULL AS BIGINT) AS query_id,
+  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score
+WHERE FALSE"""
     s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
 qt AS (SELECT * FROM (VALUES $values) AS v(query_id, term, qtf)),
 w AS (
@@ -218,7 +224,11 @@ ORDER BY query_id ASC, score DESC, doc_id ASC"""
       RelationalBM25.queryTerms(query, stem = false).map(_._1).distinct
         .map(t => s"($qid, ${q(t)})")
     }
-    require(rows.nonEmpty, "no live query terms across the standing set")
+    // all standing queries analyzed away: the engine matches nothing, so
+    // the twin emits the empty result with the same schema, not an error
+    if (rows.isEmpty)
+      return """SELECT CAST(NULL AS BIGINT) AS doc_id,
+  CAST(NULL AS BIGINT) AS query_id WHERE FALSE"""
     s"""WITH $tokCte,
 qt AS (SELECT * FROM (VALUES ${rows.mkString(", ")}) AS v(query_id, term)),
 qn AS (SELECT query_id, count(*) AS n FROM qt GROUP BY query_id),

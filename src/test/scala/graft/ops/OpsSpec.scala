@@ -46,7 +46,7 @@ class OpsSpec extends AnyFunSuite {
       && !expected.exists(_._2 == 3L) && !expected.exists(_._2 == 4L))
     val qdf = queries.toDF("query_id", "query")
     val got = Percolate.percolate(docsDF, qdf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(got == expected)
     // per-document operator: percolating micro-batches independently and
     // unioning equals percolating the whole corpus (the foreachBatch
