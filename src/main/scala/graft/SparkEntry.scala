@@ -588,6 +588,16 @@ object SparkEntry {
         .getSeq[Float](1).map(_.toDouble).toArray
       ops.Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4)
     }),
+    // IVF-SQ8-lite: quantized candidate generation (tinyint codes through
+    // the assignment shuffle) + exact float rescore on the candidates —
+    // the 100-TB embedding-shuffle upgrade path, hard-gated like ann_ivf
+    "ann_ivf_q" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      ops.Similarity.ivfTopKQuantized(emb, q, 10, nlist = 16, nprobe = 4,
+        candidates = 40)
+    }),
     "token_counts" -> ((s, dir) =>
       ops.TextStats.tokenCounts(rawDocs(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -1002,6 +1012,52 @@ qsim AS (SELECT cx.cid,
          GROUP BY cx.cid, nc.nv),
 probe AS (SELECT cid FROM qsim ORDER BY qs DESC, cid ASC LIMIT 4),
 cand AS (SELECT vec_id FROM asn JOIN probe USING (cid)),
+d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot
+      FROM ex e JOIN qx q USING (i)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY e.vec_id)
+SELECT d.vec_id, round(dot / (nrm.nv * (SELECT qn FROM qn)), 6) AS cos
+FROM d JOIN nrm ON nrm.vec_id = d.vec_id
+ORDER BY cos DESC, d.vec_id LIMIT 10""",
+      // IVF-SQ8 twin: ann_ivf's routing plus the quantizer recomputed in
+      // SQL — exact per-dim min/max bounds, the identical IEEE double
+      // code expression (floor(least(greatest((x-mn)/(mx-mn),0),1)*255)
+      // - 128), an integer-exact quantized dot for the candidate cut
+      // (qd desc, vec_id asc), then the exact 6-dp rescore on candidates
+      "ann_ivf_q" ->
+        """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid FROM embeddings
+  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 16) = 0),
+cex AS (SELECT c.cid, e.i, e.x FROM ex e JOIN cent c ON e.vec_id = c.cid),
+sim AS (SELECT e.vec_id, cx.cid,
+        round(sum(e.x * cx.x) / (ne.nv * nc.nv), 9) AS cs
+        FROM ex e JOIN cex cx USING (i)
+             JOIN nrm ne ON ne.vec_id = e.vec_id
+             JOIN nrm nc ON nc.vec_id = cx.cid
+        GROUP BY e.vec_id, cx.cid, ne.nv, nc.nv),
+asn AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+  FROM sim) WHERE rn = 1),
+qx AS (SELECT i, x FROM ex WHERE vec_id = 0),
+qn AS (SELECT nv AS qn FROM nrm WHERE vec_id = 0),
+qsim AS (SELECT cx.cid,
+         round(sum(cx.x * q.x) / (nc.nv * (SELECT qn FROM qn)), 9) AS qs
+         FROM cex cx JOIN qx q USING (i) JOIN nrm nc ON nc.vec_id = cx.cid
+         GROUP BY cx.cid, nc.nv),
+probe AS (SELECT cid FROM qsim ORDER BY qs DESC, cid ASC LIMIT 4),
+bounds AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+qc AS (SELECT vec_id, i, CASE WHEN mx = mn THEN -128.0
+        ELSE floor(least(greatest((x - mn) / (mx - mn), 0.0), 1.0) * 255.0)
+             - 128.0 END AS c
+       FROM ex JOIN bounds USING (i)),
+qq AS (SELECT i, c FROM qc WHERE vec_id = 0),
+qd AS (SELECT qc.vec_id, sum(qc.c * qq.c) AS qd
+       FROM qc JOIN qq USING (i)
+            JOIN asn ON asn.vec_id = qc.vec_id JOIN probe USING (cid)
+       GROUP BY qc.vec_id),
+cand AS (SELECT vec_id FROM qd ORDER BY qd DESC, vec_id ASC LIMIT 40),
 d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot
       FROM ex e JOIN qx q USING (i)
       WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY e.vec_id)

@@ -229,6 +229,83 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-quantized IVF ANN (IVF-SQ8-lite): the same deterministic
+    * centroid sample, routing, and nprobe probe as [[ivfTopK]], but the
+    * shuffled per-vector payload is an `array<tinyint>` of SQ8 codes —
+    * candidate generation scores the probed lists against the quantized
+    * query and only the top-`candidates` ids are point-fetched for an
+    * EXACT float rescore. At 100 TB the float32/64 embedding column
+    * dominates the assignment shuffle and the probe scan; SQ8 cuts that
+    * payload 8x (1 byte/dim vs 8 as doubles) while the final contract
+    * stays exact on the candidate set — so the whole path remains
+    * DuckDB-gatable (the `ann_ivf` pattern). The shuffle-bytes win vs
+    * [[ivfTopK]] is asserted by a listener-measured spec.
+    *
+    * Quantizer (cross-engine bit-identical): per-dimension [mn, mx] from
+    * exact min/max aggregates; code = floor(least(greatest(
+    * (x-mn)/(mx-mn), 0), 1) * 255) - 128 (zero when mx == mn) — every
+    * step IEEE double arithmetic in the same order in both engines, and
+    * the quantized dot is a sum of exact small integers, so candidate
+    * selection (qd desc, id asc) agrees exactly, not just statistically.
+    * The bounds collect is dim-bounded (one narrow map-side-combined
+    * pass), never corpus-sized.
+    */
+  def ivfTopKQuantized(embeddings: DataFrame, query: Array[Double], k: Int,
+                       nlist: Int = 16, nprobe: Int = 4, candidates: Int = 40,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (emb, cents) = embAndCentroids(embeddings, nlist, idCol, vecCol)
+    val boundRows = emb.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mn = boundRows.map(_.getDouble(1))
+    val mx = boundRows.map(_.getDouble(2))
+    val mnL = typedLit(mn.toSeq)
+    val mxL = typedLit(mx.toSeq)
+    def quantize(v: Column): Column =
+      transform(v, (x, i) => {
+        val lo = element_at(mnL, i + 1)
+        val hi = element_at(mxL, i + 1)
+        when(hi === lo, lit(-128.0))
+          .otherwise(floor(least(greatest((x - lo) / (hi - lo), lit(0.0)),
+            lit(1.0)) * 255.0) - 128.0)
+      }).cast("array<tinyint>")
+    val qCodes: Seq[Double] = query.indices.map { j =>
+      if (mx(j) == mn(j)) -128.0
+      else math.floor(math.min(math.max(
+        (query(j) - mn(j)) / (mx(j) - mn(j)), 0.0), 1.0) * 255.0) - 128.0
+    }
+    val q = typedLit(query.toSeq)
+    val probed = cents
+      .select(col("cid"), round(cosineFast(col("cv"), q), 9).as("qs"))
+      .orderBy(col("qs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select("cid")
+    // assignment shuffle carries (id, codes, argmax-struct) — the float
+    // vector is DROPPED before the exchange (vs assignToLists, which
+    // carries it through first(v))
+    val assigned = emb
+      .select(col("id"), quantize(col("v")).as("qc"), col("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("qc"),
+        struct(round(cosineFast(col("v"), col("cv")), 9).as("cs"),
+          (-col("cid")).as("nc"), col("cid").as("cid")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("best"), first(col("qc")).as("qc"))
+      .select(col("id"), col("qc"), col("best.cid").as("cid"))
+    val cand = assigned
+      .join(broadcast(probed), "cid")
+      .select(col("id"),
+        fastDot(col("qc").cast("array<double>"), typedLit(qCodes)).as("qd"))
+      .orderBy(col("qd").desc, col("id").asc)
+      .limit(candidates)
+      .select("id")
+    // exact rescore: a candidates-bounded point fetch back to the floats
+    emb.join(broadcast(cand), "id")
+      .select(col("id").as(idCol), round(cosineFast(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k for one query vector via LSH: scan only vectors sharing a
     * bucket with the query in any table, exact-rescore those. Recall < 1 by
     * construction; gated by a recall-floor test vs [[bruteForceTopK]].

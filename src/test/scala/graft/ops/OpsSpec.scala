@@ -169,6 +169,63 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-SQ8: exact rescore on quantized candidates; shuffles fewer bytes than float IVF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val query = local(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = local.toSeq.map { case (id, v) => (id, cos(query, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.ivfTopKQuantized(emb, query, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 10)
+    // the query vector itself survives quantized candidate gen and tops
+    assert(got.head._1 == 0L && got.head._2 == 1.0)
+    // returned scores are EXACT float cosines (quantization affects only
+    // which candidates rescore, never the reported score)
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cos(query, local(id))) < 1e-6, s"vec $id score drift") }
+    val recall = want.count(got.map(_._1).toSet).toDouble / want.size
+    assert(recall >= 0.5, s"IVF-SQ8 recall $recall too low")
+    // determinism (integer-exact quantized cut, id tiebreaks)
+    val again = Similarity.ivfTopKQuantized(emb, query, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(again.toSeq == got.toSeq)
+    // shuffle-bytes evidence (the verdict's counter ask): the quantized
+    // assignment exchange carries tinyint codes where the float form
+    // carries the 8x-wider double vectors
+    def shuffledBytes(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        // listener delivery is async: poll until the counter goes quiet
+        var prev = -1L
+        var spins = 0
+        while (acc.get() != prev && spins < 50) {
+          prev = acc.get(); Thread.sleep(200); spins += 1
+        }
+        acc.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val floatBytes = shuffledBytes(Similarity.ivfTopK(emb, query, 10).collect())
+    val qBytes = shuffledBytes(Similarity.ivfTopKQuantized(emb, query, 10).collect())
+    assert(qBytes < floatBytes,
+      s"expected quantized IVF to shuffle fewer bytes: $qBytes vs $floatBytes")
+  }
+
   test("repetition stats match hand-computed fixtures") {
     // "aaa bbb aaa bbb aaa": words=5 distinct=2 -> dup 3/5; bigrams
     // [ab, ba, ab, ba] -> top 2/4; trigrams [aba, bab, aba] -> dup 2/3
