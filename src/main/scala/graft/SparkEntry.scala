@@ -421,6 +421,12 @@ object SparkEntry {
         search.Snippets.kwic(idx.searchRounded("table scan merge", 10),
           rawDocs(s, dir), idx.queryTerms("table scan merge").map(_._1))
       }),
+      // positional KWIC: the first match position comes from the
+      // positional SIDECAR (analyzed-term-exact — no substring scan of
+      // hydrated text), snippet = the analyzed-token window around it
+      "f7_kwic_pos" -> ((s, dir) =>
+        withPositions(s, dir).kwicPositionalRounded("table scan merge", 10,
+          Corpus.documents(s, dir))),
       // wildcard query: 's*a*' expands to the 3 highest-df matching
       // vocabulary terms (scan/spark/small/stream compete on df — the cap
       // ordering is part of the gate), LIKE probe in both engines
@@ -844,6 +850,8 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopKWildcard("s*a*", 10, maxExpansions = 3),
       "f7_kwic_tsm" ->
         OracleSql.kwicTopK("table scan merge", 10),
+      "f7_kwic_pos" ->
+        OracleSql.kwicPositionalTopK("table scan merge", 10),
       "ep2_wand_facet_lang" ->
         OracleSql.facetCounts("dup stream", "lang"),
       "ep2_wand_mlt_42" ->

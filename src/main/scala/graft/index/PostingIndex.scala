@@ -1028,6 +1028,58 @@ final class PostingIndex(spark: SparkSession, dir: String) {
     phrasePositional(seq, k)
   }
 
+  /** Positional KWIC — analyzed-term-exact highlighting from the INDEX:
+    * the top-k's first match position comes from the positional sidecar
+    * (min (pos, term) over the query terms' decoded position lists —
+    * the lists are ascending, so each (term, doc) contributes its head),
+    * not from substring scanning hydrated text, so "scan" inside
+    * "rescanning" does NOT count (the substring form is
+    * [[graft.search.Snippets.kwic]]). The snippet is the +-`window`
+    * slice of the doc's ANALYZED token stream around that position.
+    *
+    * Scale shape: the sidecar read is (tb, term)-pruned exactly like
+    * [[searchPhrasePositionalRounded]] and joins the BROADCAST <=k
+    * top-k; only the <=k winning docs hydrate text for the window slice
+    * (one broadcast join against the corpus scan). Returns
+    * (doc_id, score, term, pos, kwic) in (score desc, doc_id asc) order;
+    * pos is the 0-based analyzed-stream index.
+    */
+  def kwicPositionalRounded(query: String, k: Int, docs: DataFrame,
+                            window: Int = 4): DataFrame = {
+    require(hasFreshPositions,
+      s"index $dir has no positional sidecar for buildId ${globals.buildId}; " +
+        "run IndexBuilder.buildPositions (append/compact invalidate it)")
+    val topk = searchRounded(query, k)
+    val terms = queryTerms(query).map(_._1)
+    if (terms.isEmpty)
+      return topk.withColumn("term", lit(""))
+        .withColumn("pos", lit(0L)).withColumn("kwic", lit(""))
+        .limit(0)
+    val tbs = terms.map(IndexFormat.termBucket(_, globals.termBuckets)).distinct
+    val pos = spark.read.parquet(s"$dir/positions/data")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .select("term", "doc_id", "npos", "pos_bin")
+    val headPos = udf((bin: Array[Byte], n: Int) => Codec.decodeDocIds(bin, n)(0))
+    val hits = pos.join(broadcast(topk), "doc_id")
+      .select(col("doc_id"), col("score"),
+        struct(headPos(col("pos_bin"), col("npos")).as("pos"),
+          col("term").as("term")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("h"), max(col("score")).as("score"))
+    val an = analyzer
+    val w = window
+    val kwicU = udf((text: String, p: Long) => {
+      val toks = an.analyze(text)
+      toks.slice(math.max(0, p.toInt - w),
+        math.min(toks.length, p.toInt + w + 1)).mkString(" ")
+    })
+    docs.select(col("docId").as("doc_id"), col("content"))
+      .join(broadcast(hits), "doc_id")
+      .select(col("doc_id"), col("score"), col("h.term").as("term"),
+        col("h.pos").as("pos"), kwicU(col("content"), col("h.pos")).as("kwic"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
   /** True iff `positions/meta.json` exists and is bound to THIS buildId —
     * the structural staleness gate (append/compact rewrite globals with a
     * fresh buildId, so a leftover sidecar can never serve wrong positions).

@@ -603,6 +603,44 @@ LEFT JOIN b ON b.doc_id = topk.doc_id AND b.rk = 1
 ORDER BY topk.score DESC, topk.doc_id ASC"""
   }
 
+  /** Positional-KWIC twin ([[graft.index.PostingIndex
+    * .kwicPositionalRounded]]): the first match is the minimal
+    * (pos, term) over ANALYZED 0-based stream positions (the proximity
+    * twin's `ap` contract — identical to the positional sidecar's
+    * indices), recomputed from the top-k docs' text; the snippet is the
+    * +-`window` ANALYZED-token slice around it, space-joined. Exact
+    * analyzed-term matching: a query term inside a longer token does not
+    * count (unlike [[kwicTopK]]'s substring contract).
+    */
+  def kwicPositionalTopK(query: String, k: Int, window: Int = 4,
+                         p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+      .map(_._1).distinct.sorted
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val termValues = terms.map(t => s"(${q(t)})").mkString(", ")
+    s"""WITH topk AS (
+${bm25TopK(query, k, p)}
+),
+toksq AS (SELECT doc_id, generate_subscripts(a, 1) AS ord, unnest(a) AS tok
+  FROM (SELECT d.doc_id, regexp_split_to_array(d.text, '[^a-zA-Z0-9]+') AS a
+        FROM documents d JOIN topk ON topk.doc_id = d.doc_id)),
+ap AS (SELECT doc_id, lower(tok) AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+       FROM toksq
+       WHERE length(tok) > 2 AND lower(tok) NOT IN ($stopList)),
+hit AS (SELECT doc_id, term, pos, row_number() OVER (PARTITION BY doc_id
+          ORDER BY pos ASC, term ASC) AS rk
+        FROM ap WHERE term IN (SELECT term FROM (VALUES $termValues) AS v(term))),
+f AS (SELECT doc_id, term, pos FROM hit WHERE rk = 1),
+kw AS (SELECT f.doc_id, string_agg(ap.term, ' ' ORDER BY ap.pos) AS kwic
+       FROM f JOIN ap ON ap.doc_id = f.doc_id
+         AND ap.pos BETWEEN f.pos - $window AND f.pos + $window
+       GROUP BY f.doc_id)
+SELECT topk.doc_id, topk.score, f.term, f.pos, kw.kwic
+FROM topk JOIN f USING (doc_id) JOIN kw USING (doc_id)
+ORDER BY topk.score DESC, topk.doc_id ASC"""
+  }
+
   /** `deletedPred` contract for the lifecycle twins: a predicate over the
     * BARE column `doc_id` (no table qualification — the tombstoned twin
     * re-anchors it onto the weight CTE's `tf.doc_id` at a word boundary).

@@ -180,6 +180,34 @@ class ExtendedSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("positional KWIC == brute-force recomputation from analyzed streams") {
+    val dir = Files.createTempDirectory("graft-ext-kwicpos").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    IndexBuilder.buildPositions(spark, docs, dir)
+    val idxP = new PostingIndex(spark, dir)
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    val streams: Map[Long, Array[String]] = docs.select("docId", "content")
+      .collect().map(r => (r.getLong(0), analyzer.analyze(r.getString(1)))).toMap
+    val q = "longest river"
+    val qTerms = analyzer.analyze(q).distinct.toSet
+    val w = 4
+    val topk = res(idxP.searchRounded(q, 10))
+    val expected = topk.map { case (d, s) =>
+      val toks = streams(d)
+      // first (pos, term) over EXACT analyzed-token matches
+      val (pos, term) = toks.zipWithIndex
+        .collect { case (t, i) if qTerms(t) => (i.toLong, t) }
+        .minBy { case (p, t) => (p, t) }
+      val kwic = toks.slice(math.max(0, pos.toInt - w),
+        math.min(toks.length, pos.toInt + w + 1)).mkString(" ")
+      (d, s, term, pos, kwic)
+    }
+    val got = idxP.kwicPositionalRounded(q, 10, docs, window = w).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expected)
+  }
+
   test("positional sidecar: delete overlay composes; compact invalidates (buildId gate)") {
     val dir = Files.createTempDirectory("graft-ext-pos-lc").toString
     IndexBuilder.build(spark, docs, dir, cfg)
