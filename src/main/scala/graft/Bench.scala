@@ -141,8 +141,10 @@ object Bench {
   // straight into the driver's SIGKILL with nothing on stdout — the round-1
   // failure). AtomicBoolean makes the print exactly-once.
   @volatile private var buildJson = ""
+  @volatile private var bigvocabJson = ""
   @volatile private var latJson = ""
-  @volatile private var qJson = "{}"
+  @volatile private var soakJson = ""
+  @volatile private var results = Vector.empty[(String, Double)]
   @volatile private var total = 0.0
   @volatile private var skipped = 0
   @volatile private var errNote = ""
@@ -150,24 +152,56 @@ object Bench {
   @volatile private var liveChild: Process = _
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** The headline per-query subset carried on STDOUT — one per
+    * plan-family that the round-over-round comparison actually reads.
+    * The FULL per-query map goes to bench.json only: the driver keeps a
+    * 2000-char stdout tail, and the round-4 contract line (86 queries,
+    * 2754 chars) outgrew it — the driver captured the line mid-way and
+    * parsed null. The stdout line is budgeted <= 1500 chars (and
+    * self-trims if a long error note would push it over).
+    */
+  private val headlineQueries = Seq(
+    "ep2_wand_tsm", "t1_bm25_tsm", "bm25_stemmed_tsm", "j2_hydrate",
+    "ep2_hybrid_rrf", "ep2_explain_tsm", "ep2_sigterms_dup",
+    "dedup_minhash_lsh", "dedup_components", "dedup_ngram_jaccard",
+    "decontam_audit", "ann_ivf", "ann_ivf_q", "f7_kwic_pos", "s1_scan_docs")
+
   private def emitAndHalt(code: Int): Unit = {
     if (emitted.compareAndSet(false, true)) {
       val c = liveChild
       if (c != null) c.destroyForcibly() // stop it competing with hostCal
-      val line =
-        s"""{"metric":"total","value":${jn(total)},"unit":"sec","queries":$qJson,""" +
-        s""""queries_skipped":$skipped,""" + tailJson +
-        errNote + buildJson + latJson + {
-          val (cpu, mem) = hostCal()
-          s""""host_cal_cpu_sec":${jn(cpu)},"host_cal_mem_sec":${jn(mem)},"""
-        } +
-        s""""elapsed_sec":${jn(elapsed)}}"""
-      // belt-and-braces for the driver's parse: the line on stdout (bare —
-      // build.sbt routes forked run output through StdoutOutput, no sbt
-      // prefix) AND a file next to the other round artifacts
-      try Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+      val snap = results
+      def qMap(entries: Seq[(String, Double)]): String =
+        entries.map { case (k, v) => s""""$k":${jn(v)}""" }
+          .mkString("{", ",", "}")
+      val hostJson = {
+        val (cpu, mem) = hostCal()
+        s""""host_cal_cpu_sec":${jn(cpu)},"host_cal_mem_sec":${jn(mem)},"""
+      }
+      def line(queries: Seq[(String, Double)], full: Boolean): String =
+        s"""{"metric":"total","value":${jn(total)},"unit":"sec",""" +
+        s""""queries":${qMap(queries)},"queries_timed":${snap.size},""" +
+        s""""queries_skipped":$skipped,""" +
+        (if (full) "" else s""""queries_full":"bench.json",""") +
+        tailJson + errNote + buildJson + bigvocabJson + latJson + soakJson +
+        hostJson + s""""elapsed_sec":${jn(elapsed)}}"""
+      val fullLine = line(snap, full = true)
+      // compact stdout line: headline families first (measured values),
+      // then self-trim until it fits the driver's tail window with margin
+      val have = snap.toMap
+      var head = headlineQueries.flatMap(q => have.get(q).map(q -> _))
+      var compact = line(head, full = false)
+      while (compact.length > 1500 && head.nonEmpty) {
+        head = head.dropRight(1)
+        compact = line(head, full = false)
+      }
+      // belt-and-braces for the driver's parse: the compact line on stdout
+      // (bare — build.sbt routes forked run output through StdoutOutput,
+      // no sbt prefix) AND the full line in a file next to the other round
+      // artifacts
+      try Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
       catch { case _: Throwable => () }
-      println(line)
+      println(compact)
       System.out.flush()
       // halt WITHOUT shutdown hooks: Spark's exit-time temp cleanup TRIMs
       // hundreds of MB on this `discard`-mounted fs and can eat >30 s of
@@ -264,21 +298,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 300k docs: big enough that serial per-build overhead (~2-3 s of job
-    // setup/commit) stays a small fraction of the 2-core rep — at 224k the
-    // measured efficiency dropped ~0.08 from Amdahl on that fixed cost.
-    // Affordable inside the budget because the corpus lives on tmpfs.
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
-    // Default sized against the observed driver kill at ~239 s wall: ~25 s
-    // sbt boot + 188 s bench + JSON flush leaves ~20 s of host-load margin.
-    // (175 s left the breadth tail systematically squeezed out.)
-    // The env default is additionally clamped by the MEASURED sbt-chain age:
-    // when boot/compile ran long (contended host, cold zinc cache), the
-    // fixed default would sail past the driver's wall kill.
+    // 240k docs: big enough that serial per-build overhead (~2-3 s of job
+    // setup/commit) stays a small fraction of the 2-core rep (the Amdahl
+    // floor that cost ~0.08 efficiency at 224k is mostly avoided), small
+    // enough that the SYMMETRIC 2+2 rep plan (round-5 verdict item) fits
+    // the driver budget on a quiet host. Affordable inside the budget
+    // because the corpus lives on tmpfs.
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "240000").toLong
+    // Default sized against the observed driver kill at ~239 s wall; the
+    // MEASURED sbt-chain age clamp below is what actually protects against
+    // a long contended boot (the fixed default alone would sail past the
+    // driver's wall kill). 200 (up from 188) funds the symmetric second
+    // 2-core scaling rep; the wall clamp still binds first when boot ran
+    // long.
     val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "226").toDouble
     val sbtAge = ancestorAgeSec()
     val budget = math.max(30.0,
-      math.min(sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "188").toDouble,
+      math.min(sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "200").toDouble,
         wallBudget - sbtAge - 13)) // 13 s: emit + hostCal + flush reserve
     def remaining: Double = budget - elapsed
 
@@ -474,6 +510,13 @@ object Bench {
       // below — a forward def would cross the t2/t8 value definitions)
       @volatile var tier2Fut: scala.concurrent.Future[Unit] = null
       @volatile var maybeOverlapTier2: () => Unit = () => ()
+      // set when the scaling child approaches its GO2 gate: the overlapped
+      // breadth pass must QUIESCE (finish the in-flight query and stop)
+      // rather than run into a timed 8-core rep — the round-5 shakedown
+      // run's go2 CAP released the gate mid-tier-2 and the polluted
+      // numerator read 0.412. Stopped queries are NOT counted skipped;
+      // the serial remainder pass picks them up after the child.
+      @volatile var overlapStop = false
       def runScalePair(budgetSec: Double,
                        gateOn: scala.concurrent.Future[_]):
           Option[(Seq[Double], Seq[Double], String)] = {
@@ -535,15 +578,41 @@ object Bench {
           while (line != null && idx.isEmpty) {
             if (line.startsWith("SCALEPAIR"))
               System.err.println(s"[bench scalepair] $line (elapsed=${jn(elapsed, 1)})")
-            if (line.contains("SCALEPAIR gate go=false")) gateTimedOut = true
+            if (line.contains("SCALEPAIR gate go=false") ||
+                line.contains("SCALEPAIR gate2 go=false")) gateTimedOut = true
+            // `overlapok`: the child is past every rep that parent load
+            // could bias toward a BETTER ratio (only the min()-shielded
+            // 2-core hedge rep and the untimed warm remain before the GO2
+            // gate) — run the tier-2 breadth + bigvocab lane now, and
+            // release GO2 the moment that work quiesces
+            if (line.contains("SCALEPAIR overlapok")) maybeOverlapTier2()
+            // the child pinned itself onto the 8-core set — its untimed
+            // warm8 is the only pre-gate work left: quiesce the overlap
+            // pass now (it finishes only the in-flight query, <=15 s cap,
+            // inside the warm's shadow) and release the gate when it has.
+            // The Await cap is a dead-future backstop, not the quiesce
+            // mechanism (the round-5 shakedown showed a hard cap releases
+            // the gate INTO parent load — efficiency read 0.412)
+            if (line.contains("SCALEPAIR pinned=0-7")) {
+              overlapStop = true
+              val go2Sender = new Thread(() => {
+                val f = tier2Fut
+                if (f != null)
+                  try scala.concurrent.Await.ready(f,
+                    scala.concurrent.duration.Duration(35, "s"))
+                  catch { case _: Throwable => () }
+                try {
+                  proc.getOutputStream.write("GO2\n".getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                  proc.getOutputStream.flush()
+                } catch { case _: Throwable => () }
+              }, "graft-sp-gate2")
+              go2Sender.setDaemon(true)
+              go2Sender.start()
+            }
             line match {
               case Rep(n, s) =>
-                if (n == "8") {
-                  r8 += s.toDouble
-                  // the first completed 8-core rep: every later child rep
-                  // is a best-of hedge — start the overlapped tier-2 pass
-                  if (r2.nonEmpty) maybeOverlapTier2()
-                } else r2 += s.toDouble
+                if (n == "8") r8 += s.toDouble else r2 += s.toDouble
               case Done(d) => idx = Some(d)
               case _ => ()
             }
@@ -574,16 +643,28 @@ object Bench {
       // (re)publish the scaling section after EVERY pair measurement — the
       // watchdog may fire during any later section and must still emit it
       def setBuildJson(): Unit = if (t2.nonEmpty && t8.nonEmpty) {
-        val secN = t2.min
-        val sec4N = t8.min
+        // SYMMETRIC best-of: min over the first k reps of EACH level,
+        // k = min(count) — an extra hedge rep on one side must never tilt
+        // the ratio (round-4: repsN=1/reps4N=2 manufactured eff 1.025).
+        // The child's rep plan is symmetric by construction; this guards
+        // the rescued-partial and fallback paths too.
+        val k = math.min(t2.size, t8.size)
+        val secN = t2.take(k).min
+        val sec4N = t8.take(k).min
         val rN = scaleDocs / secN
         val r4N = scaleDocs / sec4N
-        val eff = (r4N / rN) / 4.0
+        val effRaw = (r4N / rN) / 4.0
+        // >1 is unphysical for this workload: report the capped value as
+        // the headline and keep the raw draw + a noise flag beside it
+        val eff = math.min(1.0, effRaw)
         buildJson =
-          s""""build":{"localN_cores":2,"local4N_cores":8,"repsN":${t2.size},"reps4N":${t8.size},""" +
+          s""""build":{"localN_cores":2,"local4N_cores":8,"repsN":$k,"reps4N":$k,""" +
           s""""localN_sec":${jn(secN)},"localN_docs_per_sec":${jn(rN, 1)},""" +
           s""""local4N_sec":${jn(sec4N)},"local4N_docs_per_sec":${jn(r4N, 1)},""" +
           s""""scaling_efficiency":${jn(eff)}""" +
+          (if (effRaw > 1.0)
+            s""","scaling_efficiency_raw":${jn(effRaw)},"scaling_noise":true"""
+           else "") +
           (if (gateTimedOut) ""","gate_timeout":true""" else "") + "},"
       }
       // Prewarm OVERLAPPED with the child's untimed boot+warm window: the
@@ -606,13 +687,15 @@ object Bench {
         val (_, pw) = timed(
           try {
             SparkEntry.prewarm(sp, sfDir)
-            // plan-shape warm: one throwaway run of the two first-position
-            // FAMILIES (compressed-index WAND, relational BM25) so their
-            // timed entries measure the plan, not first-query codegen/JIT/
-            // scan warm-up — r3's first-position queries ran 2-10x their
-            // warm variants purely from run position
-            SparkEntry.queries("ep2_wand_tsm")(sp, sfDir).count()
-            SparkEntry.queries("t1_bm25_tsm")(sp, sfDir).count()
+            // plan-shape warm: one throwaway run per COLD-MEASURED family
+            // so their timed entries measure the plan, not first-query
+            // codegen/JIT/scan warm-up — r3's first-position queries ran
+            // 2-10x their warm variants purely from run position, and r4's
+            // explain/hybrid/sigterms families swung 3-5.5x between runs
+            // for the same reason (round-5 verdict item 3)
+            Seq("ep2_wand_tsm", "t1_bm25_tsm",
+              "ep2_explain_tsm", "ep2_hybrid_rrf", "ep2_sigterms_dup")
+              .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })
         prewarmSecs = pw
@@ -620,15 +703,16 @@ object Bench {
         sp
       }
       // Breadth machinery, defined BEFORE the scaling child runs so the
-      // child's REDUNDANT 8-core reps can host the tier-2 pass (below).
-      val results = ArrayBuffer.empty[(String, Double)]
+      // child's hedge window can host the tier-2 pass (below).
       val ordered = SparkEntry.queries.toSeq.sortBy(p => breadthOrder(p._1))
       val (tier01, tier2) = ordered.partition(p => breadthOrder(p._1)._1 < 2)
       def runBreadth(sp: SparkSession,
                      qs: Seq[(String, (SparkSession, String) =>
                        org.apache.spark.sql.DataFrame)],
-                     reserve: Double): Unit = qs.foreach { case (name, fn) =>
-        if (remaining > reserve) {
+                     reserve: Double, stoppable: Boolean = false): Unit =
+        qs.foreach { case (name, fn) =>
+        if (stoppable && overlapStop) ()
+        else if (remaining > reserve) {
           // cap 15 s: under host load one normally-cheap query blowing up
           // must cost at most its cap, not the whole tail (observed: a 21 s
           // t1 timeout left 39 queries unmeasured)
@@ -641,24 +725,57 @@ object Bench {
               sp.sparkContext.cancelAllJobs(); -2.0
             case _: Throwable => -1.0
           }
-          results += name -> sec
-          qJson = results.map { case (k, v) => s""""$k":${jn(v)}""" }
-            .mkString("{", ",", "}") // keep the watchdog's view current
+          results = results :+ (name -> sec) // keep the watchdog's view current
           total = results.map(_._2).filter(_ >= 0).sum
         } else skipped += 1
       }
+      // Big-vocabulary build lane (round-5 verdict item 6): the >1M-term
+      // wave-dictionary FALLBACK (shuffle stats-join encode — the
+      // 10^9-identifier code-corpus path) timed against the broadcast-
+      // dictionary path FORCED on the SAME high-cardinality corpus. The
+      // synthetic identifier spread (~1.6M distinct terms over 60k docs)
+      // trips the auto-fallback at the default 1M dictionary cap, so the
+      // first build exercises exactly the decision production would take.
+      def runBigvocab(sp: SparkSession): Unit =
+        if (bigvocabJson.isEmpty && remaining > 40) try {
+          val n = 60000L
+          val bvCorpus = s"/dev/shm/graft-bench-bigvocab-$n"
+          if (!Files.exists(java.nio.file.Paths.get(bvCorpus, "_SUCCESS")))
+            SyntheticCorpus.generate(sp, n, 44L, 80, 240,
+              vocabSpread = 2000000, parts = 32)
+              .write.mode("overwrite").parquet(bvCorpus)
+          val docs = Corpus.fromCodeDocs(sp.read.parquet(bvCorpus))
+          val cfgAuto = IndexConfig(shards = 16, termBuckets = 4,
+            commitWaves = 1)
+          val d1 = s"/dev/shm/graft-bench-bigvocab-idx-${System.nanoTime()}"
+          val (g1, fbSec) = timed(IndexBuilder.build(sp, docs, d1, cfgAuto))
+          val usedDict = IndexBuilder.lastWaveUsedDictPath
+          val d2 = s"/dev/shm/graft-bench-bigvocab-idx-${System.nanoTime()}"
+          val (_, dictSec) = timed(IndexBuilder.build(sp, docs, d2,
+            cfgAuto.copy(maxDictTerms = Long.MaxValue)))
+          bigvocabJson =
+            s""""build_bigvocab":{"docs":$n,"vocab":${g1.vocabularySize},""" +
+            s""""auto_fallback":${!usedDict},"fallback_sec":${jn(fbSec)},""" +
+            s""""dict_sec":${jn(dictSec)},""" +
+            s""""fallback_docs_per_sec":${jn(n / fbSec, 1)}},"""
+          System.err.println(s"[bench] bigvocab fallback=${jn(fbSec)}s " +
+            s"dict=${jn(dictSec)}s vocab=${g1.vocabularySize} elapsed=${jn(elapsed)}")
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] bigvocab failed: ${t.getMessage}")
+        }
       // Tier-2 OVERLAP: the parent used to idle ~95 s of a 188 s budget
       // while the scaling child ran, then shed the whole tier-2 breadth
       // pass to protect the latency floor (r4 first draw: 33 skipped).
-      // The child's FIRST 8-core rep line means (a) the 2-core rep — the
-      // scaling DENOMINATOR, which parent load would slow and thereby
-      // OVERSTATE efficiency — is long finished, and (b) everything still
-      // to come at the child is a best-of-N hedge rep: parent load can
-      // only make those reps slower, i.e. reported efficiency can only be
-      // UNDERSTATED. So tier-2 (cheap redundant variants whose per-query
-      // comparability matters least) runs here, flagged in the JSON since
-      // its times share the box with an 8-core pinned build.
-      // the child's timed 8-core reps are pinned to cores 0-7 (ScalePair);
+      // The child's `overlapok` line means the only child work parent
+      // load can now touch before the GO2 gate is the min()-shielded
+      // 2-core HEDGE rep and the untimed 8-core warm — a polluted hedge
+      // can only be SLOWER, i.e. it can never fabricate a better scaling
+      // denominator (and the mandatory first rep of each level is gate-
+      // protected on both sides). So tier-2 (cheap redundant variants
+      // whose per-query comparability matters least) plus the bigvocab
+      // lane run here, flagged in the JSON since their times share the
+      // box with a pinned build.
+      // the child's timed reps are pinned to cores 0-1 / 0-7 (ScalePair);
       // the parent self-pins to the COMPLEMENT for the overlap so the two
       // JVMs share only memory bandwidth, not CPUs — the first overlap
       // draw ran unpinned and inflated the hedge rep 15.5 -> 18.0 s
@@ -678,20 +795,24 @@ object Bench {
             tailJson += s""""tier2_overlapped":true,"""
             tier2Fut = Future {
               if (allCores > 9) pinSelf(s"8-${allCores - 1}")
-              try runBreadth(sp, tier2, reserve = 18)
-              finally if (allCores > 9) pinSelf(s"0-${allCores - 1}")
-              System.err.println(s"[bench] tier2 overlapped with scaling " +
-                s"child: ${results.size} timed, $skipped skipped, " +
+              try {
+                runBreadth(sp, tier2, reserve = 18, stoppable = true)
+                if (!overlapStop) runBigvocab(sp)
+              } finally if (allCores > 9) pinSelf(s"0-${allCores - 1}")
+              System.err.println(s"[bench] tier2 overlap quiesced: " +
+                s"${results.size} timed, stop=$overlapStop, " +
                 s"elapsed=${jn(elapsed)}")
             }
           case _ => () // prewarm unfinished/failed: tier2 stays serial
         }
-      // reserve ~84 s after the child: breadth tier0+1 (~40 s) + tier2
-      // (~25 s, sheddable) + the latency box (<=18 s, hard floor — r3
-      // shipped samples=0) + the JSON line. Round 2 reserved only 40 and
-      // the expensive tier was squeezed out two rounds running. Prewarm no
-      // longer needs reserve — it rides inside the child's warm window.
-      val pairResult = runScalePair(math.max(60, remaining - 84), prewarmFut)
+      // reserve ~64 s after the child: breadth tier0+1 (~38 s) + the
+      // latency box (<=18 s, hard floor — r3 shipped samples=0) + the
+      // JSON line (tier-2 + bigvocab ride the overlap window; the
+      // trailing asymmetric hedge rep is gone — the r5 verdict's
+      // symmetric-reps budget lives in the child instead). Round 2
+      // reserved only 40 and the expensive tier was squeezed out two
+      // rounds running; prewarm rides inside the child's warm window.
+      val pairResult = runScalePair(math.max(60, remaining - 64), prewarmFut)
       // join the overlapped tier-2 pass BEFORE any fallback build or the
       // tier-0/1 breadth: concurrent timed work would pollute both
       if (tier2Fut != null) {
@@ -784,7 +905,12 @@ object Bench {
       runBreadth(spark, tier01, reserve = if (tier2Fut != null) 14 else 22)
       System.err.println(
         s"[bench] breadth tier0+1 done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
-      if (tier2Fut == null) runBreadth(spark, tier2, reserve = 18)
+      // tier-2 REMAINDER: whatever the quiesced overlap pass did not reach
+      // (all of tier-2 when the overlap never started)
+      locally {
+        val timedNames = results.map(_._1).toSet
+        runBreadth(spark, tier2.filterNot(p => timedNames(p._1)), reserve = 18)
+      }
       System.err.println(
         s"[bench] breadth done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
 
@@ -867,51 +993,144 @@ object Bench {
         } else latJson = s""""query_latency":{"corpus_docs":$latDocs,"samples":0},"""
       }
 
-      // extra 8-CORE-only scaling rep, noise hedge: the 4N level is the
-      // noisier factor of the headline ratio and a BuildTo child pays only
-      // boot + warm + ~r8 (~30 s wall), where a full second pair (~110 s,
-      // the round-2 form) never fit after a complete breadth pass. Runs
-      // only with the whole breadth pass already banked.
-      if (remaining > 34) {
+      // GAP-FILL 8-core rep: only when a self-aborted child left the
+      // 8-core level SHORTER than the 2-core level (setBuildJson computes
+      // from the symmetric prefix, so the missing rep would otherwise
+      // discard a banked 2-core draw). Never runs as an extra hedge —
+      // asymmetric best-of counts are what manufactured round-4's
+      // unphysical 1.025 efficiency.
+      if (t8.size < t2.size && remaining > 34) {
         val (s8x, _) = buildAt(8, 1)
         if (s8x > 0) t8 += s8x
         setBuildJson()
       }
 
-      // --- optional soak (env-gated): scale-latency evidence in the SAME
-      // JSON contract. The driver never sets SPARK_GRAFT_SOAK_DOCS (a 2M-doc
-      // build + sampling cannot fit its ~188 s budget); a complete local run
-      // with it set ships bench.json carrying this block, making the soak
-      // numbers reproducible through the bench main instead of BASELINE.md
-      // self-reports. Production layout (shards=32, tb=8, waves=2).
-      sys.env.get("SPARK_GRAFT_SOAK_DOCS").map(_.toLong).foreach { soakDocs =>
-        if (remaining > 60) {
-          val soakCorpus = s"/dev/shm/graft-bench-corpus-$soakDocs-f64"
-          if (!Files.exists(java.nio.file.Paths.get(soakCorpus, "_SUCCESS")))
-            SyntheticCorpus.generate(spark, soakDocs, 42L, 160, 480, parts = 256)
-              .write.mode("overwrite").parquet(soakCorpus)
-          val dir = s"/dev/shm/graft-bench-soakidx-${System.nanoTime()}"
-          val docs = Corpus.fromCodeDocs(spark.read.parquet(soakCorpus))
-          val (_, bsec) = timed(IndexBuilder.build(spark, docs, dir,
-            IndexConfig(shards = 32, termBuckets = 8, commitWaves = 2)))
-          System.err.println(s"[bench] soak build ${jn(bsec)}s elapsed=${jn(elapsed)}")
-          val idx = new PostingIndex(spark, dir).preload()
-          referenceQueries.foreach(q => idx.search(q, 10).collect()) // warm
-          val buf = ArrayBuffer.empty[Double]
-          val dl = elapsed + math.min(remaining - 8, 30.0)
-          while (buf.size < 35 && elapsed < dl)
-            referenceQueries.foreach(q =>
-              buf += timed(idx.search(q, 10).collect())._2)
-          if (buf.nonEmpty) {
-            val lat = buf.sorted.toIndexedSeq
-            val p50 = lat(lat.size / 2)
-            val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
-            tailJson +=
-              s""""soak":{"docs":$soakDocs,"build_sec":${jn(bsec)},""" +
-              s""""docs_per_sec":${jn(soakDocs / bsec, 1)},"samples":${lat.size},""" +
-              s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}},"""
-          }
+      // bigvocab lane, serial fallback: the overlap window usually hosts
+      // it; when the quiesce preempted it (or the overlap never started),
+      // run it here — budget-gated inside
+      runBigvocab(spark)
+
+      // --- soak: scale-latency evidence in the SAME JSON contract.
+      //
+      // Two modes sharing one persisted layout
+      // (/dev/shm/graft-soak-persist-<docs>, production config
+      // shards=32/tb=8/waves=2, build_info.json beside the index):
+      //
+      //  - env-gated FULL soak (SPARK_GRAFT_SOAK_DOCS, local complete runs
+      //    only — a multi-M-doc build cannot fit the driver's budget):
+      //    builds into the persist dir (reusing a finished build), times
+      //    the build plus a delete+compact lifecycle probe on a hardlink
+      //    CLONE (the served index is never mutated), records everything
+      //    in build_info.json, then samples serving latency.
+      //  - DETECTED soak (driver runs): if a prior complete run left a
+      //    persisted index, sample serving latency over it LIVE —
+      //    p50/p95 in the driver's artifact are measured in the driver's
+      //    own run; the build numbers are read from build_info.json and
+      //    labeled "build_cached":true.
+      def sampleSoak(dir: String, docs: Long, bsec: Double, cached: Boolean,
+                     lifecycle: String): Unit = {
+        val idx = new PostingIndex(spark, dir).preload()
+        referenceQueries.foreach(q => idx.search(q, 10).collect()) // warm
+        val buf = ArrayBuffer.empty[Double]
+        val dl = elapsed + math.min(remaining - 8, 30.0)
+        while (buf.size < 35 && elapsed < dl)
+          referenceQueries.foreach(q =>
+            buf += timed(idx.search(q, 10).collect())._2)
+        if (buf.nonEmpty) {
+          val lat = buf.sorted.toIndexedSeq
+          val p50 = lat(lat.size / 2)
+          val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+          soakJson =
+            s""""soak":{"docs":$docs,"build_sec":${jn(bsec)},""" +
+            s""""docs_per_sec":${jn(docs / bsec, 1)},""" +
+            (if (cached) s""""build_cached":true,""" else "") + lifecycle +
+            s""""samples":${lat.size},""" +
+            s""""p50_sec":${jn(p50, 4)},"p95_sec":${jn(p95, 4)}},"""
         }
+      }
+      val SoakInfo =
+        ("""\{"docs":(\d+),"build_sec":([0-9.]+)""" +
+          """(,"delete_sec":([0-9.]+),"compact_sec":([0-9.]+))?\}""").r
+      sys.env.get("SPARK_GRAFT_SOAK_DOCS").map(_.toLong) match {
+        case Some(soakDocs) if remaining > 60 =>
+          val dir = s"/dev/shm/graft-soak-persist-$soakDocs"
+          val info = java.nio.file.Paths.get(dir, "build_info.json")
+          val reuse = Files.exists(info) && PostingIndex.isComplete(spark, dir)
+          var bsec = 0.0
+          var lifecycle = ""
+          if (reuse) {
+            SoakInfo.findFirstMatchIn(Files.readString(info)).foreach { m =>
+              bsec = m.group(2).toDouble
+              if (m.group(4) != null)
+                lifecycle = s""""delete_sec":${m.group(4)},""" +
+                  s""""compact_sec":${m.group(5)},"""
+            }
+          } else {
+            val soakCorpus = s"/dev/shm/graft-bench-corpus-$soakDocs-f64"
+            if (!Files.exists(java.nio.file.Paths.get(soakCorpus, "_SUCCESS")))
+              SyntheticCorpus.generate(spark, soakDocs, 42L, 160, 480, parts = 256)
+                .write.mode("overwrite").parquet(soakCorpus)
+            val docs = Corpus.fromCodeDocs(spark.read.parquet(soakCorpus))
+            bsec = timed(IndexBuilder.build(spark, docs, dir,
+              IndexConfig(shards = 32, termBuckets = 8, commitWaves = 2)))._2
+            System.err.println(s"[bench] soak build ${jn(bsec)}s elapsed=${jn(elapsed)}")
+            // lifecycle probe on a hardlink clone: delete 1/7 of the docs,
+            // compact the survivors — the mutation costs at soak scale,
+            // without touching the index the serving samples (and the
+            // driver's detected-soak pass) read
+            val probe = s"/dev/shm/graft-bench-soakidx-probe-${System.nanoTime()}"
+            try {
+              IndexBuilder.cloneIndex(dir, probe)
+              val victims = spark.range(soakDocs)
+                .filter(org.apache.spark.sql.functions.pmod(
+                  org.apache.spark.sql.functions.col("id"),
+                  org.apache.spark.sql.functions.lit(7L)) === 3)
+                .select(org.apache.spark.sql.functions.col("id").as("docId"))
+              val (_, delSec) = timed(
+                IndexBuilder.delete(spark, victims, probe, "soak1"))
+              val (_, cmpSec) = timed(IndexBuilder.compact(spark, probe,
+                IndexConfig(shards = 32, termBuckets = 8, stem = false)))
+              lifecycle = s""""delete_sec":${jn(delSec)},""" +
+                s""""compact_sec":${jn(cmpSec)},"""
+              System.err.println(s"[bench] soak lifecycle delete=${jn(delSec)}s " +
+                s"compact=${jn(cmpSec)}s elapsed=${jn(elapsed)}")
+            } catch { case t: Throwable =>
+              System.err.println(s"[bench] soak lifecycle probe failed: ${t.getMessage}")
+            } finally {
+              val p = java.nio.file.Paths.get(probe)
+              if (Files.exists(p)) java.nio.file.Files.walk(p)
+                .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            }
+            Files.writeString(info,
+              s"""{"docs":$soakDocs,"build_sec":${jn(bsec)}""" +
+              (if (lifecycle.nonEmpty) "," + lifecycle.dropRight(1) else "") + "}")
+          }
+          sampleSoak(dir, soakDocs, bsec, cached = reuse, lifecycle)
+        case _ =>
+          // detected mode: serve the largest persisted soak index live
+          val persisted = java.nio.file.Files.list(java.nio.file.Paths.get("/dev/shm"))
+            .filter(p => p.getFileName.toString.startsWith("graft-soak-persist-"))
+            .toArray.map(_.toString).flatMap { d =>
+              val docs = d.substring(d.lastIndexOf('-') + 1)
+              val info = java.nio.file.Paths.get(d, "build_info.json")
+              if (docs.forall(_.isDigit) && Files.exists(info) &&
+                  PostingIndex.isComplete(spark, d)) Some((docs.toLong, d))
+              else None
+            }.sortBy(-_._1).headOption
+          persisted.foreach { case (docs, d) =>
+            if (remaining > 26) {
+              val info = Files.readString(
+                java.nio.file.Paths.get(d, "build_info.json"))
+              SoakInfo.findFirstMatchIn(info).foreach { m =>
+                val lifecycle =
+                  if (m.group(4) != null)
+                    s""""delete_sec":${m.group(4)},"compact_sec":${m.group(5)},"""
+                  else ""
+                sampleSoak(d, docs, m.group(2).toDouble, cached = true, lifecycle)
+              }
+            }
+          }
       }
     } catch {
       case t: Throwable =>

@@ -68,6 +68,11 @@ object IndexBuilder {
     */
   @volatile private[index] var lastWaveUsedDict: Boolean = true
 
+  /** Public read view of [[lastWaveUsedDict]] — the bench's bigvocab lane
+    * reports which encode path the auto-decision took.
+    */
+  def lastWaveUsedDictPath: Boolean = lastWaveUsedDict
+
   /** The shared shuffle shape of both encode paths — one partition per
     * (tb, shard), rows clustered by term key and docId-sorted within it,
     * exactly what the streaming block encoder requires — with each group

@@ -22,18 +22,31 @@ import graft.index.{IndexBuilder, IndexConfig}
   *   3. new session at local[2] (sequential SparkContexts), pin to 2 cores
   *      -> timed full builds.
   *
-  * With `GRAFT_SP_GATE=1` (set by the bench parent) the first TIMED rep
-  * additionally waits for a "GO" line on stdin: the parent overlaps its own
-  * untimed prewarm with this child's boot+warm window and releases the gate
-  * when it goes idle, so parent load can never pollute a timed rep. The
-  * wait is deadline-bounded (a dead parent costs the cap, not the run).
+  * With `GRAFT_SP_GATE=1` (set by the bench parent) the run is TWICE
+  * stdin-gated: the first timed rep waits for a "GO" line (the parent
+  * overlaps its own untimed prewarm with this child's boot+warm window and
+  * releases the gate when it goes idle), and the first 8-CORE rep waits
+  * for "GO2" (the parent overlaps its tier-2 breadth pass with this
+  * child's HEDGE window — the second 2-core rep + the untimed 8-core warm,
+  * announced by the `SCALEPAIR overlapok` line — and releases GO2 when
+  * that work quiesces). Parent load can therefore pollute at most the
+  * 2-core HEDGE rep (which only the min() survives, and only by being
+  * SLOWER — it can never fabricate a better denominator), never the
+  * mandatory first rep of either level. Both waits are deadline-bounded
+  * (a dead parent costs the cap, not the run) and report `go=false` for
+  * the bench to stamp `gate_timeout`.
   *
-  * Rep counts are budget-driven (first rep per level is mandatory, extras
-  * only while the in-child deadline allows; best-of shields host-load
-  * noise). Every timed rep prints `SCALEPAIR rep n=<n> secs=<s>`; the final
-  * line is `SCALEPAIR done idx=<dir>` (the 8-core index path, reused by the
-  * latency section). The parent kills this process on that line — exit-time
-  * temp cleanup TRIMs hundreds of MB on the `discard`-mounted fs.
+  * Rep counts are budget-driven and SYMMETRIC (the round-4 verdict: an
+  * asymmetric repsN=1/reps4N=2 draw let one slow 2-core rep manufacture a
+  * super-linear 1.025 efficiency): the first rep per level is mandatory,
+  * the second 2-core rep runs only when the budget also covers its 8-core
+  * twin, and the 8-core level runs EXACTLY as many reps as the 2-core
+  * level did — best-of-k against best-of-k, never best-of-1 against
+  * best-of-3. Every timed rep prints `SCALEPAIR rep n=<n> secs=<s>`; the
+  * final line is `SCALEPAIR done idx=<dir>` (the 8-core index path,
+  * reused by the latency section). The parent kills this process on that
+  * line — exit-time temp cleanup TRIMs hundreds of MB on the
+  * `discard`-mounted fs.
   *
   * Spark scratch goes to tmpfs (`/dev/shm`) so shuffle files never touch
   * the TRIM path at all (session stop between levels deletes them).
@@ -217,42 +230,58 @@ object ScalePair {
     // own measurement, prints `go=false`, and the bench records the run as
     // gate-timed-out (`"gate_timeout":true` inside the JSON line's build
     // object) instead of claiming an unpolluted draw.
-    if (sys.env.get("GRAFT_SP_GATE").contains("1")) {
-      val capSec = math.min(100.0, math.max(5.0, 0.6 * budget))
-      val deadline = System.nanoTime() + (capSec * 1e9).toLong
-      // EOF on a closed pipe is only observable from a BLOCKING read —
-      // available() reports 0 forever on a dead parent, so an
-      // available()-gated poll loop would sleep out the whole cap. A
-      // daemon reader thread blocks on stdin and flags GO/EOF; the main
-      // thread polls the flags against the deadline.
-      val goFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val eofFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // The two stdin gates share ONE daemon reader: EOF on a closed pipe is
+    // only observable from a BLOCKING read — available() reports 0 forever
+    // on a dead parent, so an available()-gated poll loop would sleep out
+    // the whole cap. The reader flags GO / GO2 / EOF; gate waits poll the
+    // flags against their own deadlines.
+    val gated = sys.env.get("GRAFT_SP_GATE").contains("1")
+    val goFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val go2Flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val eofFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (gated) {
       val reader = new Thread(() => {
         try {
           val buf = new StringBuilder
           var c = System.in.read()
-          while (c != -1 && !goFlag.get) {
+          while (c != -1 && !go2Flag.get) {
             if (c == '\n') {
-              if (buf.toString.contains("GO")) goFlag.set(true)
+              val line = buf.toString
+              if (line.contains("GO2")) { goFlag.set(true); go2Flag.set(true) }
+              else if (line.contains("GO")) goFlag.set(true)
               buf.clear()
             } else buf.append(c.toChar)
-            if (!goFlag.get) c = System.in.read()
+            if (!go2Flag.get) c = System.in.read()
           }
           if (c == -1) eofFlag.set(true) // parent gone: proceed, don't stall
         } catch { case _: Throwable => eofFlag.set(true) }
       }, "scalepair-gate-reader")
       reader.setDaemon(true)
       reader.start()
-      while (!goFlag.get && !eofFlag.get && System.nanoTime() < deadline)
-        Thread.sleep(25)
-      println(f"SCALEPAIR gate go=${goFlag.get} eof=${eofFlag.get} el=$el%.1f")
     }
+    def awaitGate(flag: java.util.concurrent.atomic.AtomicBoolean,
+                  capSec: Double, name: String): Unit = if (gated) {
+      val deadline = System.nanoTime() + (capSec * 1e9).toLong
+      while (!flag.get && !eofFlag.get && System.nanoTime() < deadline)
+        Thread.sleep(25)
+      println(f"SCALEPAIR gate$name go=${flag.get} eof=${eofFlag.get} el=$el%.1f")
+    }
+    awaitGate(goFlag, math.min(100.0, math.max(5.0, 0.6 * budget)), "")
     pin("0-1")
     var r2min = timedRep(s2, 2)
-    // optional second 2-core rep only when the budget still covers the
-    // mandatory 8-core tail (~2 reps at ~r2/3.2 each + switch overhead)
-    if (remaining > 1.15 * r2min + 0.65 * r2min + 10)
+    var n2 = 1
+    // SYMMETRIC second rep: run it only when the budget also covers its
+    // 8-core twin (rep2 ~r2, warm8 box <=20, two 8-core reps ~0.55*r2,
+    // level switch ~5) — the 8-core level then matches the 2-core count
+    // exactly, so best-of-k compares against best-of-k
+    if (remaining > 1.6 * r2min + 22) {
+      // the parent overlaps its tier-2 breadth with everything from here
+      // to the GO2 gate (this rep is a min()-shielded hedge; the warm8 is
+      // untimed) — announce the window
+      println(f"SCALEPAIR overlapok el=$el%.1f")
       r2min = math.min(r2min, timedRep(s2, 2))
+      n2 = 2
+    } else println(f"SCALEPAIR overlapok el=$el%.1f") // window = warm8 only
     s2.stop()
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
@@ -268,14 +297,17 @@ object ScalePair {
       warmBoxed(s8, s"$outBase-warm8", 20.0)
       println(f"SCALEPAIR warm8 el=$el%.1f")
     }
+    // second gate: the parent's overlapped tier-2 work must quiesce before
+    // the first 8-core rep — the NUMERATOR's mandatory draw stays clean
+    awaitGate(go2Flag, 50.0, "2")
     var r8min = timedRep(s8, 8)
     var n8 = 1
-    // the 8-core level is the noisier factor and each rep is cheap; a small
-    // overrun here only trims the parent's breadth tail (scaling efficiency
-    // is the headline metric, breadth timings are informational). The
-    // SECOND rep is worth a deliberate ~r8 overrun — a single 8-core draw
-    // under a host-load spike skews the headline ratio by up to 50%.
-    while (n8 < 3 && remaining > (if (n8 == 1) 0.2 * r8min else r8min + 3)) {
+    // EXACTLY as many 8-core reps as 2-core reps (symmetry beats a third
+    // hedge: the round-4 verdict flagged asymmetric best-of counts as the
+    // source of an unphysical >1 efficiency); the budget check for rep 2
+    // already happened at the 2-core decision, so run the twin
+    // unconditionally — the self-abort cap bounds a loaded-host overrun
+    while (n8 < n2) {
       r8min = math.min(r8min, timedRep(s8, 8))
       n8 += 1
     }
