@@ -25,13 +25,21 @@ import graft.index.{IndexBuilder, IndexConfig, PostingIndex}
   *     (breadth surface; includes the DuckDB-gated forms).
   *
   * THE WHOLE RUN IS DEADLINE-BOXED (SPARK_GRAFT_BENCH_BUDGET seconds,
-  * default 175): the driver kills the bench harness at ~240 s wall
-  * including sbt startup, so every section checks the remaining budget
-  * before starting more work, and the JSON line is ALWAYS printed — with
-  * whatever sections completed — rather than dying mid-measurement
+  * default 200, clamped by the measured sbt-ancestor age against
+  * SPARK_GRAFT_WALL_BUDGET): the driver kills the bench harness at ~240 s
+  * wall including sbt startup, so every section checks the remaining
+  * budget before starting more work, and the JSON line is ALWAYS printed —
+  * with whatever sections completed — rather than dying mid-measurement
   * (round-1 failure mode: 5 × 400k-doc builds alone exceeded the budget).
   * The scaling measurement itself runs in ONE child JVM
-  * ([[graft.tools.ScalePair]]) so boot/session/JIT are paid once.
+  * ([[graft.tools.ScalePair]]) so boot/session/JIT are paid once, with
+  * SYMMETRIC rep counts per level and two stdin gates keeping parent load
+  * out of every mandatory rep (see ScalePair's scaladoc).
+  *
+  * STDOUT carries a COMPACT (<=1500-char) contract line — headline
+  * queries + counts + every section block; the FULL per-query map is in
+  * bench.json (the driver's stdout tail window is 2000 chars and the
+  * round-4 full line outgrew it).
   *
   * Reference baseline (BASELINE.md): 0.2–0.84 s/query at 223k docs with the
   * whole CSR index in RAM, single thread.
@@ -1088,8 +1096,12 @@ object Bench {
                 .select(org.apache.spark.sql.functions.col("id").as("docId"))
               val (_, delSec) = timed(
                 IndexBuilder.delete(spark, victims, probe, "soak1"))
+              // compact must pass the INDEX's own analyzer config (the
+              // soak build uses the stemmed default; a stem mismatch is a
+              // hard config-guard error by design)
               val (_, cmpSec) = timed(IndexBuilder.compact(spark, probe,
-                IndexConfig(shards = 32, termBuckets = 8, stem = false)))
+                IndexConfig(shards = 32, termBuckets = 8,
+                  stem = PostingIndex.readGlobals(spark, probe).stem)))
               lifecycle = s""""delete_sec":${jn(delSec)},""" +
                 s""""compact_sec":${jn(cmpSec)},"""
               System.err.println(s"[bench] soak lifecycle delete=${jn(delSec)}s " +
