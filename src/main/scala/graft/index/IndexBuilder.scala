@@ -140,7 +140,7 @@ object IndexBuilder {
             cfg: IndexConfig = IndexConfig()): IndexGlobals = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    val freshDocCounts: Option[Map[(Int, Int), Long]] =
+    val freshDocCounts: Option[() => Map[(Int, Int), Long]] =
       if (!Files.exists(root.resolve("globals.json")))
         Some(buildStats(spark, docs, dir, cfg))
       else None
@@ -215,7 +215,7 @@ object IndexBuilder {
     deleteRecursive(Paths.get(dir, "postings"))
     deleteRecursive(Paths.get(dir, "manifest"))
     val g = PostingIndex.readGlobals(spark, dir)
-    buildPostings(spark, dir, cfg, g, Some(docCounts))
+    buildPostings(spark, dir, cfg, g, Some(() => docCounts))
     g
   }
 
@@ -392,7 +392,7 @@ object IndexBuilder {
     deleteRecursive(Paths.get(dir, "postings"))
     deleteRecursive(Paths.get(dir, "manifest"))
     val g = PostingIndex.readGlobals(spark, dir)
-    buildPostings(spark, dir, cfg, g, Some(docCounts))
+    buildPostings(spark, dir, cfg, g, Some(() => docCounts))
     deleteRecursive(Paths.get(dir, "tombstones"))
     g
   }
@@ -500,7 +500,7 @@ object IndexBuilder {
       else None
     val globals = PostingIndex.readGlobals(spark, dst)
     checkConfig(globals, cfg, dst)
-    buildPostings(spark, dst, cfg, globals, freshDocCounts)
+    buildPostings(spark, dst, cfg, globals, freshDocCounts.map(m => () => m))
     globals
   }
 
@@ -509,38 +509,74 @@ object IndexBuilder {
 
   /** Stage 1: materialize (doc_id, term, tf, shard) partitioned by tb, the
     * per-term stats, and globals.json (committed last = stage marker).
-    * Returns the per-(tb, shard) doc counts so a same-JVM postings stage
-    * skips the parquet round-trip (resume still reads `partition_docs`).
+    *
+    * Job overlap is the point of this method's shape (a 2-vs-8-core pinned
+    * profile showed the 8-core level idling at 80% utilization on stage
+    * tails while the 2-core level ran at 93% — the serial job chain, not
+    * any one stage, was the Amdahl floor):
+    *
+    *   - the doc-id ledger scan (independent of tf) runs CONCURRENTLY with
+    *     the tf materialization instead of after it;
+    *   - the corpus token total rides the tf-write as an [[Observation]]
+    *     (zero extra jobs) instead of coming from the partition-docs agg;
+    *   - the per-(tb, shard) doc-count agg — needed only for the manifest
+    *     records at the END of each postings wave — is kicked off as a
+    *     background future and returned as a THUNK, so it overlaps the
+    *     whole encode stage. [[buildPostings]] awaits it at commit time.
+    *
+    * `partition_docs.json` is therefore written when the future lands, which
+    * may be AFTER globals.json — a resume that finds globals but no
+    * partition_docs recomputes the counts from tf ([[readPartDocsOrRecompute]]).
     */
   def buildStats(spark: SparkSession, docs: DataFrame, dir: String,
-                 cfg: IndexConfig): Map[(Int, Int), Long] = {
-    // one shuffle-free pass: (doc_id, term, tf, dl) + routing columns
-    val tf = RelationalBM25.termFreqsWithDl(docs, cfg.stem)
-      .withColumn("tb", tbUdf(cfg.termBuckets)(col("term")))
-      .withColumn("shard", shardUdf(cfg.shards)(col("doc_id")))
-    // plain layout (no partitionBy): tf is always read whole; a dynamic
-    // partition write here only multiplies small files and commit time
-    stage("stats:tf-write")(tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
+                 cfg: IndexConfig): () => Map[(Int, Int), Long] = {
     // a FRESH base build invalidates any previously appended batches and
     // delete markers — stale tf_appends/doclist/tombstones left in a reused
-    // directory must not union into the new corpus' stats
+    // directory must not union into the new corpus' stats. Deleted BEFORE
+    // any job starts: the concurrent doclist write below must not race the
+    // removal of its stale predecessor.
     deleteRecursive(Paths.get(dir, "tf_appends"))
     deleteRecursive(Paths.get(dir, "doclist"))
     deleteRecursive(Paths.get(dir, "tombstones"))
     Files.deleteIfExists(Paths.get(dir, "batches.json"))
 
-    // the doc-id ledger write also yields the corpus row count (observation
-    // on the same job) — overlap its driver-side latency with the
-    // partition-docs pass instead of paying it serially
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    // doc-id ledger ∥ tf-write: both scan the corpus, neither needs the
+    // other; the ledger job fills executor slots the tf stage's straggler
+    // tail leaves idle
     val nDocsF = Future(stage("stats:doclist")(writeDocList(docs, dir, "base")))
+
+    // one shuffle-free pass: (doc_id, term, tf, dl) + routing columns
+    val tf = RelationalBM25.termFreqsWithDl(docs, cfg.stem)
+      .withColumn("tb", tbUdf(cfg.termBuckets)(col("term")))
+      .withColumn("shard", shardUdf(cfg.shards)(col("doc_id")))
+    // token total observed ON the write job (sum of a Long column — exact);
+    // coalesce: sum over zero rows is null
+    val tokObs = new org.apache.spark.sql.Observation(
+      s"graft-tokens-${java.util.UUID.randomUUID().toString.take(8)}")
+    // plain layout (no partitionBy): tf is always read whole; a dynamic
+    // partition write here only multiplies small files and commit time
+    stage("stats:tf-write")(tf
+      .observe(tokObs, coalesce(sum(col("tf")), lit(0L)).as("tokens"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/tf"))
+    val totalTokens = tokObs.get("tokens").asInstanceOf[Long]
+
+    val tfBack = readTf(spark, dir)
+    // deferred: consumed only by the manifest commit at the end of each
+    // postings wave — the collect overlaps stats-write AND the encode stage
+    val partDocsF = Future(stage("stats:partition-docs")(partDocCounts(tfBack)))
+
     val sourcePath = docs.queryExecution.analyzed.collectLeaves().headOption
       .map(_.simpleString(60)).getOrElse("inline")
-    statsFromTf(spark, dir, cfg,
-      () => stage("stats:n-docs")(
-        Await.result(nDocsF, scala.concurrent.duration.Duration.Inf)),
-      sourcePath)
+    val nDocs = stage("stats:n-docs")(
+      Await.result(nDocsF, scala.concurrent.duration.Duration.Inf))
+    writeStats(spark, dir, cfg, tfBack, nDocs, totalTokens, sourcePath)
+    () => {
+      val rows = Await.result(partDocsF, scala.concurrent.duration.Duration.Inf)
+      writePartDocs(dir, rows)
+      rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
   }
 
   /** Stats + globals from the MATERIALIZED tf relation — shared by the
@@ -552,23 +588,34 @@ object IndexBuilder {
                           nDocsThunk: () => Long,
                           sourcePath: String): Map[(Int, Int), Long] = {
     val tfBack = readTf(spark, dir)
-    // one pass yields both the per-(tb, shard) doc counts (manifest
-    // quartet) and the token total; the result is <= shards*termBuckets
-    // rows, so collect ONCE and persist the tiny table as a LOCAL json —
-    // a Spark write job for <=256 rows is pure serial overhead
-    // two-phase instead of countDistinct: a single agg mixing distinct and
-    // plain aggregates plans an Expand (every row duplicated), and the
-    // distinct-on-doc_id shuffle moves all 11M+ tf rows. Grouping by
-    // (tb, shard, doc_id) first partial-aggregates map-side (docs emit
-    // their terms contiguously, so partial agg collapses ~all duplicates
-    // before the shuffle), then the tiny second agg counts rows.
-    val partDocs = stage("stats:partition-docs")(
-      tfBack.groupBy("tb", "shard", "doc_id").agg(sum("tf").as("t"))
-        .groupBy("tb", "shard")
-        .agg(count(lit(1)).as("docs"), sum("t").as("tokens")).collect())
+    val partDocs = stage("stats:partition-docs")(partDocCounts(tfBack))
     writePartDocs(dir, partDocs)
     val totalTokens = partDocs.map(_.getLong(3)).sum
     val nDocs = nDocsThunk()
+    writeStats(spark, dir, cfg, tfBack, nDocs, totalTokens, sourcePath)
+    partDocs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+  }
+
+  /** One pass yields both the per-(tb, shard) doc counts (manifest quartet)
+    * and the per-partition token total; the result is <= shards*termBuckets
+    * rows, so collect ONCE and persist the tiny table as a LOCAL json —
+    * a Spark write job for <=256 rows is pure serial overhead.
+    * Two-phase instead of countDistinct: a single agg mixing distinct and
+    * plain aggregates plans an Expand (every row duplicated), and the
+    * distinct-on-doc_id shuffle moves all 11M+ tf rows. Grouping by
+    * (tb, shard, doc_id) first partial-aggregates map-side (docs emit
+    * their terms contiguously, so partial agg collapses ~all duplicates
+    * before the shuffle), then the tiny second agg counts rows.
+    */
+  private def partDocCounts(tfBack: DataFrame): Array[org.apache.spark.sql.Row] =
+    tfBack.groupBy("tb", "shard", "doc_id").agg(sum("tf").as("t"))
+      .groupBy("tb", "shard")
+      .agg(count(lit(1)).as("docs"), sum("t").as("tokens")).collect()
+
+  /** Per-term stats parquet + globals.json (the stats-stage commit marker). */
+  private def writeStats(spark: SparkSession, dir: String, cfg: IndexConfig,
+                         tfBack: DataFrame, nDocs: Long, totalTokens: Long,
+                         sourcePath: String): Unit = {
     val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
     // idf via the same JVM function as the single-node oracle (BM25.idf) so
     // baked weights are bit-identical to oracle math (SURVEY.md §7.6.1) —
@@ -594,13 +641,18 @@ object IndexBuilder {
       blockSize = cfg.blockSize, k1 = cfg.params.k1, b = cfg.params.b,
       stem = cfg.stem)
     writeGlobals(dir, g)
-    partDocs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
   }
 
-  /** Stage 2: compute weights, encode blocks, commit per-(tb, shard). */
+  /** Stage 2: compute weights, encode blocks, commit per-(tb, shard).
+    *
+    * `freshDocCounts` is a THUNK so a fresh build's deferred partition-docs
+    * future ([[buildStats]]) is awaited only where its result is consumed —
+    * the manifest commit at the end of the first wave — letting that agg
+    * overlap the encode stage. `lazy val` memoizes the await across waves.
+    */
   def buildPostings(spark: SparkSession, dir: String, cfg: IndexConfig,
                     g: IndexGlobals,
-                    freshDocCounts: Option[Map[(Int, Int), Long]] = None): Unit = {
+                    freshDocCounts: Option[() => Map[(Int, Int), Long]] = None): Unit = {
     import spark.implicits._
     val committed0 = Manifest.committed(dir)
     val all = for (t <- 0 until cfg.termBuckets; s <- 0 until cfg.shards) yield (t, s)
@@ -611,17 +663,19 @@ object IndexBuilder {
     // commitWaves trades kill granularity against per-wave job overhead.
     val waves = math.max(1, math.min(cfg.commitWaves, cfg.termBuckets))
     // per-partition distinct-doc counts precomputed in the stats stage —
-    // handed over in-memory when the stats stage ran in this JVM, parsed
-    // from the local json on resume
-    val docCounts = freshDocCounts.getOrElse(
-      stage("postings:doc-counts")(readPartDocs(dir)))
+    // handed over as an in-flight future when the stats stage ran in this
+    // JVM, parsed from the local json (or recomputed from tf — a fresh
+    // build's crash window between globals.json and the deferred
+    // partition_docs write) on resume
+    lazy val docCounts = freshDocCounts.map(_.apply()).getOrElse(
+      stage("postings:doc-counts")(readPartDocsOrRecompute(spark, dir)))
     (0 until waves).foreach { w =>
       val tbsInWave = (0 until cfg.termBuckets).filter(_ % waves == w)
       val committed = Manifest.committed(dir)
       val missing = all.filter(p => tbsInWave.contains(p._1) && !committed(p))
       if (missing.nonEmpty)
         buildPostingsWave(spark, dir, cfg, g, w, tbsInWave, missing, committed,
-          docCounts)
+          () => docCounts)
     }
   }
 
@@ -629,7 +683,7 @@ object IndexBuilder {
                                 g: IndexGlobals, wave: Int, tbsInWave: Seq[Int],
                                 missing: Seq[(Int, Int)],
                                 committed: Set[(Int, Int)],
-                                docCounts: Map[(Int, Int), Long]): Unit = {
+                                docCounts: () => Map[(Int, Int), Long]): Unit = {
     import spark.implicits._
     val waveCommitted = committed.filter(p => tbsInWave.contains(p._1)).toSeq
     val tfAll = readTf(spark, dir)
@@ -741,9 +795,10 @@ object IndexBuilder {
     // Partitions in `missing` with no produced dir are empty but complete.
     // Counters come from the encode-task accumulator — no index re-read.
     val counters = acc.value
+    val dc = docCounts() // awaits the deferred partition-docs agg (fresh builds)
     missing.foreach { case (t, s) =>
       val (terms, posts, bytes) = counters.getOrElse((t, s), (0L, 0L, 0L))
-      Manifest.commit(dir, t, s, docCounts.getOrElse((t, s), 0L), terms, posts,
+      Manifest.commit(dir, t, s, dc.getOrElse((t, s), 0L), terms, posts,
         bytes, g.buildId)
     }
     deleteRecursive(stagingPath)
@@ -858,6 +913,24 @@ object IndexBuilder {
     Files.readString(p).linesIterator.collect {
       case Line(tb, sh, docs, _) => (tb.toInt, sh.toInt) -> docs.toLong
     }.toMap
+  }
+
+  /** Resume-side doc counts: the local json when present, else recomputed
+    * from the materialized tf (and re-persisted). The file can legitimately
+    * be ABSENT on resume — a fresh build writes it from a future that
+    * overlaps the encode stage ([[buildStats]]), so a kill between
+    * globals.json and that write leaves stats complete but the json
+    * missing. Manifest records must never silently carry docs=0, so absence
+    * triggers the (cheap, two-stage) recompute rather than a default.
+    */
+  private def readPartDocsOrRecompute(spark: SparkSession,
+                                      dir: String): Map[(Int, Int), Long] = {
+    if (Files.exists(Paths.get(dir, "partition_docs.json"))) readPartDocs(dir)
+    else {
+      val rows = partDocCounts(readTf(spark, dir))
+      writePartDocs(dir, rows)
+      rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
   }
 
   /** batches.json: one line per ingested batch (base build + appends) with

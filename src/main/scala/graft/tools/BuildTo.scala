@@ -97,12 +97,19 @@ object BuildTo {
     }
     var best = Double.MaxValue
     var r = 0
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     while (r < reps) {
       val dir = if (r == 0) idxDir else s"${idxDir}_r$r"
+      val cpu0 = osBean.getProcessCpuTime
+      val gc0 = gcBeans.stream.mapToLong(_.getCollectionTime).sum
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, docs, dir, cfg)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"BUILDTO rep=$r secs=$secs%.3f")
+      val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+      val gcSec = (gcBeans.stream.mapToLong(_.getCollectionTime).sum - gc0) / 1e3
+      println(f"BUILDTO rep=$r secs=$secs%.3f cpu=$cpuSec%.1f gc=$gcSec%.1f")
       if (secs < best) best = secs
       r += 1
     }
