@@ -362,7 +362,8 @@ object Bench {
       java.nio.file.Files.list(shm).forEach { p =>
         val nm = p.getFileName.toString
         if ((nm.startsWith("graft-bench-corpus") ||
-             nm.startsWith("graft-bench-soakidx")) &&
+             nm.startsWith("graft-bench-soakidx") ||
+             nm.startsWith("graft-bench-bigvocab-idx")) &&
             !p.toString.startsWith(corpusDir) &&
             java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
           java.nio.file.Files.walk(p)
@@ -766,6 +767,16 @@ object Bench {
             s""""auto_fallback":${!usedDict},"fallback_sec":${jn(fbSec)},""" +
             s""""dict_sec":${jn(dictSec)},""" +
             s""""fallback_docs_per_sec":${jn(n / fbSec, 1)}},"""
+          // both indexes are throwaway timing artifacts (~120 MB each on
+          // tmpfs) — drop them now rather than leaking a pair per run into
+          // /dev/shm (the age-gated sweep above also covers the prefix as
+          // a crash backstop)
+          Seq(d1, d2).foreach { d =>
+            val p = java.nio.file.Paths.get(d)
+            if (Files.exists(p)) java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
           System.err.println(s"[bench] bigvocab fallback=${jn(fbSec)}s " +
             s"dict=${jn(dictSec)}s vocab=${g1.vocabularySize} elapsed=${jn(elapsed)}")
         } catch { case t: Throwable =>
