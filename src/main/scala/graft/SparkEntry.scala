@@ -616,6 +616,16 @@ object SparkEntry {
     // PII redaction (typed placeholders + audit counts)
     "pii_scrub" -> ((s, dir) =>
       ops.TextStats.scrubPii(rawDocs(s, dir)).orderBy("doc_id")),
+    // CCNet-style LM-quality proxy: mean unigram log10-prob under the
+    // corpus's own unigram distribution (integer micro-unit contributions
+    // so the per-doc sum is order-free — see the operator scaladoc)
+    "text_unigram_lp" -> ((s, dir) =>
+      ops.TextStats.unigramLogProb(rawDocs(s, dir)).orderBy("doc_id")),
+    // web-pipeline stage one: URL canonicalization + dedup by canonical
+    // URL (deterministic messy-URL synthesis exercises every rule)
+    "url_dedup" -> ((s, dir) =>
+      ops.Urls.dedupByUrl(rawDocs(s, dir).select(col("doc_id"),
+        ops.Urls.syntheticUrl(col("doc_id")).as("url"))).orderBy("doc_id")),
     // GPT-style sequence packing (per-shard contiguous chunking)
     "pack_sequences" -> ((s, dir) =>
       ops.Packing.packSequences(rawDocs(s, dir), budget = 512, shards = 8)
@@ -1135,6 +1145,8 @@ FROM documents ORDER BY media_id""",
       "dedup_minhash_lsh" -> ops.DedupOracleSql.minhashLshSql(tau = 0.5),
       "dedup_minhash_clusters" -> ops.DedupOracleSql.minhashClustersSql(),
       "lang_id" -> ops.TextStats.langIdSql,
+      "text_unigram_lp" -> ops.TextStats.unigramLogProbSql,
+      "url_dedup" -> ops.Urls.urlDedupSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),

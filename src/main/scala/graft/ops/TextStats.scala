@@ -371,4 +371,72 @@ SELECT DISTINCT doc_id, mn AS fp FROM wm
 WHERE i <= greatest(m - ${window - 1}, 1)
 ORDER BY doc_id, fp"""
   }
+
+  // --- unigram language-model quality score -------------------------------
+
+  /** CCNet/RefinedWeb-style LM quality proxy: per-document mean unigram
+    * log10-probability under the corpus's own unigram distribution
+    * (the honest stand-in for the KenLM perplexity filter those pipelines
+    * run — no external model, same decision shape: low mean log-prob =
+    * out-of-distribution/gibberish, drop or down-weight).
+    *
+    * Plan shape at 100 TB: one (doc,term) map-side-combined aggregation,
+    * one vocabulary-keyed aggregation, a vocabulary-keyed join back
+    * (co-partitioned with the term agg), and a doc-keyed final sum — the
+    * exact shuffle skeleton of the BM25 statistics build; the corpus text
+    * is scanned ONCE. The grand-total row rides a broadcast.
+    *
+    * Cross-engine determinism: per-(doc,term) contributions are rounded to
+    * integer MICRO log-prob units (`round(c * log10(cnt/total) * 1e6)` as
+    * BIGINT) before the per-doc sum, so the aggregation is an order-free
+    * integer sum in both engines — a raw double sum would be sensitive to
+    * Spark's partial-aggregation order. The final mean divides two exact
+    * integers and rounds at 6.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = transform(
+      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
+      lower _)
+    val dt = docs.select(col(idCol), explode(toks).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("c"))
+    val tf = dt.groupBy("term").agg(sum("c").as("cnt"))
+    val tot = tf.agg(sum("cnt").cast("double").as("total"))
+    val contrib = dt.join(tf, "term")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("c"),
+        round(col("c").cast("double") *
+          log10(col("cnt").cast("double") / col("total")) * 1e6)
+          .cast("long").as("micro"))
+    val per = contrib.groupBy(idCol)
+      .agg(sum("c").as("n_tokens"), sum("micro").as("micro"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("micro").cast("double") / 1e6 /
+          col("n_tokens").cast("double"), 6).as("avg_logprob"))
+  }
+
+  /** DuckDB twin of [[unigramLogProb]] — same tokenizer, same micro-unit
+    * rounding, same integer per-doc sum.
+    */
+  def unigramLogProbSql: String = {
+    val arr =
+      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    s"""WITH d AS (SELECT doc_id, $arr AS arr FROM documents),
+inst AS (SELECT doc_id, unnest(arr) AS term FROM d),
+dt AS (SELECT doc_id, term, count(*) AS c FROM inst GROUP BY doc_id, term),
+tf AS (SELECT term, sum(c) AS cnt FROM dt GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tf),
+contrib AS (SELECT doc_id, c,
+  CAST(round(CAST(c AS DOUBLE) *
+    log10(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)) * 1e6) AS BIGINT)
+    AS micro
+  FROM dt JOIN tf USING (term)),
+per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(sum(micro) AS BIGINT) AS micro FROM contrib GROUP BY doc_id)
+SELECT docs.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+  round(CAST(per.micro AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob
+FROM documents docs LEFT JOIN per USING (doc_id) ORDER BY docs.doc_id"""
+  }
 }
