@@ -703,7 +703,10 @@ object Bench {
             // explain/hybrid/sigterms families swung 3-5.5x between runs
             // for the same reason (round-5 verdict item 3)
             Seq("ep2_wand_tsm", "t1_bm25_tsm",
-              "ep2_explain_tsm", "ep2_hybrid_rrf", "ep2_sigterms_dup")
+              "ep2_explain_tsm", "ep2_hybrid_rrf", "ep2_sigterms_dup",
+              // url_dedup's canonicalize expression tree costs ~2 s of
+              // one-off codegen (probe: 8.9 s cold vs 0.2 s warm)
+              "url_dedup")
               .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })

@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape at 100 TB: [[canonicalize]] is a narrow projection inside
   * whole-stage codegen; [[dedupByUrl]] adds ONE shuffle keyed by the
-  * canonical URL (min/count map-side combined) and a join back on the
-  * same key (co-partitioned, AQE-reusable). Hot canonical URLs are
-  * exactly the duplicates being collapsed — the aggregation output is one
-  * row per group, so skew cannot blow up the reduce side.
+  * canonical URL (a window over the canon key — see its scaladoc for why
+  * not agg-plus-join-back). Group size is bounded by the corpus's dup
+  * cardinality per URL; a pathologically hot URL lands one group in one
+  * task, the same co-location any correct dedup requires.
   */
 object Urls {
 
@@ -66,16 +66,21 @@ object Urls {
     * `!is_keeper` rows; the full mapping is returned (rather than the
     * filtered corpus) so provenance survives — the same contract as
     * [[Dedup.exactDedup]].
+    *
+    * Window form, not agg-plus-join-back: every output row needs its
+    * group's keeper/size, so the rows must co-locate by canonical URL
+    * either way — the window does it with ONE scan and ONE shuffle, where
+    * the self-join scanned the input (and evaluated the sizeable
+    * [[canonicalize]] expression tree) twice, once per join branch.
     */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "doc_id"): DataFrame = {
-    val c = docs.withColumn("canon_url", canonicalize(col(urlCol)))
-    val k = c.groupBy("canon_url")
-      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
-    c.join(k, "canon_url")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+    docs.withColumn("canon_url", canonicalize(col(urlCol)))
       .select(col(idCol), col(urlCol), col("canon_url"),
-        col("keeper_id"), col("group_size"),
-        (col(idCol) === col("keeper_id")).as("is_keeper"))
+        min(col(idCol)).over(w).as("keeper_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
   }
 
   /** Deterministic messy-URL synthesis for the gate: four variants per
