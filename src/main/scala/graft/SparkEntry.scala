@@ -671,6 +671,10 @@ object SparkEntry {
     // LSH clustering without pair materialization (star edges per bucket)
     "dedup_minhash_clusters" -> ((s, dir) =>
       ops.Components.minhashClusters(rawDocs(s, dir))),
+    // host-graph PageRank quality prior (integer nano-rank power method;
+    // deterministic synthetic host graph — see Graphs.hostEdges)
+    "host_pagerank" -> ((s, dir) =>
+      ops.Graphs.hostPageRank(rawDocs(s, dir)).orderBy("host")),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1147,6 +1151,7 @@ FROM documents ORDER BY media_id""",
       "lang_id" -> ops.TextStats.langIdSql,
       "text_unigram_lp" -> ops.TextStats.unigramLogProbSql,
       "url_dedup" -> ops.Urls.urlDedupSql,
+      "host_pagerank" -> ops.Graphs.hostPageRankSql(),
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
