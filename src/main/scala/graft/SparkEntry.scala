@@ -675,6 +675,16 @@ object SparkEntry {
     // deterministic synthetic host graph — see Graphs.hostEdges)
     "host_pagerank" -> ((s, dir) =>
       ops.Graphs.hostPageRank(rawDocs(s, dir)).orderBy("host")),
+    // incremental recrawl-vs-index dedup: bloom prefilter + exact verify
+    // (every third batch doc is an unchanged recrawl => duplicate)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = rawDocs(s, dir)
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" [recrawl v2]"))).as("text"))
+      ops.Dedup.incrementalDedup(docs, batch)
+        .select("doc_id", "sha", "is_dup").orderBy("doc_id")
+    }),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1152,6 +1162,7 @@ FROM documents ORDER BY media_id""",
       "text_unigram_lp" -> ops.TextStats.unigramLogProbSql,
       "url_dedup" -> ops.Urls.urlDedupSql,
       "host_pagerank" -> ops.Graphs.hostPageRankSql(),
+      "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),

@@ -31,6 +31,75 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canon_id")).cast("int"))
   }
 
+  /** Incremental (cross-corpus) exact dedup: flags every `batch` row whose
+    * content hash already exists in `existing` — the recrawl-vs-index stage
+    * of a continuously ingesting pipeline, where re-hashing and re-joining
+    * the FULL corpus per incoming batch would dominate ingest cost.
+    *
+    * Two-phase plan: a Bloom filter over the existing hashes (built
+    * distributed by Spark's `stat.bloomFilter` treeAggregate, then
+    * broadcast read-only to every executor) prefilters the batch
+    * map-side; ONLY bloom-positive rows enter the verification join
+    * against the existing key set. False positives are removed by the
+    * exact join and false negatives are impossible, so the RESULT is
+    * exact — the bloom is pure plan shape. At web scale the typical batch
+    * is overwhelmingly novel content, so the shuffle carries a few
+    * percent of the batch instead of all of it; the filter itself is
+    * `~1.2 bytes/key` at 1% fpp (a 10^9-doc corpus fits a ~1.2 GB
+    * broadcast — size `fpp` up if that pinches executor memory).
+    *
+    * The batch is scanned twice (once per verdict branch) — two NARROW
+    * scans traded for keeping every bloom-negative row out of the
+    * shuffle, the right exchange whenever the batch is cheaper to rescan
+    * than to shuffle. The `existing.count()` is a sizing scalar (one
+    * long), not data movement.
+    *
+    * Output: (idCol, sha, bloom_candidate, is_dup). `bloom_candidate` is
+    * engine telemetry (deterministic, but not oracle-mirrorable — the
+    * gate projects it away); `is_dup` is the exact verdict. Batch ids are
+    * assumed unique (the usual ingest contract).
+    */
+  def incrementalDedup(existing: DataFrame, batch: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       fpp: Double = 0.01): DataFrame = {
+    val sha = sha2(col(textCol), 256)
+    val exKeys = existing.select(sha.as("sha")).distinct()
+    val nExist = existing.count()
+    // Spark's stat.bloomFilter NPEs on a zero-row input; an empty corpus
+    // means every batch row is novel, so the candidate flag is just false
+    val candidate: Column = if (nExist == 0L) lit(false) else {
+      val bf = existing.stat.bloomFilter(sha, nExist, fpp)
+      val bfBc = existing.sparkSession.sparkContext.broadcast(bf)
+      val might =
+        udf((h: String) => h != null && bfBc.value.mightContainString(h))
+      might(sha)
+    }
+    val b = batch.select(col(idCol), sha.as("sha"),
+      candidate.as("bloom_candidate"))
+    val novel = b.filter(!col("bloom_candidate"))
+      .withColumn("is_dup", lit(false))
+    val verified = b.filter(col("bloom_candidate"))
+      .join(exKeys.withColumn("hit", lit(true)), Seq("sha"), "left")
+      .select(col(idCol), col("sha"), col("bloom_candidate"),
+        coalesce(col("hit"), lit(false)).as("is_dup"))
+    novel.select(col(idCol), col("sha"), col("bloom_candidate"),
+      col("is_dup")).union(verified)
+  }
+
+  /** DuckDB twin of the `dedup_incremental` gate: the same deterministic
+    * recrawl-batch synthesis (every third doc unchanged => duplicate, the
+    * rest edited => novel) and a plain semi-join verdict — the bloom
+    * prefilter is invisible to the result by construction.
+    */
+  def incrementalDedupSql: String =
+    """WITH ex AS (SELECT DISTINCT sha256(text) AS sha FROM documents),
+b AS (SELECT doc_id + 1000000 AS doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN text
+       ELSE text || ' [recrawl v2]' END AS text FROM documents),
+bs AS (SELECT doc_id, sha256(text) AS sha FROM b)
+SELECT bs.doc_id, bs.sha, (ex.sha IS NOT NULL) AS is_dup
+FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
+
   // --- word n-grams -------------------------------------------------------
 
   private val noStem = Analyzer.noStem(Set.empty)
