@@ -685,6 +685,9 @@ object SparkEntry {
       ops.Dedup.incrementalDedup(docs, batch)
         .select("doc_id", "sha", "is_dup").orderBy("doc_id")
     }),
+    // dataset-diff analytics: Monroe log-odds z of source 'src0' vs rest
+    "corpus_drift" -> ((s, dir) =>
+      ops.Drift.logOddsDrift(rawDocs(s, dir), col("source") === "src0")),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1163,6 +1166,7 @@ FROM documents ORDER BY media_id""",
       "url_dedup" -> ops.Urls.urlDedupSql,
       "host_pagerank" -> ops.Graphs.hostPageRankSql(),
       "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
+      "corpus_drift" -> ops.Drift.logOddsDriftSql(),
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
