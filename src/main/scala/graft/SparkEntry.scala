@@ -688,6 +688,14 @@ object SparkEntry {
     // dataset-diff analytics: Monroe log-odds z of source 'src0' vs rest
     "corpus_drift" -> ((s, dir) =>
       ops.Drift.logOddsDrift(rawDocs(s, dir), col("source") === "src0")),
+    // HTML-to-text extraction (deterministic messy-HTML synthesis wraps
+    // each doc; scripts/styles vanish, entities decode exactly once)
+    "html_normalize" -> ((s, dir) => {
+      val docs = rawDocs(s, dir)
+      ops.Html.normalize(docs.select(col("doc_id"),
+        ops.Html.syntheticHtml(col("doc_id"), col("text")).as("html")))
+        .orderBy("doc_id")
+    }),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1167,6 +1175,7 @@ FROM documents ORDER BY media_id""",
       "host_pagerank" -> ops.Graphs.hostPageRankSql(),
       "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
       "corpus_drift" -> ops.Drift.logOddsDriftSql(),
+      "html_normalize" -> ops.Html.normalizeSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
