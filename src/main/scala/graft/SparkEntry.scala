@@ -696,6 +696,31 @@ object SparkEntry {
         ops.Html.syntheticHtml(col("doc_id"), col("text")).as("html")))
         .orderBy("doc_id")
     }),
+    // crawl-snapshot diff: four-way added/removed/changed/unchanged verdict
+    // from one full-outer join over map-side (id, sha256) reductions
+    "crawl_diff" -> ((s, dir) => {
+      val docs = rawDocs(s, dir)
+      ops.Snapshots.crawlDiff(docs, ops.Snapshots.syntheticNext(docs))
+        .orderBy("doc_id")
+    }),
+    // incoming-anchor-term profile per target host (skew-safe: map-side
+    // combined counts, window over the aggregated (host, term) table)
+    "anchor_text" -> ((s, dir) =>
+      ops.Anchors.anchorProfile(
+        ops.Anchors.syntheticLinks(rawDocs(s, dir))).orderBy("host", "rnk")),
+    // per-document top-k TF-IDF keywords (integer micro-unit scores; the
+    // per-doc twin of the corpus-level significant-terms gate)
+    "doc_keywords" -> ((s, dir) =>
+      ops.Keywords.docKeywords(rawDocs(s, dir)).orderBy("doc_id", "rnk")),
+    // redirect-chain resolution: pointer doubling (log L self-joins, not L),
+    // loop classification after the fixed round budget
+    "redirect_resolve" -> ((s, dir) =>
+      ops.Redirects.resolve(
+        ops.Redirects.syntheticRedirects(rawDocs(s, dir))).orderBy("src")),
+    // RAG sliding-window chunking: stride grid + slice, one narrow
+    // zero-shuffle codegen pass
+    "doc_chunks" -> ((s, dir) =>
+      ops.Chunks.chunk(rawDocs(s, dir)).orderBy("doc_id", "chunk_id")),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1176,6 +1201,11 @@ FROM documents ORDER BY media_id""",
       "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
       "corpus_drift" -> ops.Drift.logOddsDriftSql(),
       "html_normalize" -> ops.Html.normalizeSql,
+      "crawl_diff" -> ops.Snapshots.crawlDiffSql,
+      "anchor_text" -> ops.Anchors.anchorProfileSql(),
+      "doc_keywords" -> ops.Keywords.docKeywordsSql(),
+      "redirect_resolve" -> ops.Redirects.resolveSql(),
+      "doc_chunks" -> ops.Chunks.chunkSql(),
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
