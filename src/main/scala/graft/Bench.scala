@@ -706,7 +706,10 @@ object Bench {
               "ep2_explain_tsm", "ep2_hybrid_rrf", "ep2_sigterms_dup",
               // url_dedup's canonicalize expression tree costs ~2 s of
               // one-off codegen (probe: 8.9 s cold vs 0.2 s warm)
-              "url_dedup")
+              "url_dedup",
+              // anchor_text's HOF tokenizer + host window family
+              // (probe: 8.6 s cold vs 0.9 s warm)
+              "anchor_text")
               .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })

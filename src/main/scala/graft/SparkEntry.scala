@@ -721,6 +721,10 @@ object SparkEntry {
     // zero-shuffle codegen pass
     "doc_chunks" -> ((s, dir) =>
       ops.Chunks.chunk(rawDocs(s, dir)).orderBy("doc_id", "chunk_id")),
+    // Mikolov-style phrase mining: adjacent-bigram PMI in integer micro
+    // units, one tokenize pass for both gram tables
+    "colloc_pmi" -> ((s, dir) =>
+      ops.Collocations.pmiBigrams(rawDocs(s, dir))),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1206,6 +1210,7 @@ FROM documents ORDER BY media_id""",
       "doc_keywords" -> ops.Keywords.docKeywordsSql(),
       "redirect_resolve" -> ops.Redirects.resolveSql(),
       "doc_chunks" -> ops.Chunks.chunkSql(),
+      "colloc_pmi" -> ops.Collocations.pmiBigramsSql(),
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),

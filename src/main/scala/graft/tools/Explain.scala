@@ -96,6 +96,22 @@ object Explain {
         (12L, "slow group query")).toDF("query_id", "query")
       new PostingIndex(spark, idxDir).searchManyTable(qs, 10, queryBatches = 3)
     }
+    show("doc_chunks (expect ONE narrow Generate/Project pass over the " +
+      "scan — zero exchanges; the stride grid + slice all codegen'd)") {
+      graft.ops.Chunks.chunk(rawDocs)
+    }
+    show("crawl_diff (expect BOTH sides reduced to (id, sha) in map-side " +
+      "Projects BEFORE the single full-outer join exchange — raw text " +
+      "never crosses the shuffle)") {
+      graft.ops.Snapshots.crawlDiff(rawDocs,
+        graft.ops.Snapshots.syntheticNext(rawDocs))
+    }
+    show("anchor_text (expect partial+final HashAggregate on (host, term) " +
+      "— the mega-host skew absorber — THEN one window over the " +
+      "aggregated table; never a window over raw link instances)") {
+      graft.ops.Anchors.anchorProfile(
+        graft.ops.Anchors.syntheticLinks(rawDocs))
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
