@@ -709,7 +709,10 @@ object Bench {
               "url_dedup",
               // anchor_text's HOF tokenizer + host window family
               // (probe: 8.6 s cold vs 0.9 s warm)
-              "anchor_text")
+              "anchor_text",
+              // colloc_pmi's zip_with adjacency family
+              // (probe: 8.9 s cold vs 1.6 s warm)
+              "colloc_pmi")
               .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })
