@@ -30,10 +30,13 @@ object Snapshots {
     */
   def crawlDiff(prev: DataFrame, next: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
+    // null text hashes as empty (sha2(null) would null the sha and make a
+    // PRESENT row classify as added/removed — presence must be decided by
+    // the row, not the payload)
     val p = prev.select(col(idCol).as("id"),
-      sha2(col(textCol), 256).as("sha_prev"))
+      sha2(coalesce(col(textCol), lit("")), 256).as("sha_prev"))
     val n = next.select(col(idCol).as("id"),
-      sha2(col(textCol), 256).as("sha_next"))
+      sha2(coalesce(col(textCol), lit("")), 256).as("sha_next"))
     p.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
         when(col("sha_prev").isNull, "added")

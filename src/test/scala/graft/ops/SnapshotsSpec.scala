@@ -30,6 +30,16 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(row.getAs[String]("sha_prev").length === 64)
   }
 
+  test("null text is presence, not absence: unchanged-null and null-edits classify by the row") {
+    val prev = Seq((1L, null: String), (2L, null: String), (3L, "body"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, null: String), (2L, "now filled"), (3L, "body"))
+      .toDF("doc_id", "text")
+    val got = Snapshots.crawlDiff(prev, next)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged"))
+  }
+
   test("syntheticNext exercises all four verdicts on a 0..34 id range") {
     val docs = (0L until 35L).map(i => (i, s"doc body $i"))
       .toDF("doc_id", "text")
