@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite {
       "expected multiple micro-batches")
   }
 
+  test("streaming chunking (stateless transform on readStream) equals the batch form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = graft.ops.Chunks.chunk(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    // the SAME operator is the streaming twin: Chunks.chunk is a narrow
+    // stateless pass (no agg, no watermark), so it applies to a readStream
+    // unchanged — the 100-TB continuous-ingest chunker is literally the
+    // batch plan in append mode
+    val dir = Files.createTempDirectory("graft-stream-chunk").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.ops.Chunks.chunk(stream)
+      .writeStream.format("memory").queryName("chunk_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("chunk_test")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq,
+      s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("streaming exact dedup (flatMapGroupsWithState on sha) equals the batch form") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
