@@ -725,6 +725,10 @@ object SparkEntry {
     // units, one tokenize pass for both gram tables
     "colloc_pmi" -> ((s, dir) =>
       ops.Collocations.pmiBigrams(rawDocs(s, dir))),
+    // per-source crawl report: ONE partial+final agg pass, all metrics
+    // algebraic (exact sha distinct for the dup fraction)
+    "crawl_report" -> ((s, dir) =>
+      ops.Reports.crawlReport(rawDocs(s, dir)).orderBy("source")),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1211,6 +1215,7 @@ FROM documents ORDER BY media_id""",
       "redirect_resolve" -> ops.Redirects.resolveSql(),
       "doc_chunks" -> ops.Chunks.chunkSql(),
       "colloc_pmi" -> ops.Collocations.pmiBigramsSql(),
+      "crawl_report" -> ops.Reports.crawlReportSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
