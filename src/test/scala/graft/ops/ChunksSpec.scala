@@ -61,6 +61,31 @@ class ChunksSpec extends AnyFunSuite {
     assert(covered === (0 until 53).toSet)
   }
 
+  test("property: chunk == local sliding window over random corpora and random (size, stride)") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 6) {
+      val docs = (1L to 20L).map { id =>
+        val n = rnd.nextInt(30) // 0..29 tokens, incl. empty docs
+        (id, (1 to n).map(_ => f"w${rnd.nextInt(50)}%03d").mkString(" "))
+      }
+      val size = 1 + rnd.nextInt(10)
+      val stride = 1 + rnd.nextInt(size)
+      val got = Chunks.chunk(docs.toDF("doc_id", "text"), size, stride)
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "n_tokens",
+          "chunk_text")
+        .as[(Long, Int, Int, Int, Int, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val local = docs.flatMap { case (id, text) =>
+        val ts = tok(text); val n = ts.size
+        (0 until n by stride).map { st =>
+          (id, st / stride, st, math.min(size, n - st), n,
+            ts.slice(st, st + size).mkString(" "))
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(got === local, s"trial $trial size=$size stride=$stride")
+    }
+  }
+
   test("stride > size is rejected") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -47,6 +47,38 @@ class CollocationsSpec extends AnyFunSuite {
     assert(got === local(2, 10))
   }
 
+  test("property: pmiBigrams == local brute force on random corpora (ties + micro rounding exercised)") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 8).map(i => s"word$i")
+      val rows = (1L to 15L).map { id =>
+        val n = 2 + rnd.nextInt(12)
+        (id, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val got = Collocations.pmiBigrams(docs, minCount = 1, topK = 100)
+        .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+
+      val toksAll = rows.map { case (_, t) => tok(t) }
+      val bi = toksAll.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      val uni = toksAll.flatten.groupBy(identity)
+        .map { case (w, xs) => (w, xs.size.toLong) }
+      val nU = uni.values.sum.toDouble
+      val nB = bi.values.sum.toDouble
+      val local = bi.toSeq.map { case ((w1, w2), c) =>
+        val micro = math.round(
+          math.log(c * nU * nU / (nB * uni(w1) * uni(w2))) * 1e6)
+        (w1, w2, c, uni(w1), uni(w2), micro)
+      }.sortBy { case (w1, w2, _, _, _, m) => (-m, w1, w2) }.take(100)
+        .map { case (w1, w2, c, c1, c2, m) =>
+          (w1, w2, c, c1, c2, BigDecimal(m / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      assert(got === local, s"trial $trial")
+    }
+  }
+
   test("minCount threshold drops rare coincidences") {
     val docs = corpus.toDF("doc_id", "text")
     val got = Collocations.pmiBigrams(docs, minCount = 3, topK = 10)

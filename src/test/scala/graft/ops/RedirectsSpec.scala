@@ -44,6 +44,40 @@ class RedirectsSpec extends AnyFunSuite {
     assert(r2 === "loop") // 2^2 = 4 < 8: budget exhausted mid-chain
   }
 
+  test("property: resolve == local chain walk on random functional graphs") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(40)
+      // each node redirects with p=0.7 to a random OTHER node (self-loops
+      // allowed occasionally make 1-cycles — also a real crawl case)
+      val edges = (0L until n.toLong).flatMap { i =>
+        if (rnd.nextDouble() < 0.7) Some((i, rnd.nextInt(n).toLong)) else None
+      }
+      val srcs = edges.map(_._1).toSet
+      val next = edges.toMap
+      val rounds = 4
+      val budget = 1 << rounds
+      def walk(x: Long): (Long, String) = {
+        // position after up to `budget` hops, stopping at a terminal
+        var cur = next(x); var hops = 1
+        while (hops < budget && srcs.contains(cur)) { cur = next(cur); hops += 1 }
+        (cur, if (srcs.contains(cur)) "loop" else "resolved")
+      }
+      if (edges.nonEmpty) {
+        val got = Redirects.resolve(edges.toDF("src", "dst"), rounds)
+          .select("src", "final_dst", "status")
+          .as[(Long, Long, String)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        edges.map(_._1).foreach { s =>
+          val (fin, st) = walk(s)
+          assert(got(s)._2 === st, s"trial $trial src $s")
+          if (st == "resolved")
+            assert(got(s)._1 === fin, s"trial $trial src $s terminal")
+        }
+      }
+    }
+  }
+
   test("syntheticRedirects: every chain source resolves to the multiple-of-7 below; cycle nodes loop") {
     val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val got = Redirects.resolve(Redirects.syntheticRedirects(docs))
