@@ -729,6 +729,10 @@ object SparkEntry {
     // algebraic (exact sha distinct for the dup fraction)
     "crawl_report" -> ((s, dir) =>
       ops.Reports.crawlReport(rawDocs(s, dir)).orderBy("source")),
+    // bigram-interpolated LM quality score: the word-ORDER signal the
+    // unigram gate cannot see, same micro-unit order-free sums
+    "text_bigram_lp" -> ((s, dir) =>
+      ops.Lm.bigramLogProb(rawDocs(s, dir)).orderBy("doc_id")),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1216,6 +1220,7 @@ FROM documents ORDER BY media_id""",
       "doc_chunks" -> ops.Chunks.chunkSql(),
       "colloc_pmi" -> ops.Collocations.pmiBigramsSql(),
       "crawl_report" -> ops.Reports.crawlReportSql,
+      "text_bigram_lp" -> ops.Lm.bigramLogProbSql,
       "text_repetition" -> ops.TextStats.repetitionSql,
       "pii_scrub" -> ops.TextStats.scrubPiiSql,
       "pack_sequences" -> ops.Packing.packSequencesSql(budget = 512, shards = 8),
