@@ -712,7 +712,10 @@ object Bench {
               "anchor_text",
               // colloc_pmi's zip_with adjacency family
               // (probe: 8.9 s cold vs 1.6 s warm)
-              "colloc_pmi")
+              "colloc_pmi",
+              // text_bigram_lp's interpolated-LM join tree
+              // (probe: 4.2 s cold vs 0.4 s warm)
+              "text_bigram_lp")
               .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })
