@@ -112,6 +112,18 @@ object Explain {
       graft.ops.Anchors.anchorProfile(
         graft.ops.Anchors.syntheticLinks(rawDocs))
     }
+    show("colloc_pmi (expect the bigram partial+final HashAggregate over " +
+      "the zip-with-tail Generate — adjacent pairs only, never all-pairs " +
+      "— vocabulary-sized unigram joins, TakeOrderedAndProject cut, no " +
+      "global sort)") {
+      graft.ops.Collocations.pmiBigrams(rawDocs)
+    }
+    show("text_bigram_lp (expect the same adjacency Generate feeding " +
+      "per-doc partial counts, bigram/vocab-keyed aggs + join-backs, " +
+      "broadcast grand total, doc-keyed integer micro sum — one tokenize " +
+      "scan per gram table, no corpus re-scan per metric)") {
+      graft.ops.Lm.bigramLogProb(rawDocs)
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
