@@ -30,9 +30,7 @@ object Anchors {
     * [[TextStats.unigramLogProb]]).
     */
   def anchorProfile(links: DataFrame, topK: Int = 3): DataFrame = {
-    val toks = transform(
-      filter(split(col("anchor"), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col("anchor"))
     val cnt = links.select(col("dst_host"), explode(toks).as("term"))
       .groupBy("dst_host", "term").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
@@ -66,8 +64,7 @@ object Anchors {
     * aggregation, and (cnt desc, term asc) top-k window.
     */
   def anchorProfileSql(topK: Int = 3): String = {
-    val arr = "list_transform(list_filter(regexp_split_to_array(anchor, " +
-      "'[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    val arr = Tok.termsSql("anchor")
     s"""WITH l AS (SELECT doc_id AS src,
   (doc_id*31 + 7*j) % ${Graphs.HostSpace} AS dst_host,
   substring(text, 1, 80) AS anchor

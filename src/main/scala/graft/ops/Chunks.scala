@@ -35,9 +35,7 @@ object Chunks {
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     // the built-in size() is shadowed by the `size` parameter
     val arrLen = org.apache.spark.sql.functions.size(col("toks"))
     docs.select(col(idCol), toks.as("toks"))
@@ -61,8 +59,7 @@ object Chunks {
     * slice, and space-join.
     */
   def chunkSql(size: Int = 64, stride: Int = 48): String = {
-    val arr =
-      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    val arr = Tok.termsSql()
     s"""WITH d AS (SELECT doc_id, $arr AS toks FROM documents),
 n AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tokens FROM d
   WHERE len(toks) > 0),

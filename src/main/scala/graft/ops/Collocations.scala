@@ -33,16 +33,11 @@ object Collocations {
     */
   def pmiBigrams(docs: DataFrame, minCount: Int = 5, topK: Int = 20,
                  textCol: String = "text"): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     val base = docs.select(toks.as("ts"))
     // one tokenize pass feeds both grams: bigrams zip the array with its
     // own tail; unigrams explode the same array
-    val bi = base.select(explode(
-        zip_with(col("ts"),
-          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val bi = base.select(explode(Tok.adjacentPairs(col("ts"))).as("p"))
       .filter(col("p.w2").isNotNull)
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c_bigram"))
@@ -73,8 +68,7 @@ object Collocations {
     * counts, micro rounding, and (pmi_micro desc, w1, w2) cut.
     */
   def pmiBigramsSql(minCount: Int = 5, topK: Int = 20): String = {
-    val arr =
-      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    val arr = Tok.termsSql()
     s"""WITH d AS (SELECT $arr AS ts FROM documents),
 bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS c_bigram
   FROM d, unnest(range(1, len(ts))) t(i) GROUP BY 1, 2),

@@ -35,9 +35,7 @@ object Drift {
     */
   def logOddsDrift(docs: DataFrame, inA: Column, textCol: String = "text",
                    minCount: Long = 5L, topK: Int = 50): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     val inst = docs.select(inA.as("in_a"), explode(toks).as("term"))
     val c = inst.groupBy("term").agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
@@ -64,8 +62,7 @@ object Drift {
     */
   def logOddsDriftSql(source: String = "src0", minCount: Long = 5L,
                       topK: Int = 50): String = {
-    val arr = "list_transform(list_filter(regexp_split_to_array(text, " +
-      "'[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    val arr = Tok.termsSql()
     s"""WITH d AS (SELECT (source = '$source') AS in_a, $arr AS arr FROM documents),
 inst AS (SELECT in_a, unnest(arr) AS term FROM d),
 c AS (SELECT term,

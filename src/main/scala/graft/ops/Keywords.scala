@@ -32,9 +32,7 @@ object Keywords {
   def docKeywords(docs: DataFrame, topK: Int = 3,
                   textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     val dt = docs.select(col(idCol), explode(toks).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("c"))
     val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
@@ -57,8 +55,7 @@ object Keywords {
     * rounding, and (micro desc, term asc) window cut.
     */
   def docKeywordsSql(topK: Int = 3): String = {
-    val arr =
-      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    val arr = Tok.termsSql()
     s"""WITH d AS (SELECT doc_id, $arr AS arr FROM documents),
 inst AS (SELECT doc_id, unnest(arr) AS term FROM d),
 dt AS (SELECT doc_id, term, count(*) AS c FROM inst GROUP BY doc_id, term),

@@ -38,15 +38,11 @@ object Lm {
     */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     val base = docs.select(col(idCol), toks.as("ts"))
     // per-doc adjacent-pair counts (one tokenize pass; zip with own tail)
-    val db = base.select(col(idCol), explode(
-        zip_with(col("ts"),
-          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val db = base.select(col(idCol),
+        explode(Tok.adjacentPairs(col("ts"))).as("p"))
       .filter(col("p.w2").isNotNull)
       .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c"))
@@ -76,8 +72,7 @@ object Lm {
     * interpolation literals, micro rounding, and per-doc integer sum.
     */
   def bigramLogProbSql: String = {
-    val arr =
-      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+    val arr = Tok.termsSql()
     s"""WITH d AS (SELECT doc_id, $arr AS ts FROM documents),
 db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*) AS c
   FROM d, unnest(range(1, len(ts))) t(i) GROUP BY 1, 2, 3),

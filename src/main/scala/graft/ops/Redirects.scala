@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Redirects {
 
   /** Resolve each redirect source to its final target: (src, final_dst,
-    * hops_pow2, status) with status in resolved | loop. `redirects` first
+    * max_hops, status) with status in resolved | loop. `redirects` first
     * two columns are (src, dst), one row per source. `rounds` doublings
     * resolve any acyclic chain of length <= 2^rounds.
     */

@@ -49,18 +49,22 @@ object Snapshots {
   /** Deterministic next-snapshot synthesis for the gate, exercising all
     * four verdicts: every 5th doc (id % 5 = 4) vanishes (removed), every
     * id % 3 = 1 survivor is edited (changed), ids % 7 = 0 additionally
-    * reappear shifted by +2M as brand-new pages (added), the rest are
-    * untouched (unchanged). Twin of the CTEs inside [[crawlDiffSql]].
+    * reappear shifted above max(doc_id) as brand-new pages (added — the
+    * data-derived shift keeps new ids collision-free at ANY corpus
+    * scale), the rest are untouched (unchanged). Twin of the CTEs inside
+    * [[crawlDiffSql]].
     */
   def syntheticNext(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
+    val shift = broadcast(docs.agg((max(col(idCol)) + 1).as("s")))
     val survivors = docs.filter(pmod(col(idCol), lit(5L)) =!= 4)
       .select(col(idCol),
         when(pmod(col(idCol), lit(3L)) === 1,
           concat(col(textCol), lit(" [edited v2]")))
           .otherwise(col(textCol)).as(textCol))
     val added = docs.filter(pmod(col(idCol), lit(7L)) === 0)
-      .select((col(idCol) + 2000000L).as(idCol),
+      .crossJoin(shift)
+      .select((col(idCol) + col("s")).as(idCol),
         concat(col(textCol), lit(" [new page]")).as(textCol))
     survivors.union(added)
   }
@@ -69,14 +73,16 @@ object Snapshots {
     * join, same CASE verdict.
     */
   def crawlDiffSql: String =
-    """WITH p AS (SELECT doc_id AS id, sha256(text) AS sha_prev FROM documents),
+    """WITH shift AS (SELECT max(doc_id) + 1 AS s FROM documents),
+p AS (SELECT doc_id AS id, sha256(coalesce(text, '')) AS sha_prev
+  FROM documents),
 nx AS (SELECT doc_id AS id,
   CASE WHEN doc_id % 3 = 1 THEN text || ' [edited v2]' ELSE text END AS text
   FROM documents WHERE doc_id % 5 <> 4
   UNION ALL
-  SELECT doc_id + 2000000 AS id, text || ' [new page]' AS text
+  SELECT doc_id + (SELECT s FROM shift) AS id, text || ' [new page]' AS text
   FROM documents WHERE doc_id % 7 = 0),
-n AS (SELECT id, sha256(text) AS sha_next FROM nx)
+n AS (SELECT id, sha256(coalesce(text, '')) AS sha_next FROM nx)
 SELECT coalesce(p.id, n.id) AS doc_id,
   CASE WHEN p.sha_prev IS NULL THEN 'added'
        WHEN n.sha_next IS NULL THEN 'removed'

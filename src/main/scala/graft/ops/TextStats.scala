@@ -84,9 +84,7 @@ object TextStats {
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     def gram(n: Int): Column = {
       val parts = (0 until n).map(i =>
         slice(col("arr"), lit(i + 1),
@@ -124,7 +122,7 @@ object TextStats {
   /** DuckDB twin of [[repetitionStats]]. */
   def repetitionSql: String = {
     val arr =
-      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+      Tok.termsSql()
     s"""WITH d AS (SELECT doc_id, $arr AS arr FROM documents),
 w1 AS (SELECT doc_id, unnest(arr) AS g FROM d),
 b1 AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
@@ -395,9 +393,7 @@ ORDER BY doc_id, fp"""
     */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val toks = transform(
-      filter(split(col(textCol), "[^a-zA-Z0-9]+"), t => length(t) > 2),
-      lower _)
+    val toks = Tok.terms(col(textCol))
     val dt = docs.select(col(idCol), explode(toks).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("c"))
     val tf = dt.groupBy("term").agg(sum("c").as("cnt"))
@@ -422,7 +418,7 @@ ORDER BY doc_id, fp"""
     */
   def unigramLogProbSql: String = {
     val arr =
-      "list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2), x -> lower(x))"
+      Tok.termsSql()
     s"""WITH d AS (SELECT doc_id, $arr AS arr FROM documents),
 inst AS (SELECT doc_id, unnest(arr) AS term FROM d),
 dt AS (SELECT doc_id, term, count(*) AS c FROM inst GROUP BY doc_id, term),

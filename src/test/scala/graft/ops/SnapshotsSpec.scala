@@ -46,12 +46,13 @@ class SnapshotsSpec extends AnyFunSuite {
     val statuses = Snapshots.crawlDiff(docs, Snapshots.syntheticNext(docs))
       .select("status").as[String].collect().toSet
     assert(statuses === Set("added", "removed", "changed", "unchanged"))
-    // removed = ids % 5 == 4; added = ids % 7 == 0 shifted by +2M
+    // removed = ids % 5 == 4; added = ids % 7 == 0 shifted by max(id)+1
+    // (data-derived, so new ids never collide with real ids at any scale)
     val byStatus = Snapshots.crawlDiff(docs, Snapshots.syntheticNext(docs))
       .select("doc_id", "status").as[(Long, String)].collect()
     assert(byStatus.filter(_._2 == "removed").map(_._1).toSet ===
       (0L until 35L).filter(_ % 5 == 4).toSet)
     assert(byStatus.filter(_._2 == "added").map(_._1).toSet ===
-      (0L until 35L).filter(_ % 7 == 0).map(_ + 2000000L).toSet)
+      (0L until 35L).filter(_ % 7 == 0).map(_ + 35L).toSet)
   }
 }
