@@ -127,6 +127,8 @@ object Bench {
   private val breadthExpensive = Seq(
     "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    // containment shares the jaccard twin's shingle self-join cost
+    "dedup_containment",
     // decontamination tokenizes + explodes the full train side (shingle
     // UDF cost without the pair join)
     "decontam_audit",

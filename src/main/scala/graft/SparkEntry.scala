@@ -310,7 +310,11 @@ object SparkEntry {
     val bm25 = benchQueries.map { case (key, text) =>
       s"t1_bm25_$key" -> ((s: SparkSession, dir: String) =>
         RelationalBM25.topK(Corpus.documents(s, dir), text, 10, stem = false))
-    }.toMap
+    }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
+      // source-diversified top-k (SERP host collapse, <=2 per source)
+      "t1_bm25_diverse" -> ((s: SparkSession, dir: String) =>
+        RelationalBM25.topKDiverse(Corpus.documents(s, dir),
+          "table scan merge", 10, perSource = 1, stem = false)))
     // EP2 over the REAL index: compressed posting blocks + per-shard WAND.
     // Same DuckDB oracle as t1_* — gates the whole build+query path.
     val wand = benchQueries.map { case (key, text) =>
@@ -562,6 +566,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ops.Dedup.ngramJaccard(rawDocs(s, dir), n = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
+    // containment near-dup: the snippet-inside-aggregator mode symmetric
+    // Jaccard misses (C = common / min set size)
+    "dedup_containment" -> ((s, dir) =>
+      ops.Dedup.containmentPairs(rawDocs(s, dir), n = 3, minContainment = 0.8)
+        .orderBy("id_a", "id_b")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       ops.Dedup.minhashLsh(rawDocs(s, dir), verifyMinJaccard = Some(0.5))
         .orderBy("id_a", "id_b")),
@@ -610,6 +619,10 @@ object SparkEntry {
       ops.TextStats.qualityScore(rawDocs(s, dir)).orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       ops.TextStats.langId(rawDocs(s, dir)).orderBy("doc_id")),
+    // C4/Gopher composite quality gate: first-failing-rule drop reasons,
+    // one narrow codegen'd pass
+    "filter_pipeline" -> ((s, dir) =>
+      ops.TextStats.filterPipeline(rawDocs(s, dir)).orderBy("doc_id")),
     // Gopher-style intra-doc repetition quality signals
     "text_repetition" -> ((s, dir) =>
       ops.TextStats.repetitionStats(rawDocs(s, dir)).orderBy("doc_id")),
@@ -664,6 +677,9 @@ object SparkEntry {
     // W4: as-of join (no native Spark operator; union-marker window form)
     "w4_event_asof" -> ((s, dir) =>
       ops.Events.asOfAttribution(ops.Events.load(s, dir))),
+    // W5: day-granularity retention cohort triangle
+    "w5_retention" -> ((s, dir) =>
+      ops.Events.retentionCohorts(ops.Events.load(s, dir))),
     // transitive dedup clustering: large-star/small-star connected
     // components over the Jaccard pair graph
     "dedup_components" -> ((s, dir) =>
@@ -881,7 +897,9 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
       "j2_hydrate" -> OracleSql.hydrateTopK("table scan merge", 10))
     val bm25 = benchQueries.map { case (key, text) =>
       s"t1_bm25_$key" -> OracleSql.bm25TopK(text, 10)
-    }.toMap
+    }.toMap ++ Map(
+      "t1_bm25_diverse" ->
+        OracleSql.bm25TopKDiverse("table scan merge", 10, perSource = 1))
     // the compressed-index WAND path must produce the same answer
     val wand = benchQueries.map { case (key, text) =>
       s"ep2_wand_$key" -> OracleSql.bm25TopK(text, 10)
@@ -1043,6 +1061,24 @@ SELECT id_a, id_b,
        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY id_a, id_b""",
+      // containment twin: same shingle + cap CTEs, min-set-size denominator
+      "dedup_containment" ->
+        s"""WITH toks AS (SELECT doc_id,
+  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id,
+  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - 2),
+$ngCapCtes,
+sz AS (SELECT doc_id, count(*) AS sz FROM ngk GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ngk a JOIN ngk b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(CAST(common AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.8
 ORDER BY id_a, id_b""",
       "dedup_embed_cosine" ->
         """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1275,6 +1311,8 @@ WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""",
 ${ops.Sampling.targetMixSql("documents", "doc_id", "lang", domainTargets, 400L, 11L)}
 ) ORDER BY doc_id""",
       "w1_event_tumbling" -> ops.Events.tumblingSql,
+      "w5_retention" -> ops.Events.retentionSql,
+      "filter_pipeline" -> ops.TextStats.filterPipelineSql(),
       "w2_event_sessions" -> ops.Events.sessionsSql(),
       "w3_event_props" -> ops.Events.propsRollupSql,
       "w4_event_asof" -> ops.Events.asOfAttributionSql(),

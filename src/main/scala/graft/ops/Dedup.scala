@@ -212,6 +212,44 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** CONTAINMENT near-dup (Broder's containment coefficient): pairs where
+    * the smaller document's shingle set is mostly inside the larger's —
+    * C = common / min(|S(A)|, |S(B)|) >= `minContainment`. This is the
+    * signal symmetric Jaccard structurally misses: a paragraph quoted
+    * verbatim inside a 100x longer page has J ~ |A|/|B| ~ 0.01 but C = 1.0,
+    * and snippet-inside-aggregator duplication is one of the dominant
+    * near-dup modes in web training corpora (the Lee et al. dedup paper's
+    * motivating case). Same inverted-index self-join + derived hot-shingle
+    * cap as [[ngramJaccard]] — the cap bounds any shingle's join
+    * contribution at every corpus size, so the plan survives the same
+    * 100x scale-up. Output (id_a, id_b, containment) with id_a < id_b;
+    * direction (which side is contained) is recoverable from the per-doc
+    * set sizes and deliberately not part of the gate surface.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, minContainment: Double,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       maxShingleDf: Long = 0L): DataFrame = {
+    val cap = if (maxShingleDf > 0) maxShingleDf
+              else math.max(1000L, docs.count() / 100)
+    val ngAll = docNgrams(docs, n, textCol, idCol)
+    val hot = ngAll.groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("ngram")
+    val ng = ngAll.join(broadcast(hot), Seq("ngram"), "left_anti")
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = ng.as("a").join(ng.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("common").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** Deterministic 64-bit string hash (FNV-1a), pinned independent of JVM. */

@@ -114,6 +114,42 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** RETENTION COHORTS at day granularity: each user's cohort is the epoch
+    * day of their first event; `users` counts the distinct users of cohort
+    * `cohort_day` active again `days_since` days later — the standard
+    * product-analytics retention triangle. Two shuffles total (the per-user
+    * first-event min, then the (cohort_day, days_since) rollup over
+    * DISTINCT per-user-per-day activity — the distinct folds into the
+    * rollup's partial aggregation). Day indices are pure integer epoch
+    * math (`floor(epoch/86400)`), so the gate is timezone- and
+    * DST-proof — no calendar truncation semantics to align between
+    * engines.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val eday = floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+      .cast("long")
+    val byUser = events.select(col("user_id"), eday.as("eday"))
+    val cohort = byUser.groupBy("user_id").agg(min("eday").as("cohort_day"))
+    byUser.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("eday") - col("cohort_day")).as("days_since"))
+      .distinct()
+      .groupBy("cohort_day", "days_since")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "days_since")
+  }
+
+  /** DuckDB twin of [[retentionCohorts]]. */
+  val retentionSql: String =
+    """WITH e AS (SELECT user_id,
+  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday FROM events),
+c AS (SELECT user_id, min(eday) AS cohort_day FROM e GROUP BY user_id),
+d AS (SELECT DISTINCT e.user_id, c.cohort_day,
+             e.eday - c.cohort_day AS days_since
+      FROM e JOIN c USING (user_id))
+SELECT cohort_day, days_since, count(*) AS users
+FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def asOfAttributionSql(leftType: String = "purchase",
                          rightType: String = "click"): String =
     s"""WITH l AS (SELECT event_id, user_id, ts, round(value, 4) AS value

@@ -296,6 +296,94 @@ FROM documents ORDER BY doc_id"""
     docs.select(col(idCol), explode(fpUdf(col(textCol))).as("fp"))
   }
 
+  /** C4/Gopher-style COMPOSITE quality filter: the cheap rule gates a
+    * pretraining pipeline applies before any expensive scoring, fused
+    * into ONE narrow codegen'd pass (no UDF, no shuffle — every signal is
+    * row-local). Output (doc_id, keep, reason, words): `reason` is the
+    * FIRST failing rule in the pinned order (a pipeline wants one
+    * attributable drop reason, not a bitmask), empty when kept.
+    *
+    * Every rule compares INTEGERS via cross-multiplication (e.g. mean
+    * word length in [3,10] as `3*nw <= sumlen <= 10*nw`) so the DuckDB
+    * twin is bit-exact — no float thresholds to drift.
+    *
+    * Rules (order matters):
+    *  1. too_short      — fewer than `minWords` whitespace words
+    *  2. word_len       — mean word length outside [3, 10] (Gopher)
+    *  3. high_symbol    — non-alnum-non-ws chars > 10% of chars
+    *  4. few_stopwords  — fewer than 2 distinct stop words (Gopher's
+    *                      "no function words => not natural language")
+    *  5. repetitive     — duplicate-word fraction > 70% (degenerate spam)
+    */
+  def filterPipeline(docs: DataFrame, minWords: Int = 20,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val stop = Analyzer.defaultStopWords.toSeq.sorted
+    val ws = filter(split(trim(col(textCol)), wsRun), t => length(t) > 0)
+    val lows = transform(ws, lower _)
+    val nw = size(ws).cast("long")
+    val sumlen = aggregate(transform(ws, length _), lit(0L),
+      (acc, x) => acc + x.cast("long"))
+    val ndw = size(array_distinct(lows)).cast("long")
+    val nstop = size(array_distinct(
+      filter(lows, t => t.isin(stop.map(lit): _*)))).cast("long")
+    val nc = length(col(textCol)).cast("long")
+    val punct = length(
+      regexp_replace(col(textCol), s"[a-zA-Z0-9$wsChars]", "")).cast("long")
+    docs.select(col(idCol),
+        nw.as("words"), sumlen.as("sumlen"), ndw.as("ndw"),
+        nstop.as("nstop"), nc.as("nc"), punct.as("punct"))
+      .select(col(idCol), reasonFrom(minWords).as("reason"), col("words"))
+      .select(col(idCol), (col("reason") === "").as("keep"),
+        col("reason"), col("words"))
+  }
+
+  private def reasonFrom(minWords: Int): Column =
+    when(col("words") < minWords, "too_short")
+      .when(col("sumlen") < col("words") * 3 ||
+        col("sumlen") > col("words") * 10, "word_len")
+      .when(col("punct") * 10 > col("nc"), "high_symbol")
+      .when(col("nstop") < 2, "few_stopwords")
+      .when((col("words") - col("ndw")) * 10 > col("words") * 7, "repetitive")
+      .otherwise("")
+
+  /** DuckDB twin of [[filterPipeline]] — same counters, same pinned rule
+    * order, same integer cross-multiplied thresholds.
+    */
+  def filterPipelineSql(minWords: Int = 20): String =
+    s"""WITH ws AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '$wsRun'),
+                x -> length(x) > 0) AS toks
+  FROM documents),
+a AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nw,
+    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sumlen,
+    CAST(len(list_distinct(list_transform(toks, t -> lower(t)))) AS BIGINT) AS ndw
+  FROM ws),
+st AS (
+  SELECT doc_id, CAST(count(DISTINCT lower(tok)) AS BIGINT) AS nstop
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM ws)
+  WHERE lower(tok) IN (${graft.search.OracleSql.stopList})
+  GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id,
+    CAST(length(d.text) AS BIGINT) AS nc,
+    CAST(length(regexp_replace(d.text, '[a-zA-Z0-9$wsChars]', '', 'g')) AS BIGINT) AS punct,
+    a.nw, a.sumlen, a.ndw, coalesce(st.nstop, 0) AS nstop
+  FROM documents d JOIN a USING (doc_id) LEFT JOIN st USING (doc_id)),
+r AS (
+  SELECT doc_id, nw,
+    CASE WHEN nw < $minWords THEN 'too_short'
+         WHEN sumlen < nw * 3 OR sumlen > nw * 10 THEN 'word_len'
+         WHEN punct * 10 > nc THEN 'high_symbol'
+         WHEN nstop < 2 THEN 'few_stopwords'
+         WHEN (nw - ndw) * 10 > nw * 7 THEN 'repetitive'
+         ELSE '' END AS reason
+  FROM base)
+SELECT doc_id, (reason = '') AS keep, reason, nw AS words
+FROM r ORDER BY doc_id"""
+
   // --- DuckDB oracle twins (driver correctness gate) ----------------------
 
   /** DuckDB twin of [[langId]] — same profiles, same tie order

@@ -71,6 +71,34 @@ object OracleSql {
     bm25Core(query, k, "documents", "", conjunctive = false, p) +
       s" OFFSET $offset"
 
+  /** Source-diversified twin ([[RelationalBM25.topKDiverse]]): the same
+    * scored relation, row_number window per `source` capped at
+    * `perSource`, then the global rounded (score desc, doc_id asc) k-cut.
+    */
+  def bm25TopKDiverse(query: String, k: Int, perSource: Int,
+                      p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) => s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    s"""WITH $tokCte, $tfCte, $dfCte, $dlCte, $statsCte,
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+w AS (
+  SELECT tf.doc_id,
+         ${weightSql(p)} AS w
+  FROM tf JOIN df USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats),
+sc AS (SELECT doc_id, round(sum(w), 4) AS score FROM w GROUP BY doc_id),
+ds AS (
+  SELECT sc.doc_id, sc.score, d.source,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+  FROM sc JOIN documents d USING (doc_id))
+SELECT doc_id, score, source FROM ds
+WHERE rn <= $perSource
+ORDER BY score DESC, doc_id ASC
+LIMIT $k"""
+  }
+
   /** Conjunctive (AND) variant: only docs matching EVERY distinct query
     * term score — `HAVING count(*) = |terms|` over the per-(doc, term)
     * weight rows.

@@ -137,13 +137,23 @@ object RelationalBM25 {
     * outside the oracle.
     */
   def topKFromTf(tf: DataFrame, docs: DataFrame, q: Seq[(String, Double)],
-                 k: Int, params: BM25Params = BM25.default): DataFrame = {
+                 k: Int, params: BM25Params = BM25.default): DataFrame =
+    scoredRounded(tf, docs, q, params)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+
+  /** The shared scored relation (doc_id, score rounded at 4 dp) every
+    * relational top-k variant cuts from — one copy of the candidate filter
+    * + weight join tree so the math cannot drift between [[topK]],
+    * [[topKFromTf]] and [[topKDiverse]].
+    */
+  private def scoredRounded(tf: DataFrame, docs: DataFrame,
+                            q: Seq[(String, Double)],
+                            params: BM25Params): DataFrame = {
     val spark = tf.sparkSession
     import spark.implicits._
     val stats = corpusStats(docs, tf)
     // Catalyst pushes the term filter below the (doc_id, term) aggregation.
-    val cand = tf.filter(col("term").isin(q.map(_._1): _*))
-    val scored = cand
+    tf.filter(col("term").isin(q.map(_._1): _*))
       .join(docFreqs(tf), "term")
       .join(docLens(tf), "doc_id")
       .crossJoin(stats) // single row -> broadcast nested loop
@@ -153,7 +163,45 @@ object RelationalBM25 {
           * col("qtf")).as("w"))
       .groupBy("doc_id")
       .agg(round(sum(col("w")), 4).as("score"))
-    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** Source-DIVERSIFIED top-k: the exact BM25 total order with at most
+    * `perSource` results from any one `source` value (host / domain /
+    * shard-of-origin) — the classic SERP host-collapse. Plan shape: the
+    * shared scored relation, one broadcast-joinable (doc_id -> source)
+    * projection, a row_number window PARTITIONED BY source (shuffle keyed
+    * on source — bounded by the per-source result cap downstream, and
+    * skew-safe because the window only ranks rows that actually scored,
+    * i.e. candidate postings for the query's terms, not the corpus), then
+    * the same TakeOrderedAndProject global cut as [[topK]].
+    *
+    * Exactness: the cap is applied to the FULL scored relation before the
+    * k-cut, so the result is the true diversified top-k, not a re-filter
+    * of an undiversified candidate page (which can under-fill k whenever
+    * one source dominates the head). The index-backed serving path can
+    * approximate this by over-fetching candidates; this relational form is
+    * the exact offline/oracle-gated contract.
+    */
+  def topKDiverse(docs: DataFrame, query: String, k: Int, perSource: Int,
+                  stem: Boolean, sourceCol: String = "source",
+                  params: BM25Params = BM25.default): DataFrame = {
+    require(perSource >= 1, s"perSource must be >= 1, got $perSource")
+    val spark = docs.sparkSession
+    val q = queryTerms(query, stem)
+    if (q.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score"),
+          lit("").as(sourceCol)).limit(0)
+    }
+    val scored = scoredRounded(termFreqs(docs, stem), docs, q, params)
+    val bySource = Window.partitionBy(sourceCol)
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .join(docs.select(col("docId").as("doc_id"), col(sourceCol)), "doc_id")
+      .withColumn("rn", row_number().over(bySource))
+      .filter(col("rn") <= perSource)
+      .select(col("doc_id"), col("score"), col(sourceCol))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
   /** J2: hydrate top-k doc ids back to document attributes (search.rs:22-24
