@@ -491,6 +491,13 @@ object SparkEntry {
         idx.searchAfterRounded("table scan merge", 10,
           last.getDouble(1), last.getLong(0))
       }),
+      // source-diversified serving search: field-collapse over the
+      // retrieved top-candidates page (broadcast page ⋈ pruned attr scan,
+      // one <=candidates-row window), then the k re-cut
+      "ep2_wand_diverse_tsm" -> ((s, dir) =>
+        index.PostingIndex.forDir(s, index.IndexCache.dirFor(s, dir, stem = false))
+          .searchDiverseRounded("table scan merge", 10, rawDocs(s, dir),
+            perSource = 1, candidates = 50)),
       // batch search (broadcast-qtf form): the whole reference query set
       // answered in ONE job — per-query rows must equal searchRounded's
       "ep2_wand_many" -> ((s, dir) =>
@@ -958,6 +965,9 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS document_count,
         OracleSql.bm25TopK("table scan merge", 10),
       "ep2_wand_tsm_page2" ->
         OracleSql.bm25TopKPage("table scan merge", 10, offset = 10),
+      "ep2_wand_diverse_tsm" ->
+        OracleSql.bm25TopKDiversePage("table scan merge", 10,
+          perSource = 1, candidates = 50),
       "ep2_wand_many" ->
         OracleSql.bm25TopKMany(benchQueries.map(_._2).zipWithIndex
           .map { case (q, i) => (i.toLong, q) }, 10),

@@ -413,6 +413,41 @@ final class PostingIndex(spark: SparkSession, dir: String) {
   def hydrate(topk: DataFrame, docs: DataFrame): DataFrame =
     RelationalBM25.hydrate(topk, docs)
 
+  /** SOURCE-DIVERSIFIED serving search (the SERP host-collapse on the
+    * index path): retrieve the exact rounded top-`candidates` page
+    * ([[searchRounded]]'s gated contract), hydrate each candidate's
+    * `attrCol` through a broadcast join (<= candidates rows broadcast, the
+    * attribute relation streamed with a 2-column pruned scan — the J2
+    * shape), cap at `perSource` per attribute value via one row_number
+    * window over the <= candidates-row page, and re-cut the top k.
+    *
+    * Contract: this DIVERSIFIES THE RETRIEVED PAGE (Elasticsearch
+    * field-collapse semantics) — deterministic and oracle-gatable because
+    * the page is itself a total-order cut, but a source that dominates
+    * beyond `candidates` positions can under-fill k. The exact global form
+    * (cap applied to ALL scoring docs) is
+    * [[graft.search.RelationalBM25.topKDiverse]]; the two coincide
+    * whenever `candidates` covers every scoring doc, which the spec pins.
+    * Serving chooses the page form because the global form's window input
+    * is the full candidate set — an offline plan, not a latency one.
+    */
+  def searchDiverseRounded(query: String, k: Int, docAttrs: DataFrame,
+                           perSource: Int, candidates: Int,
+                           attrCol: String = "source"): DataFrame = {
+    require(perSource >= 1, s"perSource must be >= 1, got $perSource")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val page = searchRounded(query, candidates)
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(attrCol).orderBy(col("score").desc, col("doc_id").asc)
+    broadcast(page)
+      .join(docAttrs.select(col("doc_id").cast("long").as("doc_id"),
+        col(attrCol)), "doc_id")
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= perSource)
+      .select(col("doc_id"), col("score"), col(attrCol))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   // ---------------------------------------------------------------------
   // Attribute-filtered search (`lang:scala`-style restriction)
   // ---------------------------------------------------------------------

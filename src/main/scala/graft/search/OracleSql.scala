@@ -99,6 +99,28 @@ ORDER BY score DESC, doc_id ASC
 LIMIT $k"""
   }
 
+  /** Page-diversified twin ([[graft.index.PostingIndex.searchDiverseRounded]]):
+    * the rounded top-`candidates` page as a CTE (the [[bm25TopK]]
+    * contract), source hydration, the per-source row_number cap, then the
+    * global k-cut — field-collapse-on-the-page semantics, distinct from
+    * [[bm25TopKDiverse]]'s global form.
+    */
+  def bm25TopKDiversePage(query: String, k: Int, perSource: Int,
+                          candidates: Int,
+                          p: BM25Params = BM25.default): String =
+    s"""WITH page AS (
+${bm25TopK(query, candidates, p)}
+),
+dsp AS (
+  SELECT page.doc_id, page.score, d.source,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY page.score DESC, page.doc_id ASC) AS rn
+  FROM page JOIN documents d USING (doc_id))
+SELECT doc_id, score, source FROM dsp
+WHERE rn <= $perSource
+ORDER BY score DESC, doc_id ASC
+LIMIT $k"""
+
   /** Conjunctive (AND) variant: only docs matching EVERY distinct query
     * term score — `HAVING count(*) = |terms|` over the per-(doc, term)
     * weight rows.

@@ -64,6 +64,27 @@ class ExtendedSearchSpec extends AnyFunSuite {
     assert(viaBroadcast.forall { case (d, _) => allowedIds.contains(d) })
   }
 
+  test("diversified serving search: page form == global relational form when the page covers every scoring doc") {
+    val attrs = docs.select(col("docId").as("doc_id"), col("lang"))
+    for (cap <- Seq(1, 2)) {
+      val served = idx.searchDiverseRounded(query, 10, attrs,
+        perSource = cap, candidates = 1000, attrCol = "lang")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      val global = RelationalBM25.topKDiverse(docs, query, 10,
+        perSource = cap, stem = false, sourceCol = "lang")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(served == global, s"cap=$cap")
+      assert(served.nonEmpty)
+      assert(served.groupBy(_._3).values.forall(_.size <= cap))
+    }
+    // and with an unbinding cap the page form reproduces plain searchRounded
+    val plain = res(idx.searchRounded(query, 10))
+    val unbound = idx.searchDiverseRounded(query, 10, attrs,
+      perSource = 1000, candidates = 1000, attrCol = "lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(unbound == plain)
+  }
+
   test("filtered search composes with the tombstone overlay") {
     val dir = Files.createTempDirectory("graft-ext-del").toString
     IndexBuilder.build(spark, docs, dir, cfg)
