@@ -136,7 +136,9 @@ object Bench {
     // UDF + two agg shuffles + a join back — decontam-class cost)
     "dedup_spans",
     // iterative connected-components queries: many short jobs each
-    "dedup_components", "dedup_minhash_clusters").zipWithIndex.toMap
+    // (canonical selection reruns the cluster chain + a window)
+    "dedup_components", "dedup_minhash_clusters",
+    "dedup_canonical").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
       .orElse(breadthExpensive.get(name).map((1, _, name)))

@@ -687,6 +687,10 @@ object SparkEntry {
     // W5: day-granularity retention cohort triangle
     "w5_retention" -> ((s, dir) =>
       ops.Events.retentionCohorts(ops.Events.load(s, dir))),
+    // W6: ordered funnel conversion (chained min-CASE windows, one
+    // exchange shared by all three steps)
+    "w6_funnel" -> ((s, dir) =>
+      ops.Events.funnel(ops.Events.load(s, dir))),
     // transitive dedup clustering: large-star/small-star connected
     // components over the Jaccard pair graph
     "dedup_components" -> ((s, dir) =>
@@ -694,6 +698,17 @@ object SparkEntry {
     // LSH clustering without pair materialization (star edges per bucket)
     "dedup_minhash_clusters" -> ((s, dir) =>
       ops.Components.minhashClusters(rawDocs(s, dir))),
+    // canonical-doc selection over the clusters: keep the longest member
+    // (the curation stage after clustering — one window shuffle)
+    "dedup_canonical" -> ((s, dir) =>
+      ops.Components.canonicalDocs(rawDocs(s, dir))),
+    // SemDeDup: cluster-then-within-cluster cosine pruning (the published
+    // embedding-dedup scale shape; same sampled-centroid assignment as
+    // ann_ivf, so the whole path is hard-gated)
+    "dedup_semantic" -> ((s, dir) =>
+      ops.Similarity.semDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"), tau = 0.45, nlist = 16)
+        .orderBy("vec_id")),
     // host-graph PageRank quality prior (integer nano-rank power method;
     // deterministic synthetic host graph — see Graphs.hostEdges)
     "host_pagerank" -> ((s, dir) =>
@@ -756,6 +771,10 @@ object SparkEntry {
     // unigram gate cannot see, same micro-unit order-free sums
     "text_bigram_lp" -> ((s, dir) =>
       ops.Lm.bigramLogProb(rawDocs(s, dir)).orderBy("doc_id")),
+    // CCNet head/middle/tail terciles of the LM score via the
+    // bounded-cardinality histogram CDF — no global sort, no ntile
+    "quality_buckets" -> ((s, dir) =>
+      ops.Lm.qualityBuckets(rawDocs(s, dir)).orderBy("doc_id")),
     // deterministic, repartition-invariant train/val/test split (no rand())
     "sample_split" -> ((s, dir) =>
       ops.Sampling.hashSplit(rawDocs(s, dir), sampleSplits)
@@ -1190,6 +1209,41 @@ d AS (SELECT e.vec_id, sum(e.x * q.x) AS dot
 SELECT d.vec_id, round(dot / (nrm.nv * (SELECT qn FROM qn)), 6) AS cos
 FROM d JOIN nrm ON nrm.vec_id = d.vec_id
 ORDER BY cos DESC, d.vec_id LIMIT 10""",
+      // SemDeDup twin: ann_ivf's centroid sample + rounded argmax
+      // assignment, then within-cluster pairs only (a.cid = b.cid,
+      // a.vec_id < b.vec_id), exact 6-dp pair cosine, keep-min-id rule
+      "dedup_semantic" ->
+        """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid FROM embeddings
+  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 16) = 0),
+cex AS (SELECT c.cid, e.i, e.x FROM ex e JOIN cent c ON e.vec_id = c.cid),
+sim AS (SELECT e.vec_id, cx.cid,
+        round(sum(e.x * cx.x) / (ne.nv * nc.nv), 9) AS cs
+        FROM ex e JOIN cex cx USING (i)
+             JOIN nrm ne ON ne.vec_id = e.vec_id
+             JOIN nrm nc ON nc.vec_id = cx.cid
+        GROUP BY e.vec_id, cx.cid, ne.nv, nc.nv),
+asn AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+  FROM sim) WHERE rn = 1),
+pair AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+dp AS (SELECT p.id_a, p.id_b, sum(ea.x * eb.x) AS dot
+  FROM pair p JOIN ex ea ON ea.vec_id = p.id_a
+              JOIN ex eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY p.id_a, p.id_b),
+cosd AS (SELECT dp.id_b AS vid,
+  max(round(dp.dot / (na.nv * nb.nv), 6)) AS max_cos
+  FROM dp JOIN nrm na ON na.vec_id = dp.id_a
+          JOIN nrm nb ON nb.vec_id = dp.id_b
+  WHERE round(dp.dot / (na.nv * nb.nv), 6) >= 0.45
+  GROUP BY dp.id_b)
+SELECT a.vec_id, a.cid, c.max_cos,
+  CASE WHEN c.max_cos IS NULL THEN 1 ELSE 0 END AS keep
+FROM asn a LEFT JOIN cosd c ON c.vid = a.vec_id ORDER BY a.vec_id""",
       // sign-LSH twin: hyperplanes read from the materialized parquet
       // (lshPlanesGatePath); both engines fold every projection
       // SEQUENTIALLY in index order (graft_dot / the bucket UDF loop here,
@@ -1252,6 +1306,9 @@ FROM documents ORDER BY media_id""",
       "dedup_simhash" -> ops.DedupOracleSql.simhashSql(maxHamming = 3),
       "dedup_minhash_lsh" -> ops.DedupOracleSql.minhashLshSql(tau = 0.5),
       "dedup_minhash_clusters" -> ops.DedupOracleSql.minhashClustersSql(),
+      "dedup_canonical" -> ops.DedupOracleSql.canonicalSql(),
+      "quality_buckets" -> ops.Lm.qualityBucketsSql,
+      "w6_funnel" -> ops.Events.funnelSql(),
       "lang_id" -> ops.TextStats.langIdSql,
       "text_unigram_lp" -> ops.TextStats.unigramLogProbSql,
       "url_dedup" -> ops.Urls.urlDedupSql,

@@ -212,6 +212,37 @@ object Components {
     label(docs, connectedComponents(star), idCol)
   }
 
+  /** Canonical-document selection over the MinHash dedup clusters: the
+    * curation stage AFTER clustering — each near-dup component keeps ONE
+    * representative (the longest document by `n_chars`, ties to the
+    * smallest doc_id — the "keep the superset page" heuristic), everything
+    * else in the component is dropped by the downstream filter. Returns
+    * (doc_id, comp_id, canonical_id, is_canonical) for every document.
+    *
+    * Scale shape: [[minhashClusters]]' linear star-edge plan, then ONE
+    * window shuffle on comp_id (first_value over (n_chars desc, doc_id
+    * asc)) — no join-back of a representatives table, no driver state.
+    * Window partitions are component-sized, and components are bounded by
+    * the same argument as the star edges (a bucket of m copies is one
+    * component of m docs, never m² rows).
+    */
+  def canonicalDocs(docs: DataFrame, shingle: Int = 3, bands: Int = 16,
+                    rowsPerBand: Int = 4, seed: Long = 42L,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    lenCol: String = "n_chars"): DataFrame = {
+    val lab = minhashClusters(docs, shingle, bands, rowsPerBand, seed,
+      textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp_id")
+      .orderBy(col(lenCol).desc, col("doc_id").asc)
+    lab.join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(lenCol).cast("long").as(lenCol)), Seq("doc_id"))
+      .withColumn("canonical_id", first_value(col("doc_id")).over(w))
+      .select(col("doc_id"), col("comp_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, comp_id, comp_size, is_dup) for every document; docs absent
     * from the component edges are singletons.
     */

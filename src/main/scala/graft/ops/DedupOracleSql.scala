@@ -144,9 +144,13 @@ ORDER BY c.id_a, c.id_b"""
     * label = min reachable doc_id; every document labelled (absent from
     * banding -> singleton).
     */
-  def minhashClustersSql(shingle: Int = 3, bands: Int = 16,
-                         rowsPerBand: Int = 4, seed: Long = 42L): String =
-    s"""WITH RECURSIVE ${bandkeysCtes(shingle, bands, rowsPerBand, seed)},
+  /** The shared cluster-label CTE chain (band buckets -> star edges ->
+    * recursive closure -> `lab(doc_id, comp_id)`), reused by
+    * [[minhashClustersSql]] and [[canonicalSql]].
+    */
+  private def clusterCtes(shingle: Int, bands: Int, rowsPerBand: Int,
+                          seed: Long): String =
+    s"""${bandkeysCtes(shingle, bands, rowsPerBand, seed)},
 roots AS (SELECT band, bucket, min(doc_id) AS root FROM bandkeys GROUP BY 1, 2),
 star AS (SELECT DISTINCT bk.doc_id AS a, r.root AS b
          FROM bandkeys bk JOIN roots r USING (band, bucket)
@@ -156,9 +160,27 @@ reach(n, m) AS (SELECT a, b FROM sym
   UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a WHERE s.b <> r.n),
 comp AS (SELECT n, least(min(m), n) AS comp_id FROM reach GROUP BY n),
 lab AS (SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS comp_id
-        FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+        FROM documents d LEFT JOIN comp c ON c.n = d.doc_id)"""
+
+  def minhashClustersSql(shingle: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${clusterCtes(shingle, bands, rowsPerBand, seed)},
 szc AS (SELECT comp_id, count(*) AS comp_size FROM lab GROUP BY comp_id)
 SELECT lab.doc_id, lab.comp_id, szc.comp_size,
        CASE WHEN lab.doc_id <> lab.comp_id THEN 1 ELSE 0 END AS is_dup
 FROM lab JOIN szc USING (comp_id) ORDER BY doc_id"""
+
+  /** Oracle for [[Components.canonicalDocs]]: the cluster labels plus a
+    * per-component first_value window over (n_chars desc, doc_id asc).
+    */
+  def canonicalSql(shingle: Int = 3, bands: Int = 16,
+                   rowsPerBand: Int = 4, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${clusterCtes(shingle, bands, rowsPerBand, seed)}
+SELECT lab.doc_id, lab.comp_id,
+       first_value(lab.doc_id) OVER (PARTITION BY lab.comp_id
+         ORDER BY d.n_chars DESC, lab.doc_id ASC) AS canonical_id,
+       CASE WHEN lab.doc_id = first_value(lab.doc_id) OVER (
+         PARTITION BY lab.comp_id ORDER BY d.n_chars DESC, lab.doc_id ASC)
+         THEN 1 ELSE 0 END AS is_canonical
+FROM lab JOIN documents d USING (doc_id) ORDER BY lab.doc_id"""
 }

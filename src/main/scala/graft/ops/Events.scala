@@ -139,6 +139,72 @@ object Events {
       .orderBy("cohort_day", "days_since")
   }
 
+  /** ORDERED FUNNEL conversion: of the users who performed step 1, how
+    * many went on to step 2 STRICTLY AFTER their first step-1 event, and
+    * then step 3 strictly after that — the product-analytics funnel in
+    * its min-time-chain form (first qualifying time per step, each step's
+    * clock starting at the previous step's time). One shuffle total: all
+    * three chained `min(CASE...)` windows share the user_id partitioning,
+    * so Catalyst reuses a single exchange; the final rollup is a scalar
+    * aggregate. Returns one row per step:
+    * (step, event_type, users, conv_pct) with conv_pct = users/step-1
+    * users rounded to 6 dp.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "funnel expects exactly 3 steps")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val e1 = events.withColumn("t1",
+      min(when(col("event_type") === steps(0), col("ts"))).over(w))
+    val e2 = e1.withColumn("t2",
+      min(when(col("event_type") === steps(1) && col("ts") > col("t1"),
+        col("ts"))).over(w))
+    val e3 = e2.withColumn("t3",
+      min(when(col("event_type") === steps(2) && col("ts") > col("t2"),
+        col("ts"))).over(w))
+    val per = e3.groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    val tot = per.agg(
+      count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+      count(col("t3")).as("u3"))
+    val rows = tot.select(explode(array(
+      struct(lit(1).as("step"), lit(steps(0)).as("event_type"),
+        col("u1").as("users"), col("u1").as("base")),
+      struct(lit(2).as("step"), lit(steps(1)).as("event_type"),
+        col("u2").as("users"), col("u1").as("base")),
+      struct(lit(3).as("step"), lit(steps(2)).as("event_type"),
+        col("u3").as("users"), col("u1").as("base")))).as("r"))
+    rows.select(col("r.step").as("step"), col("r.event_type").as("event_type"),
+        col("r.users").as("users"),
+        round(col("r.users").cast("double") / col("r.base"), 6).as("conv_pct"))
+      .orderBy("step")
+  }
+
+  /** DuckDB twin of [[funnel]]: the same chained min-CASE windows over the
+    * user partition, counted and unpivoted to one row per step.
+    */
+  def funnelSql(steps: Seq[String] = Seq("signup", "click", "purchase")): String =
+    s"""WITH s1 AS (SELECT user_id, ts, event_type,
+  min(CASE WHEN event_type = '${steps(0)}' THEN ts END)
+    OVER (PARTITION BY user_id) AS t1 FROM events),
+s2 AS (SELECT user_id, ts, event_type, t1,
+  min(CASE WHEN event_type = '${steps(1)}' AND ts > t1 THEN ts END)
+    OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT user_id, t1, t2,
+  min(CASE WHEN event_type = '${steps(2)}' AND ts > t2 THEN ts END)
+    OVER (PARTITION BY user_id) AS t3 FROM s2),
+per AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY user_id),
+tot AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM per)
+SELECT step, event_type, users, round(CAST(users AS DOUBLE) / base, 6) AS conv_pct
+FROM (
+  SELECT 1 AS step, '${steps(0)}' AS event_type, u1 AS users, u1 AS base FROM tot
+  UNION ALL
+  SELECT 2, '${steps(1)}', u2, u1 FROM tot
+  UNION ALL
+  SELECT 3, '${steps(2)}', u3, u1 FROM tot)
+ORDER BY step"""
+
   /** DuckDB twin of [[retentionCohorts]]. */
   val retentionSql: String =
     """WITH e AS (SELECT user_id,

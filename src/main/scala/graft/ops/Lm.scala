@@ -71,9 +71,52 @@ object Lm {
   /** DuckDB twin of the `text_bigram_lp` gate: same tokenizer, adjacency,
     * interpolation literals, micro rounding, and per-doc integer sum.
     */
-  def bigramLogProbSql: String = {
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): split the corpus
+    * into head / middle / tail terciles of the LM score — WITHOUT a global
+    * sort. ntile() over an unpartitioned window is a single-task sort at
+    * corpus scale; instead the score is binned to milli-log-prob integers
+    * (bounded cardinality: the observed score range is a few units, so a
+    * few thousand bins regardless of corpus size), the tiny histogram's
+    * descending-cumulative CDF yields the two threshold BINS (largest bin
+    * b with 3*cum(b) >= n, resp. >= 2n — integer-exact in both engines),
+    * and docs bucket by comparing their bin to the broadcast thresholds.
+    * Bin-granularity terciles: every doc in one bin lands in one bucket
+    * (no order-dependent tie split). Docs with no score (< 2 tokens) ->
+    * 'unscored'. Returns (doc_id, avg_logprob, bucket).
+    */
+  def qualityBuckets(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val scored = bigramLogProb(docs, textCol, idCol)
+    val binned = scored.withColumn("bin",
+      floor(col("avg_logprob") * 1000).cast("long"))
+    val hist = binned.filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // hist is bin-cardinality (bounded), so the unpartitioned cumsum
+    // window and the scalar agg below are tiny by construction
+    val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+    val thr = cum.agg(
+      max(when(col("cum") * 3 >= col("n"), col("bin"))).as("t1"),
+      max(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("t2"))
+    binned.crossJoin(broadcast(thr))
+      .select(col(idCol), col("avg_logprob"),
+        when(col("bin").isNull, lit("unscored"))
+          .when(col("bin") >= col("t1"), lit("head"))
+          .when(col("bin") >= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Shared CTE chain for the bigram-LM twins: tokenize -> per-doc bigram
+    * counts -> corpus counts -> interpolated micro contributions ->
+    * `per(doc_id, n_bigrams, micro)`.
+    */
+  private def lmCtes: String = {
     val arr = Tok.termsSql()
-    s"""WITH d AS (SELECT doc_id, $arr AS ts FROM documents),
+    s"""d AS (SELECT doc_id, $arr AS ts FROM documents),
 db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*) AS c
   FROM d, unnest(range(1, len(ts))) t(i) GROUP BY 1, 2, 3),
 cb AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM db GROUP BY w1, w2),
@@ -88,9 +131,38 @@ contrib AS (SELECT doc_id, c,
   FROM db JOIN cb USING (w1, w2)
     JOIN uc a ON db.w1 = a.w JOIN uc b ON db.w2 = b.w),
 per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-  CAST(sum(micro) AS BIGINT) AS micro FROM contrib GROUP BY doc_id)
+  CAST(sum(micro) AS BIGINT) AS micro FROM contrib GROUP BY doc_id)"""
+  }
+
+  def bigramLogProbSql: String =
+    s"""WITH $lmCtes
 SELECT docs.doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   round(CAST(per.micro AS DOUBLE) / 1e6 / per.n_bigrams, 6) AS avg_logprob
 FROM documents docs LEFT JOIN per USING (doc_id) ORDER BY docs.doc_id"""
-  }
+
+  /** DuckDB twin of [[qualityBuckets]]: the LM chain, the same
+    * milli-log-prob integer bins, the descending-cumulative histogram CDF
+    * (integer 3*cum >= n / >= 2n threshold rule), the same CASE bucket.
+    */
+  def qualityBucketsSql: String =
+    s"""WITH $lmCtes,
+lp AS (SELECT docs.doc_id,
+  round(CAST(per.micro AS DOUBLE) / 1e6 / per.n_bigrams, 6) AS avg_logprob
+  FROM documents docs LEFT JOIN per USING (doc_id)),
+b AS (SELECT doc_id, avg_logprob,
+  CAST(floor(avg_logprob * 1000) AS BIGINT) AS bin FROM lp),
+hist AS (SELECT bin, count(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY bin),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+cum AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin DESC) AS BIGINT) AS cum
+  FROM hist),
+thr AS (SELECT
+  max(CASE WHEN cum * 3 >= (SELECT n FROM n) THEN bin END) AS t1,
+  max(CASE WHEN cum * 3 >= (SELECT n FROM n) * 2 THEN bin END) AS t2
+  FROM cum)
+SELECT b.doc_id, b.avg_logprob,
+  CASE WHEN b.bin IS NULL THEN 'unscored'
+       WHEN b.bin >= thr.t1 THEN 'head'
+       WHEN b.bin >= thr.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM b, thr ORDER BY b.doc_id"""
 }

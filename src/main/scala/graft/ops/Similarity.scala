@@ -340,4 +340,39 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and pruning near-identical
+    * pairs WITHIN clusters only — the all-pairs cosine matrix is never
+    * formed. Clusters come from the same deterministic sampled-centroid
+    * assignment as [[ivfTopK]] (broadcast centroids, map-side argmax), so
+    * the whole path stays SQL-expressible and hard-gated; production swaps
+    * in trained k-means centroids without touching the plan. Within a
+    * cluster every pair is scored exactly (codegen'd dot), and a vector is
+    * marked a duplicate iff a LOWER-id cluster-mate sits at cosine >= tau
+    * (the keep-min-id greedy — deterministic, order-free, one pass).
+    *
+    * Scale shape: one shuffle on cid for the self-join; per-task work is
+    * quadratic only in CLUSTER size, which stays bounded because nlist
+    * grows with the corpus (docs-per-list held constant — the paper runs
+    * 50k clusters over 5B embeddings). Returns
+    * (idCol, cid, max_cos, keep) for every input vector, max_cos = the
+    * highest over-tau cosine to a lower-id cluster-mate (null for keeps).
+    */
+  def semDedup(embeddings: DataFrame, tau: Double, nlist: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(embeddings, nlist, idCol, vecCol)
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
+    val dups = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("id"),
+        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy("id").agg(max("cos").as("max_cos"))
+    assigned.select(col("id"), col("cid"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("max_cos"),
+        when(col("max_cos").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
 }
