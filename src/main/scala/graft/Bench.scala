@@ -135,6 +135,9 @@ object Bench {
     // duplicated-span profile explodes ~dl windows per doc (w-gram md5
     // UDF + two agg shuffles + a join back — decontam-class cost)
     "dedup_spans",
+    // novelty explodes + hashes every shingle (decontam-class scan, no
+    // self-join); dsir explodes 2n-1 hashed features per doc
+    "ngram_novelty", "dsir_weights",
     // iterative connected-components queries: many short jobs each
     // (canonical selection reruns the cluster chain + a window)
     "dedup_components", "dedup_minhash_clusters",

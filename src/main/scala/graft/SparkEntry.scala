@@ -801,7 +801,23 @@ object SparkEntry {
       ops.Sampling.targetMixSample(rawDocs(s, dir), "lang", domainTargets,
         budget = 400, seed = 11L)
         .select(col("doc_id"), col("lang"), round(col("keep_frac"), 9).as("keep_frac"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    // DSIR importance log-ratios toward the src0 target domain (hashed
+    // unigram+bigram buckets, broadcast λ table, micro-int per-doc sums)
+    "dsir_weights" -> ((s, dir) =>
+      ops.Dsir.importanceWeights(rawDocs(s, dir), targetSource = "src0")
+        .orderBy("doc_id")),
+    // per-doc corpus-unique-shingle fraction (memorization-risk /
+    // contribution profile; hash-keyed df, linear, no self-join)
+    "ngram_novelty" -> ((s, dir) =>
+      ops.Dedup.ngramNovelty(rawDocs(s, dir)).orderBy("doc_id")),
+    // exact fixed-n per-stratum sample (hash-ranked top-12 per source)
+    "sample_fixed_n" -> ((s, dir) =>
+      ops.Sampling.fixedNPerStratum(rawDocs(s, dir), "source", n = 12,
+        seed = 13L).orderBy("source", "rk")),
+    // per-source exact interpolated length quantiles (one grouped pass)
+    "source_quantiles" -> ((s, dir) =>
+      ops.Reports.sourceQuantiles(rawDocs(s, dir)).orderBy("source")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1354,6 +1370,12 @@ FROM documents ORDER BY doc_id""",
         s"""SELECT doc_id, lang FROM documents
 WHERE ${ops.Sampling.sampleByHashSql("doc_id", "lang", sampleFractions, 7L)}
 ORDER BY doc_id""",
+      "sample_fixed_n" ->
+        s"""${ops.Sampling.fixedNSql("documents", "doc_id", "source", 12, 13L)}
+ORDER BY source, rk""",
+      "dsir_weights" -> ops.Dsir.importanceWeightsSql("src0"),
+      "ngram_novelty" -> ops.DedupOracleSql.ngramNoveltySql(),
+      "source_quantiles" -> ops.Reports.sourceQuantilesSql,
       // eval = doc_id % 10 = 0 (nonneg ids here; Spark side uses pmod),
       // same lowercase-alnum-words >2 chars tokenization as the other
       // shingle twins, per-doc DISTINCT 4-grams

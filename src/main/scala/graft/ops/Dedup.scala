@@ -388,4 +388,47 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Per-document n-gram NOVELTY profile — the memorization-risk /
+    * contribution-analysis stage of a dedup pipeline (the document-level
+    * aggregate of Lee et al. 2022's duplicated-n-gram analysis, see
+    * [[graft.ops.Spans]] for the span-level form): for each document, how
+    * many of its distinct shingles appear NOWHERE else in the corpus.
+    * Documents with novelty ≈ 0 are wholly reconstructible from the rest
+    * of the corpus (templates, mirrors, quote compilations) even when no
+    * single pair-level near-dup fires; high-novelty documents are the ones
+    * actually adding token diversity. Returns
+    * (doc_id, n_shingles, n_novel, novelty) per input document —
+    * n_shingles counts DISTINCT shingles, novelty = n_novel/n_shingles
+    * at 6 dp (null when the doc has no shingles).
+    *
+    * Plan shape at 100 TB: shingles are FNV-hashed to 8-byte keys
+    * MAP-SIDE before anything shuffles (the [[Spans]] discipline — string
+    * shingles never cross the wire), then one distinct on (doc, hash),
+    * one hash-keyed df count (partial+final), a join back co-partitioned
+    * on the hash key, and a doc-keyed rollup. Linear end-to-end, no
+    * self-join — the df relation is never joined to itself, so there is
+    * no hot-shingle skew term at all (unlike the pair ops, a shingle's
+    * cost here is its df, not df²). 64-bit fingerprint df is the
+    * standard at-scale approximation; the oracle applies the identical
+    * hash, so the gate is exact.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val hashUdf = udf((s: String) => fnv1a64(s))
+    val ngh = docs.select(col(idCol).as("doc_id"),
+        explode(ngramsUdf(n)(col(textCol))).as("ngram"))
+      .select(col("doc_id"), hashUdf(col("ngram")).as("h"))
+      .distinct()
+    val dfc = ngh.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = ngh.join(dfc, "h").groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
 }

@@ -40,7 +40,7 @@ ngk AS (SELECT * FROM ng WHERE ngram NOT IN (SELECT ngram FROM hot))"""
   private val M64 = "18446744073709551616" // 2^64
 
   /** FNV-1a 64 over the characters of SQL string expression `s`. */
-  private def fnvSql(s: String): String =
+  private[ops] def fnvSql(s: String): String =
     s"""list_reduce(
   list_prepend(CAST(14695981039346656037 AS UBIGINT),
     list_transform(string_split($s, ''), c -> CAST(unicode(c) AS UBIGINT))),
@@ -173,6 +173,31 @@ FROM lab JOIN szc USING (comp_id) ORDER BY doc_id"""
   /** Oracle for [[Components.canonicalDocs]]: the cluster labels plus a
     * per-component first_value window over (n_chars desc, doc_id asc).
     */
+  /** DuckDB twin of [[Dedup.ngramNovelty]]: the same tokenizer, shingle
+    * concatenation, FNV-1a64 hash, distinct-(doc,hash) base, df count,
+    * and per-doc rollup.
+    */
+  def ngramNoveltySql(n: Int = 3): String = {
+    val ngramConcat = (0 until n).map(j =>
+      if (j == 0) "arr[i]" else s"arr[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, list_transform($alnum, x -> lower(x)) AS arr
+  FROM documents),
+ng AS (SELECT DISTINCT doc_id, $ngramConcat AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - ${n - 1}),
+ngh AS (SELECT DISTINCT doc_id, ${fnvSql("ngram")} AS h FROM ng),
+dfc AS (SELECT h, count(*) AS df FROM ngh GROUP BY h),
+per AS (SELECT doc_id, count(*) AS n_shingles,
+  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM ngh JOIN dfc USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+  round(CAST(per.n_novel AS DOUBLE) / CAST(per.n_shingles AS DOUBLE), 6)
+    AS novelty
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+  }
+
   def canonicalSql(shingle: Int = 3, bands: Int = 16,
                    rowsPerBand: Int = 4, seed: Long = 42L): String =
     s"""WITH RECURSIVE ${clusterCtes(shingle, bands, rowsPerBand, seed)}

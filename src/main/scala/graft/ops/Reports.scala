@@ -44,6 +44,47 @@ object Reports {
         round(col("total_chars").cast("double") /
           col("n_docs").cast("double"), 6).as("mean_chars"))
 
+  /** Per-source EXACT length quantiles — the distribution profile behind
+    * every corpus datasheet ("sources whose median doc collapsed after the
+    * boilerplate pass", packing-efficiency planning off p95 length): for
+    * each source, the interpolated p25/p50/p75/p95 of `n_chars` plus count
+    * and 6-dp mean, ordered by source.
+    *
+    * Plan shape at 100 TB: one aggregation keyed on source. Spark's exact
+    * `percentile` aggregate keeps a value→count map per group, so executor
+    * state is bounded by the DISTINCT length cardinality (≤ a few 10^6 for
+    * any real doc-length column), not by row count — partial maps merge
+    * map-side like any algebraic agg. All four quantiles fold into the
+    * SAME grouping pass (one shuffle); for a column with unbounded value
+    * cardinality the drop-in scale path is `approx_percentile` with the
+    * same call shape. Interpolation is the shared definition (index
+    * p·(n−1), linear between floor/ceil neighbours) that DuckDB's
+    * `quantile_cont` computes, so the gate is value-exact at 6 dp.
+    */
+  def sourceQuantiles(docs: DataFrame, valCol: String = "n_chars"): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col(valCol), lit(0.25)), 6).as("p25"),
+        round(percentile(col(valCol), lit(0.5)), 6).as("p50"),
+        round(percentile(col(valCol), lit(0.75)), 6).as("p75"),
+        round(percentile(col(valCol), lit(0.95)), 6).as("p95"),
+        round(sum(valCol).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_chars"))
+
+  /** DuckDB twin of [[sourceQuantiles]] (`quantile_cont` = the same
+    * interpolated-quantile definition).
+    */
+  def sourceQuantilesSql: String =
+    """SELECT source,
+  count(*) AS n_docs,
+  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+  round(quantile_cont(n_chars, 0.95), 6) AS p95,
+  round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_chars
+FROM documents GROUP BY source ORDER BY source"""
+
   /** DuckDB twin of the `crawl_report` gate. */
   def crawlReportSql: String =
     """SELECT source,

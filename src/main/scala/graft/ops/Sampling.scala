@@ -148,6 +148,52 @@ object Sampling {
       .drop("domain_n")
   }
 
+  /** EXACT fixed-size per-stratum sample — the eval-set / human-review
+    * construction stage ("exactly 500 docs per source for annotation"),
+    * where [[sampleByHash]]'s per-row coin flip is the wrong tool because
+    * fractions only hit a target count in expectation. Every row is ranked
+    * WITHIN its stratum by its (id, seed) uniform draw (doc_id breaks
+    * ties), and the top `n` per stratum are kept — deterministic,
+    * repartition/cluster-size-invariant, and stable under corpus growth in
+    * the hash-ordered sense (a new row displaces at most one previous
+    * member of its stratum).
+    *
+    * Plan shape at 100 TB: ONE shuffle on the stratum key for the
+    * row_number window. Stratum cardinality is small (sources/domains) but
+    * each partition holds a full stratum — at extreme skew (one source =
+    * half the corpus) the production form adds a two-stage rank (per-salt
+    * top-n, then top-n of the union, correct because the global top-n is
+    * contained in the per-salt top-n's); the single-window form is kept
+    * here because it is the one the gate can verify value-exactly, and the
+    * two-stage refinement composes on top without changing the result.
+    * Returns the kept rows as (doc_id, stratum, rk), rk = 1..n within each
+    * stratum.
+    */
+  def fixedNPerStratum(df: DataFrame, strataCol: String, n: Int,
+                       seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(uniformCol(col(idCol).cast("long"), seed).asc,
+        col(idCol).asc)
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+  }
+
+  /** DuckDB twin of [[fixedNPerStratum]] over table `tbl` — the same
+    * uniform-draw ranking, partition, tiebreak, and cut.
+    */
+  def fixedNSql(tbl: String, idExpr: String, strataExpr: String, n: Int,
+                seed: Long): String = {
+    val u = uniformSql(idExpr, seed)
+    s"""SELECT $idExpr, $strataExpr, rk FROM (
+  SELECT $idExpr, $strataExpr,
+    CAST(row_number() OVER (PARTITION BY $strataExpr
+      ORDER BY $u ASC, $idExpr ASC) AS INTEGER) AS rk
+  FROM $tbl)
+WHERE rk <= $n"""
+  }
+
   /** DuckDB twin of [[targetMixSample]] over table `tbl`: yields
     * (all original columns ..., keep_frac) for the kept rows. The caller
     * projects/orders. `domainExpr` must be a plain column name.
