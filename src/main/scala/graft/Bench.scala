@@ -1104,6 +1104,18 @@ object Bench {
                   s""""compact_sec":${m.group(5)},"""
             }
           } else {
+            // A complete index WITHOUT build_info.json is a prior run that
+            // died between its build and its info write — building "fresh"
+            // over it short-circuits on the committed waves (a 0.002 s
+            // "build" with no cached label shipped once). Wipe it so the
+            // timed build below measures a real build.
+            val stale = java.nio.file.Paths.get(dir)
+            if (Files.exists(stale)) {
+              System.err.println(s"[bench] soak dir exists without build_info — wiping for a measured build")
+              java.nio.file.Files.walk(stale)
+                .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            }
             val soakCorpus = s"/dev/shm/graft-bench-corpus-$soakDocs-f64"
             if (!Files.exists(java.nio.file.Paths.get(soakCorpus, "_SUCCESS")))
               SyntheticCorpus.generate(spark, soakDocs, 42L, 160, 480, parts = 256)
