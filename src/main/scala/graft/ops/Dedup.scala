@@ -404,12 +404,15 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
     *
     * Plan shape at 100 TB: shingles are FNV-hashed to 8-byte keys
     * MAP-SIDE before anything shuffles (the [[Spans]] discipline — string
-    * shingles never cross the wire), then one distinct on (doc, hash),
-    * one hash-keyed df count (partial+final), a join back co-partitioned
-    * on the hash key, and a doc-keyed rollup. Linear end-to-end, no
-    * self-join — the df relation is never joined to itself, so there is
-    * no hot-shingle skew term at all (unlike the pair ops, a shingle's
-    * cost here is its df, not df²). 64-bit fingerprint df is the
+    * shingles never cross the wire), then one distinct on (doc, hash), a
+    * COUNT WINDOW over the hash partition for the df (one 8-byte-key
+    * exchange; the groupBy-and-join-back form would re-read the shingle
+    * relation — Catalyst does not share subtrees, so the corpus would
+    * tokenize twice), and a doc-keyed rollup. ONE tokenize scan, linear
+    * end-to-end, no self-join — a shingle's cost is its df, not df² (the
+    * window is count-only; its sort is the mechanical partition-key sort
+    * on the 8-byte hash, no ORDER BY within groups). 64-bit fingerprint
+    * df is the
     * standard at-scale approximation; the oracle applies the identical
     * hash, so the gate is exact.
     */
@@ -420,10 +423,17 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
         explode(ngramsUdf(n)(col(textCol))).as("ngram"))
       .select(col("doc_id"), hashUdf(col("ngram")).as("h"))
       .distinct()
-    val dfc = ngh.groupBy("h").agg(count(lit(1)).as("df"))
-    val per = ngh.join(dfc, "h").groupBy("doc_id").agg(
-      count(lit(1)).as("n_shingles"),
-      sum(when(col("df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+    // df via a COUNT WINDOW over the hash partition rather than a
+    // groupBy + join back: the join form reads the shingle relation
+    // twice (Catalyst does not share the subtree — the df aggregate
+    // would re-tokenize the corpus), the window form tokenizes ONCE and
+    // pays one extra 8-byte-key exchange; a hot shingle costs df rows
+    // in one window partition (linear — count only, no sort, no df²)
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val per = ngh.withColumn("df", count(lit(1)).over(wdf))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
     docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),

@@ -22,16 +22,19 @@ import graft.analysis.Analyzer
   * the mean over its feature OCCURRENCES of
   * `log10 p_target(b) - log10 p_raw(b)`.
   *
-  * Plan shape at 100 TB: ONE tokenize scan (a compiled JVM loop per doc —
-  * the same measured-faster choice as [[TextStats.fingerprints]], and the
-  * fan-out is 2·n_tokens-1 hashed LONGS, never strings) → one
-  * (doc, bucket)-keyed partial+final count → two BOUNDED aggregations
-  * (≤ K rows each: the raw and target bucket histograms) whose λ table
-  * rides a BROADCAST back onto the per-doc counts → one doc-keyed integer
-  * sum. The corpus is shuffled once, on (doc, bucket); everything
-  * model-sized is broadcast. Target membership is a row-local predicate
-  * (`source == targetSource`), so the target histogram is a filtered
-  * second aggregate of the SAME pass, not a join.
+  * Plan shape at 100 TB: the tokenize+hash pass is a compiled JVM loop
+  * per doc (the same measured-faster choice as
+  * [[TextStats.fingerprints]]), fanning out 2·n_tokens-1 hashed LONGS,
+  * never strings. It runs TWICE — once to build the model, once to score:
+  * pass 1 aggregates the feature stream straight into the raw+target
+  * bucket histogram, whose partial aggregate collapses to ≤ K rows per
+  * task BEFORE its exchange (nothing corpus-scale shuffles), and the
+  * ≤ K-row histogram is persisted so the totals and λ table derive from
+  * it without re-scanning; pass 2 builds the per-(doc, bucket) counts —
+  * the corpus's ONE full-width shuffle — and joins the BROADCAST λ table
+  * back for the doc-keyed integer sum. Target membership is a row-local
+  * predicate (`source == targetSource`) folded into the histogram
+  * aggregate, never a join.
   *
   * Cross-engine determinism: bucket = FNV-1a64(feature) reduced to K
   * buckets — K a power of two makes the JVM's sign-safe
@@ -77,13 +80,16 @@ object Dsir {
     val featUdf = udf((s: String) => featureBuckets(s))
     val feats = docs.select(col(idCol), (col(srcCol) === targetSource).as("tgt"),
       explode(featUdf(coalesce(col(textCol), lit("")))).as("b"))
-    // tgt is functionally dependent on the doc id, so adding it to the
-    // grouping key does not widen the aggregate
-    val dbc = feats.groupBy(col(idCol), col("tgt"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val hist = dbc.groupBy("b").agg(
-      sum("c").as("rb"),
-      sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("tb"))
+    // The histogram aggregates the RAW feature stream directly (not the
+    // per-doc counts): the partial aggregate collapses to <= K rows per
+    // task before its exchange, and the <= K-row result is PERSISTED so
+    // the totals and the λ table read it without re-deriving the scan —
+    // Catalyst does not share subtrees, and an unpersisted hist would
+    // re-tokenize the corpus once per downstream use (the first explain
+    // audit showed exactly that: three Generate subtrees).
+    val hist = feats.groupBy("b").agg(
+      count(lit(1)).as("rb"),
+      sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tb")).persist()
     val tot = broadcast(hist.agg(
       sum("rb").as("nr"), sum("tb").as("nt")))
     // λ per bucket in micro log10 units — ≤ K rows, broadcast back
@@ -92,6 +98,9 @@ object Dsir {
           (col("nt") + lit(K.toLong)).cast("double")) -
         log10((col("rb") + lit(1L)).cast("double") /
           (col("nr") + lit(K.toLong)).cast("double"))).as("lam"))
+    // per-(doc, bucket) counts — the corpus's one full-width shuffle
+    val dbc = feats.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
     val contrib = dbc.join(broadcast(lam), "b")
       .select(col(idCol),
         col("c"),

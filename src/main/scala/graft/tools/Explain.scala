@@ -124,6 +124,36 @@ object Explain {
       "scan per gram table, no corpus re-scan per metric)") {
       graft.ops.Lm.bigramLogProb(rawDocs)
     }
+    show("dsir_weights (expect TWO Generate passes over the hashed-feature " +
+      "UDF — model then score, nothing more (the histogram is persisted " +
+      "at <= K rows, so totals/lambda add NO third scan); pass 1's " +
+      "aggregate collapses to <= K rows per task before its exchange, " +
+      "pass 2's (doc, bucket) HashAggregate is the corpus's ONE " +
+      "full-width exchange, lambda rides a BroadcastHashJoin; target " +
+      "membership a row-local predicate, never a join)") {
+      graft.ops.Dsir.importanceWeights(rawDocs, targetSource = "src0")
+    }
+    show("ngram_novelty (expect ONE shingle Generate, hashed in a " +
+      "map-side Project BEFORE any exchange — 8-byte keys on the wire; " +
+      "distinct (doc,h) HashAggregate, then a COUNT WINDOW over the h " +
+      "partition for the df (no groupBy-and-join-back — that re-reads " +
+      "the subtree and re-tokenizes), doc-keyed rollup; NO self-join — " +
+      "cost per shingle is df, not df^2; the Sort under the Window is " +
+      "the mechanical partition-key sort on the 8-byte hash, no ORDER BY " +
+      "within groups)") {
+      graft.ops.Dedup.ngramNovelty(rawDocs)
+    }
+    show("sample_fixed_n (expect ONE exchange on the stratum key + a " +
+      "row_number window over the in-partition sort, Filter rk <= n — " +
+      "no global sort, no second shuffle)") {
+      graft.ops.Sampling.fixedNPerStratum(rawDocs, "source", n = 12,
+        seed = 13L)
+    }
+    show("source_quantiles (expect ONE partial+final ObjectHashAggregate " +
+      "keyed on source — all four percentiles + count + mean in the same " +
+      "grouping pass, no per-metric re-scan, no sort)") {
+      graft.ops.Reports.sourceQuantiles(rawDocs)
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
