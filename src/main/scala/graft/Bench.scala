@@ -136,8 +136,9 @@ object Bench {
     // UDF + two agg shuffles + a join back — decontam-class cost)
     "dedup_spans",
     // novelty explodes + hashes every shingle (decontam-class scan, no
-    // self-join); dsir explodes 2n-1 hashed features per doc
-    "ngram_novelty", "dsir_weights",
+    // self-join); dsir explodes 2n-1 hashed features per doc; the sweep
+    // reruns the capped jaccard pair pass
+    "ngram_novelty", "dsir_weights", "dedup_sweep",
     // iterative connected-components queries: many short jobs each
     // (canonical selection reruns the cluster chain + a window)
     "dedup_components", "dedup_minhash_clusters",

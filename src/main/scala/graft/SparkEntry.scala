@@ -817,7 +817,19 @@ object SparkEntry {
         seed = 13L).orderBy("source", "rk")),
     // per-source exact interpolated length quantiles (one grouped pass)
     "source_quantiles" -> ((s, dir) =>
-      ops.Reports.sourceQuantiles(rawDocs(s, dir)).orderBy("source")))
+      ops.Reports.sourceQuantiles(rawDocs(s, dir)).orderBy("source")),
+    // dedup threshold tuning curve: ONE capped pair pass, per-threshold
+    // pair/doc counts aggregated against a broadcast threshold list
+    "dedup_sweep" -> ((s, dir) =>
+      ops.Dedup.thresholdSweep(rawDocs(s, dir))),
+    // per-source top-k stop-filtered terms (datasheet profile; map-side
+    // k-cut via WindowGroupLimit)
+    "source_top_terms" -> ((s, dir) =>
+      ops.Reports.sourceTopTerms(rawDocs(s, dir)).orderBy("source", "rk")),
+    // W7: DAU/WAU rolling active users + stickiness (distinct (user,day)
+    // once, explode-to-window-end distinct — no per-day re-scan)
+    "w7_active_users" -> ((s, dir) =>
+      ops.Events.activeUsers(ops.Events.load(s, dir))))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1376,6 +1388,37 @@ ORDER BY source, rk""",
       "dsir_weights" -> ops.Dsir.importanceWeightsSql("src0"),
       "ngram_novelty" -> ops.DedupOracleSql.ngramNoveltySql(),
       "source_quantiles" -> ops.Reports.sourceQuantilesSql,
+      "source_top_terms" -> ops.Reports.sourceTopTermsSql(),
+      "w7_active_users" -> ops.Events.activeUsersSql(),
+      // threshold sweep twin: the jaccard pair CTEs at the lowest
+      // threshold, then per-threshold pair/doc counts off that one set
+      "dedup_sweep" ->
+        s"""WITH toks AS (SELECT doc_id,
+  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id,
+  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - 2),
+$ngCapCtes,
+sz AS (SELECT doc_id, count(*) AS sz FROM ngk GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ngk a JOIN ngk b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pj AS (SELECT id_a, id_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+       FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5),
+t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+np AS (SELECT threshold, count(*) AS n_pairs
+       FROM pj JOIN t ON pj.jaccard >= t.threshold GROUP BY threshold),
+nd AS (SELECT threshold, count(DISTINCT doc) AS n_docs FROM
+       (SELECT id_a AS doc, jaccard FROM pj
+        UNION ALL SELECT id_b, jaccard FROM pj) d
+       JOIN t ON d.jaccard >= t.threshold GROUP BY threshold)
+SELECT t.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+       coalesce(nd.n_docs, 0) AS n_docs
+FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+ORDER BY t.threshold""",
       // eval = doc_id % 10 = 0 (nonneg ids here; Spark side uses pmod),
       // same lowercase-alnum-words >2 chars tokenization as the other
       // shingle twins, per-doc DISTINCT 4-grams

@@ -389,6 +389,45 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Dedup THRESHOLD SWEEP — the tuning curve a dedup deployment plots
+    * before committing to a Jaccard cutoff: for each candidate threshold,
+    * how many near-dup pairs fire and how many distinct documents they
+    * touch. One [[ngramJaccard]] pass at the LOWEST threshold produces the
+    * capped pair set once; every row of the output is then an aggregation
+    * of that set against a broadcast threshold list — the corpus is never
+    * re-paired per threshold. Returns (threshold, n_pairs, n_docs)
+    * ordered by threshold.
+    *
+    * Scale shape: identical to [[ngramJaccard]] (the derived hot-shingle
+    * cap bounds the self-join); the sweep itself touches only the pair
+    * set (capped, pair-scale not corpus-scale) crossed with a handful of
+    * threshold literals.
+    */
+  def thresholdSweep(docs: DataFrame, n: Int = 3,
+                     thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val pairs = ngramJaccard(docs, n, thresholds.min, textCol, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tRows = thresholds.sorted.toDF("threshold")
+    val t = broadcast(tRows)
+    val np = pairs.crossJoin(t).filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc"), col("jaccard"))
+      .crossJoin(t).filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(countDistinct("doc").as("n_docs"))
+    // un-hinted left side: a broadcast hint on the STREAM side of a left
+    // outer join is unsupported (it would log a hint warning per run)
+    tRows.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   /** Per-document n-gram NOVELTY profile — the memorization-risk /
     * contribution-analysis stage of a dedup pipeline (the document-level
     * aggregate of Lee et al. 2022's duplicated-n-gram analysis, see

@@ -205,6 +205,53 @@ FROM (
   SELECT 3, '${steps(2)}', u3, u1 FROM tot)
 ORDER BY step"""
 
+  /** ROLLING ACTIVE USERS — the DAU/WAU stickiness table every product
+    * dashboard carries: for each calendar day with activity, the count of
+    * distinct users active THAT day (dau), the count of distinct users
+    * active in the 7-day window ENDING that day (wau), and the
+    * dau/wau stickiness ratio at 6 dp. Day indices are the same pure
+    * integer epoch-day math as [[retentionCohorts]] (timezone/DST-proof).
+    *
+    * Plan shape at 100 TB: the event stream collapses to distinct
+    * (user, day) ONCE (the first shuffle — partial-agg combines dominate,
+    * since a user's events cluster within days); wau then explodes each
+    * (user, day) to the `window` day-ends it supports (a fixed ×7 map-side
+    * fan-out of 16-byte rows, never event-scale) into a distinct count per
+    * window end. No self-join over day offsets, no per-day re-scan of the
+    * events table; a rolling DISTINCT cannot fold into a window-function
+    * sum (daily distincts are not additive), so the explode-to-window-end
+    * form IS the exact linear plan.
+    */
+  def activeUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    val eday = floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+      .cast("long")
+    val ud = events.select(col("user_id"), eday.as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(window - 1))).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[activeUsers]]: same epoch-day math, same distinct
+    * (user, day) base, same explode-to-window-end distinct count.
+    */
+  def activeUsersSql(window: Int = 7): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM (
+  SELECT user_id, day + o AS day
+  FROM ud CROSS JOIN (SELECT unnest(range(${window})) AS o)) GROUP BY day)
+SELECT day, dau, wau,
+  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day"""
+
   /** DuckDB twin of [[retentionCohorts]]. */
   val retentionSql: String =
     """WITH e AS (SELECT user_id,

@@ -71,6 +71,48 @@ object Reports {
         round(sum(valCol).cast("double") /
           count(lit(1)).cast("double"), 6).as("mean_chars"))
 
+  /** Per-source TOP-TERM profile — the "what is this source about" table
+    * in a corpus datasheet (and the cheap drift sentinel: a source whose
+    * top terms flip between crawls changed its nature): the k most
+    * frequent stop-filtered terms per source with their counts,
+    * deterministic ties (term asc). Returns (source, rk, term, cnt).
+    *
+    * Plan shape at 100 TB: one (source, term)-keyed partial+final count
+    * (map-side combine absorbs the per-task repetition of hot terms),
+    * then a row_number window on the source key — Spark's
+    * WindowGroupLimit pushes the k-cut MAP-SIDE, so only ~k rows per
+    * source per task reach the window exchange. No global sort, no
+    * per-source re-scan.
+    */
+  def sourceTopTerms(docs: DataFrame, k: Int = 10,
+                     textCol: String = "text"): DataFrame = {
+    val stop = graft.analysis.Analyzer.defaultStopWords.toSeq.sorted
+    val terms = docs.select(col("source"),
+        explode(Tok.terms(col(textCol))).as("term"))
+      .filter(!col("term").isin(stop.map(lit): _*))
+    val counts = terms.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("term").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("term"), col("cnt"))
+  }
+
+  /** DuckDB twin of [[sourceTopTerms]] — same tokenizer, stop list, count,
+    * rank rule.
+    */
+  def sourceTopTermsSql(k: Int = 10): String =
+    s"""WITH terms AS (SELECT source, unnest(${Tok.termsSql()}) AS term
+  FROM documents),
+c AS (SELECT source, term, count(*) AS cnt FROM terms
+  WHERE term NOT IN (${graft.search.OracleSql.stopList})
+  GROUP BY source, term),
+r AS (SELECT source, term, cnt,
+  CAST(row_number() OVER (PARTITION BY source
+    ORDER BY cnt DESC, term ASC) AS INTEGER) AS rk FROM c)
+SELECT source, rk, term, cnt FROM r WHERE rk <= $k
+ORDER BY source, rk"""
+
   /** DuckDB twin of [[sourceQuantiles]] (`quantile_cont` = the same
     * interpolated-quantile definition).
     */

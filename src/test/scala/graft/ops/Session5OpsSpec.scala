@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.sql.Timestamp
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -126,6 +128,78 @@ class Session5OpsSpec extends AnyFunSuite {
       ids.sortBy(id => (Sampling.uniform(id, 13L), id)).take(7)
     }.toSet
     assert(a.map(_._1).toSet == expect)
+  }
+
+  // --- dedup threshold sweep --------------------------------------------------
+
+  test("thresholdSweep counts are monotone and match the pair set") {
+    // 1 and 2 are exact copies (J = 1.0 at every threshold); 3 shares a
+    // prefix with them (a mid-range J); 4 is unrelated
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base + " extra trailing words here beyond"),
+      (4L, "wholly unrelated content nothing shared anywhere at all")
+    ).toDF("doc_id", "text")
+    val sweep = Dedup.thresholdSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // monotone non-increasing in the threshold
+    assert(sweep.sliding(2).forall(w => w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3))
+    // the copy pair (J=1.0) fires at every threshold
+    assert(sweep.forall(_._2 >= 1))
+    // doc 4 never appears: n_docs <= 3 everywhere
+    assert(sweep.forall(_._3 <= 3))
+    // counts at each threshold equal a direct filter of the pair relation
+    val pairs = Dedup.ngramJaccard(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((t, np, ndocs) <- sweep) {
+      val sel = pairs.filter(_._3 >= t)
+      assert(np == sel.length, s"pairs at $t")
+      assert(ndocs == sel.flatMap(p => Seq(p._1, p._2)).distinct.length,
+        s"docs at $t")
+    }
+  }
+
+  // --- per-source top terms ----------------------------------------------------
+
+  test("sourceTopTerms ranks by count with deterministic term ties") {
+    val docs = Seq(
+      (1L, "kernel kernel kernel scheduler scheduler latency", "s1"),
+      (2L, "kernel scheduler preemption", "s1"),
+      (3L, "butter butter sugar", "s2"),
+      // stop words must never rank ("the" / "and" are in the stop list)
+      (4L, "the the the the and and and sugar flour", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Reports.sourceTopTerms(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.filter(_._1 == "s1").sortBy(_._2).toSeq ==
+      Seq(("s1", 1, "kernel", 4L), ("s1", 2, "scheduler", 3L)))
+    // s2: butter=2, sugar=2 tie -> term asc; "the"/"and" stop-filtered out
+    assert(got.filter(_._1 == "s2").sortBy(_._2).toSeq ==
+      Seq(("s2", 1, "butter", 2L), ("s2", 2, "sugar", 2L)))
+  }
+
+  // --- rolling active users ------------------------------------------------------
+
+  test("activeUsers computes DAU/WAU against a hand-built week") {
+    // day 0: users 1,2; day 3: user 1 (twice); day 8: user 3
+    def ts(day: Long, h: Int) = new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    val events = Seq(
+      (1L, ts(0, 1), 1L, "click", 0.0, "{}"),
+      (2L, ts(0, 2), 2L, "click", 0.0, "{}"),
+      (3L, ts(3, 5), 1L, "view", 0.0, "{}"),
+      (4L, ts(3, 9), 1L, "click", 0.0, "{}"),
+      (5L, ts(8, 0), 3L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.activeUsers(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // only days WITH activity appear
+    assert(got.keySet == Set(0L, 3L, 8L))
+    assert(got(0L) == ((2L, 2L))) // window ending day 0 holds only day 0
+    assert(got(3L) == ((1L, 2L))) // users {1,2} active in days -3..3
+    // day 8's window is days 2..8: users {1 (day 3), 3 (day 8)}
+    assert(got(8L) == ((1L, 2L)))
   }
 
   // --- per-source exact quantiles --------------------------------------------
