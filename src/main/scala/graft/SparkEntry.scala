@@ -829,7 +829,12 @@ object SparkEntry {
     // W7: DAU/WAU rolling active users + stickiness (distinct (user,day)
     // once, explode-to-window-end distinct — no per-day re-scan)
     "w7_active_users" -> ((s, dir) =>
-      ops.Events.activeUsers(ops.Events.load(s, dir))))
+      ops.Events.activeUsers(ops.Events.load(s, dir))),
+    // robots-style crawl-compliance filter: broadcast rules table,
+    // row-local prefix match, longest-prefix/Allow-on-tie verdict
+    "url_robots_filter" -> ((s, dir) =>
+      ops.Urls.robotsFilter(rawDocs(s, dir),
+        ops.Urls.syntheticRobotsRules(s)).orderBy("doc_id")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1340,6 +1345,7 @@ FROM documents ORDER BY media_id""",
       "lang_id" -> ops.TextStats.langIdSql,
       "text_unigram_lp" -> ops.TextStats.unigramLogProbSql,
       "url_dedup" -> ops.Urls.urlDedupSql,
+      "url_robots_filter" -> ops.Urls.robotsFilterSql,
       "host_pagerank" -> ops.Graphs.hostPageRankSql(),
       "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
       "corpus_drift" -> ops.Drift.logOddsDriftSql(),

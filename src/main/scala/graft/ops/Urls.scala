@@ -163,4 +163,107 @@ SELECT c.doc_id, c.url, c.canon_url, k.keeper_id,
   CAST(k.group_size AS BIGINT) AS group_size,
   c.doc_id = k.keeper_id AS is_keeper
 FROM canon c JOIN k USING (canon_url) ORDER BY c.doc_id"""
+
+  /** ROBOTS-STYLE crawl-compliance filter — the stage every crawler runs
+    * before a URL enters the frontier: match each URL's path against its
+    * host's prefix rules and keep the verdict of the LONGEST matching
+    * prefix, ties broken toward Allow (RFC 9309 §2.2.2 / the Google
+    * matcher's rule). URLs whose host has no matching rule are allowed.
+    * Returns (doc_id, host, path, matched_prefix, allowed) per document.
+    *
+    * Plan shape at 100 TB: the rules table is robots.txt-sized (rules per
+    * host × hosts — megabytes for the whole web) and rides a BROADCAST;
+    * matching is a row-local prefix test on the joined pairs and the
+    * longest-prefix pick is a max(struct(len, allow, prefix)) aggregate
+    * keyed on doc — no shuffle of the URL side beyond that one partial+
+    * final agg, no window, no per-rule re-scan.
+    *
+    * The synthetic rules table ([[syntheticRobotsRules]]) is deterministic
+    * from the host group space, exercising disallow prefixes, a LONGER
+    * allow carve-out under a disallow (the longest-prefix case), and
+    * hosts with no rules.
+    */
+  def robotsFilter(docs: DataFrame, rules: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val urls = docs.select(col(idCol).cast("long").as("doc_id"),
+      canonicalize(syntheticUrl(col(idCol))).as("canon_url"))
+    val parts = urls.select(col("doc_id"),
+      regexp_extract(col("canon_url"), "^[a-z]+://([^/]*)", 1).as("host"),
+      regexp_extract(col("canon_url"), "^[a-z]+://[^/]*([^?]*)", 1).as("path"))
+    val j = parts.join(broadcast(rules),
+      col("host") === col("rhost") &&
+        startswith(col("path"), col("prefix")), "left")
+    j.groupBy("doc_id", "host", "path")
+      .agg(max(when(col("prefix").isNotNull,
+        struct(length(col("prefix")).as("len"), col("allow").as("allow"),
+          col("prefix").as("prefix")))).as("m"))
+      .select(col("doc_id"), col("host"), col("path"),
+        col("m.prefix").as("matched_prefix"),
+        coalesce(col("m.allow"), lit(1)).as("allowed"))
+  }
+
+  /** Deterministic synthetic robots rules over the 7-host group space:
+    * even host groups disallow `/stories/1` but carve back
+    * `/stories/1<hg>` (longest-prefix Allow under a Disallow); host
+    * groups divisible by 3 additionally disallow `/stories/2`; the rest
+    * of the host space has no rules.
+    */
+  def syntheticRobotsRules(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val hg = spark.range(7).select(col("id").as("hg"))
+    val host = concat(lit("news-site"), col("hg").cast("string"),
+      lit(".example.org"))
+    val r1 = hg.filter(col("hg") % 2 === 0)
+      .select(host.as("rhost"), lit("/stories/1").as("prefix"), lit(0).as("allow"))
+    val r2 = hg.filter(col("hg") % 2 === 0)
+      .select(host.as("rhost"),
+        concat(lit("/stories/1"), col("hg").cast("string")).as("prefix"),
+        lit(1).as("allow"))
+    val r3 = hg.filter(col("hg") % 3 === 0)
+      .select(host.as("rhost"), lit("/stories/2").as("prefix"), lit(0).as("allow"))
+    r1.unionByName(r2).unionByName(r3)
+  }
+
+  /** DuckDB twin of the `url_robots_filter` gate: the canonical-URL CTE
+    * chain, the same synthetic rules, the same longest-prefix /
+    * Allow-on-tie pick (max over (len, allow, prefix) tuples).
+    */
+  def robotsFilterSql: String =
+    s"""WITH u0 AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM u0),
+s2 AS (SELECT *,
+  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1)) AS scheme,
+  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+s3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth,
+  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+s4 AS (SELECT *,
+  regexp_replace(CASE
+      WHEN scheme = 'https://' THEN regexp_replace(lower(auth), ':443$$', '')
+      WHEN scheme = 'http://' THEN regexp_replace(lower(auth), ':80$$', '')
+      ELSE lower(auth) END, '^www\\.', '') AS host,
+  regexp_extract(pathq, '^([^?]*)', 1) AS path_raw FROM s3),
+s5 AS (SELECT doc_id, host,
+  CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path
+  FROM (SELECT *, CASE WHEN p1 = '/' THEN p1
+                       ELSE regexp_replace(p1, '/$$', '') END AS p2
+        FROM (SELECT *, regexp_replace(path_raw, '/{2,}', '/', 'g') AS p1
+              FROM s4))),
+hg AS (SELECT unnest(range(7)) AS hg),
+rules AS (
+  SELECT 'news-site' || hg || '.example.org' AS rhost,
+         '/stories/1' AS prefix, 0 AS allow FROM hg WHERE hg % 2 = 0
+  UNION ALL
+  SELECT 'news-site' || hg || '.example.org',
+         '/stories/1' || hg, 1 FROM hg WHERE hg % 2 = 0
+  UNION ALL
+  SELECT 'news-site' || hg || '.example.org',
+         '/stories/2', 0 FROM hg WHERE hg % 3 = 0),
+m AS (SELECT s5.doc_id, s5.host, s5.path,
+        max(CASE WHEN r.prefix IS NOT NULL
+              THEN (length(r.prefix), r.allow, r.prefix) END) AS m
+      FROM s5 LEFT JOIN rules r
+        ON s5.host = r.rhost AND starts_with(s5.path, r.prefix)
+      GROUP BY 1, 2, 3)
+SELECT doc_id, host, path, m[3] AS matched_prefix,
+       coalesce(m[2], 1) AS allowed
+FROM m ORDER BY doc_id"""
 }

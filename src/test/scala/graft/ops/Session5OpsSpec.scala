@@ -202,6 +202,26 @@ class Session5OpsSpec extends AnyFunSuite {
     assert(got(8L) == ((1L, 2L)))
   }
 
+  // --- robots-style crawl-compliance filter ------------------------------------
+
+  test("robotsFilter picks the longest prefix and breaks ties toward Allow") {
+    // ids 10/17/24/31 all map to host news-site3.example.org (g % 7 == 3)
+    // with canonical paths /stories/{10,17,24,31}
+    val docs = Seq(10L, 17L, 24L, 31L).toDF("doc_id")
+    val rules = Seq(
+      ("news-site3.example.org", "/stories/1", 0),  // broad disallow
+      ("news-site3.example.org", "/stories/10", 1), // longer allow carve-out
+      ("news-site3.example.org", "/stories/17", 0), // equal-length pair:
+      ("news-site3.example.org", "/stories/17", 1)  //   tie -> Allow wins
+    ).toDF("rhost", "prefix", "allow")
+    val got = Urls.robotsFilter(docs, rules).collect().map(r =>
+      r.getLong(0) -> ((Option(r.getString(3)).orNull, r.getInt(4)))).toMap
+    assert(got(10L) == (("/stories/10", 1))) // carve-out beats the disallow
+    assert(got(17L) == (("/stories/17", 1))) // RFC 9309 tie -> Allow
+    assert(got(24L) == ((null, 1)))          // no matching rule -> allowed
+    assert(got(31L) == ((null, 1)))          // /stories/1 is NOT a prefix of /stories/31
+  }
+
   // --- per-source exact quantiles --------------------------------------------
 
   test("sourceQuantiles interpolates exactly on a hand-computed fixture") {
