@@ -834,7 +834,11 @@ object SparkEntry {
     // row-local prefix match, longest-prefix/Allow-on-tie verdict
     "url_robots_filter" -> ((s, dir) =>
       ops.Urls.robotsFilter(rawDocs(s, dir),
-        ops.Urls.syntheticRobotsRules(s)).orderBy("doc_id")))
+        ops.Urls.syntheticRobotsRules(s)).orderBy("doc_id")),
+    // per-doc character entropy (gibberish/degenerate-text signal; one
+    // narrow JVM-loop pass, micro-int order-free terms)
+    "text_char_entropy" -> ((s, dir) =>
+      ops.TextStats.charEntropy(rawDocs(s, dir)).orderBy("doc_id")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1346,6 +1350,7 @@ FROM documents ORDER BY media_id""",
       "text_unigram_lp" -> ops.TextStats.unigramLogProbSql,
       "url_dedup" -> ops.Urls.urlDedupSql,
       "url_robots_filter" -> ops.Urls.robotsFilterSql,
+      "text_char_entropy" -> ops.TextStats.charEntropySql,
       "host_pagerank" -> ops.Graphs.hostPageRankSql(),
       "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
       "corpus_drift" -> ops.Drift.logOddsDriftSql(),

@@ -222,6 +222,26 @@ class Session5OpsSpec extends AnyFunSuite {
     assert(got(31L) == ((null, 1)))          // /stories/1 is NOT a prefix of /stories/31
   }
 
+  // --- character entropy ---------------------------------------------------------
+
+  test("charEntropy: hand-computed values and edge cases") {
+    val docs = Seq(
+      (1L, "aaaa"),          // one class -> H = 0
+      (2L, "abab"),          // two equal classes -> H = log10(2) = 0.30103
+      (3L, "abcdefghij"),    // 10 uniform classes -> H = log10(10) = 1.0
+      (4L, "")               // empty -> 0 chars, null score
+    ).toDF("doc_id", "text")
+    val got = TextStats.charEntropy(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 0.30103)))
+    assert(got(3L) == ((10L, 1.0)))
+    assert(got(4L)._1 == 0L && got(4L)._2.isNaN)
+    // ordering sanity: flat > skewed > degenerate
+    assert(got(3L)._2 > got(2L)._2 && got(2L)._2 > got(1L)._2)
+  }
+
   // --- per-source exact quantiles --------------------------------------------
 
   test("sourceQuantiles interpolates exactly on a hand-computed fixture") {
