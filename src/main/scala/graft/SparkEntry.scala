@@ -838,7 +838,23 @@ object SparkEntry {
     // per-doc character entropy (gibberish/degenerate-text signal; one
     // narrow JVM-loop pass, micro-int order-free terms)
     "text_char_entropy" -> ((s, dir) =>
-      ops.TextStats.charEntropy(rawDocs(s, dir)).orderBy("doc_id")))
+      ops.TextStats.charEntropy(rawDocs(s, dir)).orderBy("doc_id")),
+    // exact top-k terms via per-partition Misra-Gries candidates +
+    // broadcast exact rescore (no vocabulary-scale shuffle; certificate
+    // checked at runtime)
+    "heavy_hitters" -> ((s, dir) =>
+      ops.Vocab.heavyHitters(rawDocs(s, dir))),
+    // first BPE merge iteration: char-pair stats off the weighted
+    // vocabulary, not the corpus (Sennrich et al. dictionary trick)
+    "bpe_pairs" -> ((s, dir) => ops.Vocab.bpePairs(rawDocs(s, dir))),
+    // pairwise source shingle overlap via ONE bit_or aggregation (no
+    // shingle self-join): exact Jaccard + both containments per pair
+    "source_overlap" -> ((s, dir) =>
+      ops.Overlap.sourceOverlap(rawDocs(s, dir))
+        .orderBy("source_a", "source_b")),
+    // postings-skew diagnostics: top-k df terms + share/cumulative share
+    "index_skew" -> ((s, dir) =>
+      ops.Reports.indexSkew(rawDocs(s, dir)).orderBy("rk")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1351,6 +1367,10 @@ FROM documents ORDER BY media_id""",
       "url_dedup" -> ops.Urls.urlDedupSql,
       "url_robots_filter" -> ops.Urls.robotsFilterSql,
       "text_char_entropy" -> ops.TextStats.charEntropySql,
+      "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
+      "bpe_pairs" -> ops.Vocab.bpePairsSql(),
+      "source_overlap" -> ops.Overlap.sourceOverlapSql(),
+      "index_skew" -> ops.Reports.indexSkewSql(),
       "host_pagerank" -> ops.Graphs.hostPageRankSql(),
       "dedup_incremental" -> ops.Dedup.incrementalDedupSql,
       "corpus_drift" -> ops.Drift.logOddsDriftSql(),

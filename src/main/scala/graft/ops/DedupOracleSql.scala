@@ -22,7 +22,7 @@ package graft.ops
   */
 object DedupOracleSql {
 
-  private val alnum =
+  private[ops] val alnum =
     "list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2)"
 
   /** SQL twin of [[Dedup.ngramJaccard]]'s derived hot-shingle cap

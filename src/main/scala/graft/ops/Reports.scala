@@ -139,4 +139,70 @@ FROM documents GROUP BY source ORDER BY source"""
   round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
     AS mean_chars
 FROM documents GROUP BY source ORDER BY source"""
+
+  /** Postings-skew diagnostics: the top-k terms by document frequency
+    * with each term's share of total postings and the running cumulative
+    * share — the table that tells an index operator which keys need
+    * salting/splitting (a term in 30% of documents is a shuffle hot key
+    * AND a block-max WAND fast-skip candidate) and how heavy the head of
+    * the postings distribution is overall.
+    *
+    * Plan shape at 100 TB: the (doc, term) tf pass is shuffle 1 (partial
+    * counts map-side), the df rollup is shuffle 2 over VOCABULARY-scale
+    * rows, the top-k cut is a TakeOrdered (no global sort materialized),
+    * and the share/cumulative window runs over k rows only — the
+    * single-partition window is bounded by construction, never
+    * corpus-sized. The scalar postings total rides a broadcast
+    * single-row crossJoin, not a driver collect.
+    *
+    * Terms are the search chain's pre-stem tokens (stop-filtered, the
+    * `a2_term_freqs` contract) so shares line up with the a1/a5 vocab
+    * gates.
+    */
+  def indexSkew(docs: DataFrame, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    val stop = graft.analysis.Analyzer.defaultStopWords.toSeq.sorted
+    val tf = docs.select(col("doc_id"),
+        explode(Tok.terms(col(textCol))).as("term"))
+      .filter(!col("term").isin(stop.map(lit): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // localCheckpoint: df feeds BOTH the scalar total and the top-k cut,
+    // and Catalyst does not share subtrees — without it the corpus is
+    // scanned twice. Vocabulary-scale materialization, the same contract
+    // a1_vocab's ranged-id assignment already pays.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+    val tot = df.agg(sum(col("df")).cast("double").as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term").asc)
+    df.orderBy(col("df").desc, col("term").asc).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(
+        row_number().over(w).as("rk"),
+        col("term"), col("df"),
+        round(col("df").cast("double") / col("t"), 6).as("share"),
+        round(sum(col("df")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double") / col("t"), 6).as("cum_share"))
+  }
+
+  /** DuckDB twin of [[indexSkew]] — the same stop-filtered tf/df chain
+    * as the a1/a2/a5 gates, same top-k cut, same 6-dp share rounding.
+    */
+  def indexSkewSql(k: Int = 20): String = {
+    import graft.search.OracleSql
+    s"""WITH ${OracleSql.tokCte},
+${OracleSql.tfCte},
+${OracleSql.dfCte},
+tot AS (SELECT CAST(sum(df) AS DOUBLE) AS t FROM df),
+top AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $k),
+r AS (SELECT term, CAST(df AS BIGINT) AS df,
+  CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INTEGER) AS rk,
+  CAST(sum(df) OVER (ORDER BY df DESC, term ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM top)
+SELECT rk, term, df, round(CAST(df AS DOUBLE) / t, 6) AS share,
+  round(CAST(cum AS DOUBLE) / t, 6) AS cum_share
+FROM r, tot ORDER BY rk"""
+  }
 }

@@ -154,6 +154,21 @@ object Explain {
       "grouping pass, no per-metric re-scan, no sort)") {
       graft.ops.Reports.sourceQuantiles(rawDocs)
     }
+    show("source_overlap (expect ONE corpus scan into the bit_or " +
+      "HashAggregate with map-side partials, then micro-scale mask " +
+      "rollup x broadcast pair grid — no shingle self-join anywhere)") {
+      graft.ops.Overlap.sourceOverlap(rawDocs)
+    }
+    show("bpe_pairs (expect token-scale partial+final count into the " +
+      "vocab, then the char-pair explode + pair aggregate over DISTINCT " +
+      "terms only — the corpus is scanned once)") {
+      graft.ops.Vocab.bpePairs(rawDocs)
+    }
+    show("index_skew (expect tf/df partial+final aggregates, TakeOrdered " +
+      "k-cut before the single-partition window — the window input is k " +
+      "rows, never vocabulary-scale)") {
+      graft.ops.Reports.indexSkew(rawDocs)
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is
