@@ -854,7 +854,17 @@ object SparkEntry {
         .orderBy("source_a", "source_b")),
     // postings-skew diagnostics: top-k df terms + share/cumulative share
     "index_skew" -> ((s, dir) =>
-      ops.Reports.indexSkew(rawDocs(s, dir)).orderBy("rk")))
+      ops.Reports.indexSkew(rawDocs(s, dir)).orderBy("rk")),
+    // BM25F fielded ranking: position-sliced title/body fields, weighted
+    // tf + weighted dl through the shared BM25 weight expression
+    "bm25f_tsm" -> ((s, dir) =>
+      search.RelationalBM25.topKFielded(
+        corpus.Corpus.documents(s, dir), "table scan merge", 10)),
+    // per-label embedding cohesion: micro-int centroid sums broadcast
+    // back for an ordered-fold cosine, micro-mean per label
+    "embed_label_cohesion" -> ((s, dir) =>
+      ops.Similarity.labelCohesion(
+        s.read.parquet(s"$dir/embeddings.parquet")).orderBy("label")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1368,6 +1378,8 @@ FROM documents ORDER BY media_id""",
       "url_robots_filter" -> ops.Urls.robotsFilterSql,
       "text_char_entropy" -> ops.TextStats.charEntropySql,
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
+      "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
+      "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,
       "bpe_pairs" -> ops.Vocab.bpePairsSql(),
       "source_overlap" -> ops.Overlap.sourceOverlapSql(),
       "index_skew" -> ops.Reports.indexSkewSql(),

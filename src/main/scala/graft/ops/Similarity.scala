@@ -375,4 +375,82 @@ object Similarity {
       .select(col("id").as(idCol), col("cid"), col("max_cos"),
         when(col("max_cos").isNull, lit(1)).otherwise(lit(0)).as("keep"))
   }
+
+  /** Per-label embedding cohesion — the label-quality diagnostic a
+    * curation pipeline runs before trusting class labels for sampling or
+    * eval splits: for each label, the member count and the mean cosine
+    * of members to their label centroid (1.0 = the class is one tight
+    * direction; low values = the label mixes unrelated content).
+    *
+    * Exactness device (cross-engine): the centroid is kept as the
+    * per-dimension MICRO-INT SUM vector — each coordinate is
+    * round(x·10⁶) summed exactly (order-free integer aggregation), and
+    * cosine is scale-invariant so the un-normalized sum vector scores
+    * identically to the mean. Per-member cosines then round to micro
+    * ints before the per-label mean, so that sum is order-free too.
+    * The only float folds are the dot products, which both engines run
+    * in ascending index order ([[graft.catalyst.DotProduct]] vs DuckDB
+    * `list_inner_product` — the ann gates' established bit-identity).
+    *
+    * Plan shape at 100 TB: one posexplode pass into a (label, dim)
+    * partial+final integer aggregate (≤ labels·dims rows out), centroids
+    * re-assembled and BROADCAST back over the corpus for a narrow
+    * per-row cosine, then one micro-int rollup per label. No self-join,
+    * no collect of vectors, no per-label re-scan.
+    */
+  def labelCohesion(embeddings: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    ensureDot(embeddings)
+    val micro = embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        round(col("x") * lit(1e6)).cast("long").as("mi"))
+    val sums = micro.groupBy(col("label"), col("i"))
+      .agg(sum(col("mi")).cast("double").as("si"))
+    val centroids = sums.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("si")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("si"))
+        .as("cvec"))
+    val joined = embeddings
+      .select(col(idCol), col(labelCol).as("label"),
+        asDouble(col(vecCol)).as("dv"))
+      .join(broadcast(centroids), "label")
+    val denom = sqrt(fastDot(col("dv"), col("dv"))) *
+      sqrt(fastDot(col("cvec"), col("cvec")))
+    val cmicro = when(denom > 0,
+      round(fastDot(col("dv"), col("cvec")) / denom * lit(1e6)).cast("long"))
+      .otherwise(0L) // zero vector: undefined cosine counts as 0
+    joined.select(col("label"), cmicro.as("cm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cm")).cast("double") /
+          (count(lit(1)) * lit(1e6)), 6).as("cohesion"))
+  }
+
+  /** DuckDB twin of [[labelCohesion]] — same micro-int centroid sums,
+    * same ordered `list_inner_product` folds, same micro-mean rounding.
+    */
+  def labelCohesionSql: String =
+    """WITH m AS (SELECT label, i,
+  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS mi
+  FROM (SELECT label, embedding, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)),
+s AS (SELECT label, i, CAST(sum(mi) AS DOUBLE) AS si FROM m GROUP BY label, i),
+c AS (SELECT label, list(si ORDER BY i) AS cvec FROM s GROUP BY label),
+x AS (SELECT e.vec_id, e.label,
+        list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS dv, c.cvec
+      FROM embeddings e JOIN c USING (label)),
+cs AS (SELECT vec_id, label,
+  CASE WHEN sqrt(list_inner_product(dv, dv))
+            * sqrt(list_inner_product(cvec, cvec)) > 0
+       THEN CAST(round(list_inner_product(dv, cvec)
+         / (sqrt(list_inner_product(dv, dv))
+            * sqrt(list_inner_product(cvec, cvec))) * 1000000.0) AS BIGINT)
+       ELSE 0 END AS cm
+  FROM x)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(CAST(sum(cm) AS DOUBLE) / (count(*) * 1000000.0), 6) AS cohesion
+FROM cs GROUP BY label ORDER BY label"""
 }

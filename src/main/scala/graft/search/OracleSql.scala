@@ -792,4 +792,54 @@ SELECT t.doc_id, t.score, d.lang, d.source
 FROM topk t JOIN documents d ON t.doc_id = d.doc_id
 ORDER BY t.score DESC, t.doc_id ASC"""
   }
+
+  /** Twin of [[RelationalBM25.topKFielded]] (BM25F, weighted-field tf +
+    * weighted dl through the same BM25 weight formula). The ordered
+    * filtered token array is built with list lambdas so positions index
+    * the SURVIVING stream exactly as the engine's posexplode does
+    * (1-based here, 0-based there — both compare against titleLen
+    * consistently). Weight/length arithmetic mirrors the engine tree
+    * literal-for-literal; weights are integer-valued so every pre-weight
+    * quantity is exact.
+    */
+  def bm25FieldedSql(query: String, k: Int, titleLen: Int = 8,
+                     wTitle: Double = 2.0, wBody: Double = 1.0,
+                     p: BM25Params = BM25.default): String = {
+    val terms = RelationalBM25.queryTerms(query, stem = false)
+    require(terms.nonEmpty, s"query '$query' has no surviving terms")
+    val values = terms.map { case (t, qtf) =>
+      s"(${q(t)}, CAST($qtf AS DOUBLE))" }.mkString(", ")
+    s"""WITH farr AS (SELECT doc_id,
+  list_filter(list_transform(list_filter(
+      regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> length(x) > 2),
+    x -> lower(x)), x -> NOT list_contains([$stopList], x)) AS arr
+  FROM documents),
+fw AS (SELECT doc_id,
+  $wTitle * least(len(arr), $titleLen)
+    + $wBody * greatest(len(arr) - $titleLen, 0) AS wdl
+  FROM farr),
+ftok AS (SELECT doc_id, arr[i] AS term, i
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM farr)),
+ftf AS (SELECT doc_id, term,
+  $wTitle * sum(CASE WHEN i <= $titleLen THEN 1 ELSE 0 END)
+    + $wBody * sum(CASE WHEN i > $titleLen THEN 1 ELSE 0 END) AS wtf
+  FROM ftok GROUP BY doc_id, term),
+fdf AS (SELECT term, count(*) AS df FROM ftf GROUP BY term),
+stats AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT coalesce(sum(wdl), 0) FROM fw) AS DOUBLE)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+qt AS (SELECT * FROM (VALUES $values) AS v(term, qtf)),
+w AS (
+  SELECT ftf.doc_id,
+         ln((stats.n - fdf.df + 0.5) / (fdf.df + 0.5) + 1.0)
+           * (ftf.wtf * (${p.k1} + 1.0))
+           / (ftf.wtf + ${p.k1} * ((1.0 - ${p.b}) + ${p.b} * fw.wdl / stats.avgdl))
+           * qt.qtf AS w
+  FROM ftf JOIN fdf USING (term) JOIN qt USING (term)
+       JOIN fw USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(sum(w), 4) AS score
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT $k"""
+  }
 }

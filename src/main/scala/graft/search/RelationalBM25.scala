@@ -204,6 +204,71 @@ object RelationalBM25 {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** BM25F fielded top-k — Robertson & Zaragoza's weighted-field form
+    * with shared k1/b: per-field term frequencies are combined into one
+    * weighted tf (wtf = wTitle·tf_title + wBody·tf_body) and the length
+    * norm runs over the equally weighted document length, so the score
+    * IS plain BM25 applied to (wtf, wdl). Fields are derived
+    * deterministically from the analyzed token stream: the first
+    * `titleLen` surviving tokens are the "title" (the headline-vs-body
+    * split every fielded index makes; the synthetic corpus has no
+    * separate title column, and a position-sliced field keeps both
+    * engines byte-agreed without a second tokenizer).
+    *
+    * Exactness: weights are integer-valued doubles (2.0/1.0 defaults),
+    * so wtf and wdl are exact integers in double — no float drift
+    * anywhere before the shared [[weightCol]] expression, which is
+    * mirrored literal-for-literal by the oracle's fielded SQL.
+    *
+    * Plan family: identical to [[topK]] (partial+final aggregates,
+    * broadcast query side, TakeOrderedAndProject) with posexplode
+    * replacing the term-count UDF because positions define the fields.
+    */
+  def topKFielded(docs: DataFrame, query: String, k: Int,
+                  titleLen: Int = 8, wTitle: Double = 2.0,
+                  wBody: Double = 1.0,
+                  params: BM25Params = BM25.default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms(query, stem = false)
+    if (q.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    val stop = Analyzer.defaultStopWords
+    val arr = filter(graft.ops.Tok.terms(col("content")),
+      t => !t.isInCollection(stop))
+    val base = docs.select(col("docId").as("doc_id"), arr.as("arr"))
+      .select(col("doc_id"), col("arr"),
+        (lit(wTitle) * least(size(col("arr")), lit(titleLen)).cast("double") +
+          lit(wBody) * greatest(size(col("arr")) - lit(titleLen), lit(0))
+            .cast("double")).as("wdl"))
+    val ftf = base
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(when(col("pos") < lit(titleLen), 1L).otherwise(0L)).as("tft"),
+        sum(when(col("pos") >= lit(titleLen), 1L).otherwise(0L)).as("tfb"))
+      .select(col("doc_id"), col("term"),
+        (lit(wTitle) * col("tft") + lit(wBody) * col("tfb")).as("wtf"))
+    val fdf = ftf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dls = base.select(col("doc_id"), col("wdl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(base.agg(coalesce(sum("wdl"), lit(0.0)).cast("double")
+        .as("tot")))
+      .select(col("n"), (col("tot") / col("n")).as("avgdl"))
+    ftf.filter(col("term").isin(q.map(_._1): _*))
+      .join(fdf, "term")
+      .join(dls, "doc_id")
+      .crossJoin(stats)
+      .join(broadcast(q.toDF("term", "qtf")), "term")
+      .select(col("doc_id"),
+        (weightCol(col("wtf"), col("wdl"), col("n"), col("avgdl"),
+          col("df"), params) * col("qtf")).as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** J2: hydrate top-k doc ids back to document attributes (search.rs:22-24
     * done as a broadcast join of the <=k-row side).
     */

@@ -132,6 +132,96 @@ class Session6OpsSpec extends AnyFunSuite {
     assert(r.isNullAt(7)) // containment_b: 0/0 undefined
   }
 
+  // --- BM25F ----------------------------------------------------------------
+
+  test("bm25f with equal field weights reduces exactly to plain BM25") {
+    for (seed <- Seq(21, 22)) {
+      val rows = randomCorpus(seed, nDocs = 150, vocab = 60)
+      val docs = rows.map(r => (r._1, r._2)).toDF("docId", "content")
+      val query = "w000 w001 w002"
+      val plain = graft.search.RelationalBM25
+        .topK(docs, query, 10, stem = false)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fielded = graft.search.RelationalBM25
+        .topKFielded(docs, query, 10, wTitle = 1.0, wBody = 1.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fielded == plain, s"seed $seed")
+    }
+  }
+
+  test("bm25f title boost ranks early-position matches first") {
+    // same term count; doc 1 carries the query term in the title slice,
+    // doc 2 buries it past position 8; identical lengths
+    val fill = (1 to 20).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"target opening words here $fill"),
+      (2L, s"$fill target closing words here")
+    ).toDF("docId", "content")
+    val got = graft.search.RelationalBM25
+      .topKFielded(docs, "target", 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 == 1L, "title hit should outrank body hit")
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  // --- label cohesion -------------------------------------------------------
+
+  test("labelCohesion: tight label scores 1.0, mixed label scores lower") {
+    val e = Seq(
+      // label 0: all the same direction -> cohesion 1.0
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.0f, 0.0f), 0),
+      // label 1: two orthogonal directions -> well below 1
+      (3L, Array(1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 1),
+      // label 2: singleton -> 1.0
+      (5L, Array(0.3f, 0.4f, 0.5f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCohesion(e).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) == ((0, 3L, 1.0)))
+    assert(got(1)._2 == 2L && got(1)._3 < 0.95)
+    assert(got(2) == ((2, 1L, 1.0)))
+  }
+
+  test("labelCohesion == local micro-int twin on random embeddings") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 120L).map { id =>
+      val label = rnd.nextInt(4)
+      val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (id, base, label)
+    }
+    val docs = rows.toDF("vec_id", "embedding", "label")
+    // local twin with the same devices: micro-int sums, ordered folds,
+    // micro-rounded per-member cosine, micro-mean
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // HALF_UP away from zero — JVM Math.round would diverge from the
+    // engines' round() on exact negative .5 ties
+    def rInt(v: Double) = BigDecimal(v)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (l, vs) =>
+      val dim = 8
+      val s = Array.tabulate(dim) { i =>
+        vs.map(v => rInt(v._2(i).toDouble * 1e6)).sum.toDouble
+      }
+      val cms = vs.map { v =>
+        val dv = v._2.map(_.toDouble)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        (0 until dim).foreach { i =>
+          dot += dv(i) * s(i); na += dv(i) * dv(i); nb += s(i) * s(i)
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den > 0) rInt(dot / den * 1e6) else 0L
+      }
+      (l, vs.size.toLong, r6(cms.sum.toDouble / (vs.size * 1e6)))
+    }
+    val got = Similarity.labelCohesion(docs).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+  }
+
   // --- index skew -----------------------------------------------------------
 
   test("indexSkew == brute-force df/share computation") {
