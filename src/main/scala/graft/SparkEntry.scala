@@ -864,7 +864,38 @@ object SparkEntry {
     // back for an ordered-fold cosine, micro-mean per label
     "embed_label_cohesion" -> ((s, dir) =>
       ops.Similarity.labelCohesion(
-        s.read.parquet(s"$dir/embeddings.parquet")).orderBy("label")))
+        s.read.parquet(s"$dir/embeddings.parquet")).orderBy("label")),
+    // interval/range-containment join in the slab-partitioned layout (no
+    // nested-loop range explosion); windows synthesized deterministically
+    // from the event span with gaps + overlaps
+    "w8_interval_join" -> ((s, dir) => {
+      val ev = ops.Events.load(s, dir)
+      ops.Events.intervalJoin(ev, ops.Events.syntheticWindows(ev))
+        .orderBy("event_id")
+    }),
+    // event-type Markov transition matrix: per-user lead pairs, global
+    // rollup, row-normalized probabilities
+    "w9_transitions" -> ((s, dir) =>
+      ops.Events.eventTransitions(ops.Events.load(s, dir))
+        .orderBy("from_type", "to_type")),
+    // per-host language-mix entropy (MT-farm/spam signal; micro-int
+    // entropy device at host scope)
+    "host_lang_entropy" -> ((s, dir) =>
+      ops.Reports.hostLangEntropy(rawDocs(s, dir)).orderBy("host")),
+    // TPC-H Q4-style EXISTS: orders with any line shipped >90 days after
+    // the order date — the left-semi join family member
+    "h4_late_orders" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            unix_timestamp(l("l_shipdate").cast("timestamp")) >
+              unix_timestamp(o("o_orderdate").cast("timestamp")) +
+                lit(90L * 86400L),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderpriority")
+    }))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1380,6 +1411,16 @@ FROM documents ORDER BY media_id""",
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,
+      "w8_interval_join" -> ops.Events.intervalJoinSql(),
+      "w9_transitions" -> ops.Events.eventTransitionsSql,
+      "host_lang_entropy" -> ops.Reports.hostLangEntropySql(),
+      "h4_late_orders" ->
+        """SELECT o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND floor(epoch(l.l_shipdate)) > floor(epoch(o.o_orderdate)) + 90 * 86400)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "bpe_pairs" -> ops.Vocab.bpePairsSql(),
       "source_overlap" -> ops.Overlap.sourceOverlapSql(),
       "index_skew" -> ops.Reports.indexSkewSql(),

@@ -304,4 +304,137 @@ SELECT user_id, session_seq,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+
+  /** Deterministic synthetic maintenance/campaign windows over the event
+    * table's own time span (the synthetic-robots-rules precedent — no
+    * external data): k slots of integer `step` seconds; window i covers
+    * [smin + i·step + step/4, smin + i·step + 3·step/4] — gaps between
+    * slots — and every 4th window instead runs 2·step past its start:
+    * deliberate OVERLAPS so the interval join's latest-start-wins rule
+    * is exercised. Integer epoch math end-to-end (timezone/DST-proof,
+    * the retention-cohorts device).
+    */
+  def syntheticWindows(events: DataFrame, k: Int = 24): DataFrame =
+    events.agg(
+        min(unix_timestamp(col("ts").cast("timestamp"))).as("smin"),
+        max(unix_timestamp(col("ts").cast("timestamp"))).as("smax"))
+      .select(col("smin"),
+        greatest(expr(s"(smax - smin) div $k"), lit(1L)).as("step"))
+      .select(col("smin"), col("step"),
+        explode(sequence(lit(0), lit(k - 1))).as("wid"))
+      .select(col("wid"),
+        (col("smin") + col("wid") * col("step") + expr("step div 4"))
+          .as("ws"),
+        when(pmod(col("wid"), lit(4)) === 0,
+          col("smin") + col("wid") * col("step") + expr("step div 4") +
+            lit(2L) * col("step"))
+          .otherwise(col("smin") + col("wid") * col("step") +
+            expr("(3 * step) div 4")).as("we"))
+
+  /** INTERVAL (range-containment) JOIN — each event matched to its
+    * containing window, latest-start-wins on overlap (ties → higher id),
+    * null when uncovered. Spark has no native interval join, and the
+    * naive `ON es BETWEEN ws AND we` condition plans as a nested-loop
+    * range join that explodes per overlapping pair. The scalable form is
+    * SLAB PARTITIONING (the standard production interval-join layout):
+    * time is cut into `slabs` fixed-width slabs over the window table's
+    * span, each window replicates to the slabs it overlaps (replication
+    * bounded by length/slabWidth), each event buckets to exactly ONE
+    * slab, and the match is an EQUI-join on slab + a row-local
+    * containment filter + a per-event max(struct(ws, wid)) argmax.
+    * One event-side shuffle, no range explosion. (At this corpus scale
+    * Catalyst broadcasts the replicated window side outright; at 10⁸
+    * ranges the same plan shuffles both sides on slab — the layout is
+    * scale-ready either way.)
+    */
+  def intervalJoin(events: DataFrame, windows: DataFrame,
+                   slabs: Int = 256): DataFrame = {
+    val span = windows.agg(min("ws").as("lo"),
+        greatest(max("we") - min("ws"), lit(1L)).as("len"))
+      .select(col("lo"), greatest(expr(s"len div $slabs"), lit(1L)).as("sw"))
+    val wSlab = windows.crossJoin(broadcast(span))
+      .select(col("wid"), col("ws"), col("we"),
+        explode(sequence(expr("(ws - lo) div sw"), expr("(we - lo) div sw")))
+          .as("slab"))
+    val base = events.select(col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("es"))
+    val matched = base.crossJoin(broadcast(span))
+      .select(col("event_id"), col("es"), expr("(es - lo) div sw").as("slab"))
+      .join(wSlab, Seq("slab"))
+      .where(col("es") >= col("ws") && col("es") <= col("we"))
+      .groupBy("event_id")
+      .agg(max(struct(col("ws"), col("wid"))).as("m"))
+      .select(col("event_id"), col("m.ws").as("window_start"),
+        col("m.wid").as("wid"))
+    base.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("es"), col("wid"), col("window_start"))
+  }
+
+  /** Event-type TRANSITION MATRIX — the Markov view of user behaviour
+    * (what follows what, and with what probability) that funnels and
+    * sessions don't give: per-user ts-ordered `lead` pairs rolled up to
+    * global (from_type, to_type) counts with row-normalized transition
+    * probabilities. ONE user-keyed shuffle + per-user ordered scan (the
+    * sessionization shape), then a types²-scale rollup; the tiny pair
+    * table is localCheckpointed because it feeds both the row totals
+    * and the final join (Catalyst shares no subtrees — without it the
+    * corpus-scale window pass runs twice). Ordering ties broken by
+    * event_id, so the pair stream is deterministic in both engines.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = pairs.groupBy(col("from_type").as("ft"))
+      .agg(sum("n").as("t"))
+    pairs.join(tot, col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 6).as("p"))
+  }
+
+  /** DuckDB twin of [[eventTransitions]]. */
+  def eventTransitionsSql: String =
+    """WITH s AS (SELECT event_type,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS next_type
+  FROM events),
+p AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM p
+  GROUP BY from_type)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+  round(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS p
+FROM p JOIN t USING (from_type) ORDER BY from_type, to_type"""
+
+  /** DuckDB twin of [[intervalJoin]] over [[syntheticWindows]] — the
+    * direct BETWEEN-join form the slab layout must reproduce exactly,
+    * same integer window synthesis, same latest-start/highest-id pick.
+    */
+  def intervalJoinSql(k: Int = 24): String =
+    s"""WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS smin,
+  CAST(floor(epoch(max(ts))) AS BIGINT) AS smax FROM events),
+st AS (SELECT smin, greatest((smax - smin) // $k, 1) AS step FROM b),
+w AS (SELECT wid,
+  smin + wid * step + step // 4 AS ws,
+  CASE WHEN wid % 4 = 0 THEN smin + wid * step + step // 4 + 2 * step
+       ELSE smin + wid * step + (3 * step) // 4 END AS we
+  FROM st, (SELECT unnest(range(0, $k)) AS wid)),
+e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+j AS (SELECT e.event_id, w.wid, w.ws,
+  row_number() OVER (PARTITION BY e.event_id
+    ORDER BY w.ws DESC, w.wid DESC) AS rn
+  FROM e JOIN w ON e.es >= w.ws AND e.es <= w.we)
+SELECT e.event_id, e.es, CAST(j.wid AS INTEGER) AS wid,
+  j.ws AS window_start
+FROM e LEFT JOIN (SELECT event_id, wid, ws FROM j WHERE rn = 1) j
+  USING (event_id)
+ORDER BY event_id"""
 }

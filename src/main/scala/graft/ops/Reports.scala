@@ -186,6 +186,53 @@ FROM documents GROUP BY source ORDER BY source"""
           .cast("double") / col("t"), 6).as("cum_share"))
   }
 
+  /** Per-host LANGUAGE-MIX ENTROPY — the "one host, many languages"
+    * spam/MT-farm signal web-corpus filters use alongside the PageRank
+    * prior: Shannon entropy (log10) of each host's language distribution
+    * (0 = monolingual host, high = machine-translation farm). Hosts are
+    * the deterministic doc_id-derived host space of the host-graph ops.
+    *
+    * Exactness: the [[TextStats.charEntropy]] micro-int device lifted to
+    * column form — each language's term round(10⁶·c·log10(n/c)) is
+    * non-negative (n ≥ c), so the per-host sum is order-free and both
+    * engines' round() agree.
+    *
+    * Plan: ONE corpus-scale (host, lang) partial+final count — the only
+    * shuffle — then host-scale arithmetic; the tiny count table is
+    * localCheckpointed because it feeds both the totals and the join
+    * back (no-subtree-sharing rule).
+    */
+  def hostLangEntropy(docs: DataFrame, hostSpace: Int = 50): DataFrame = {
+    val counts = docs
+      .select((col("doc_id") % hostSpace).as("host"), col("lang"))
+      .groupBy("host", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = counts.groupBy(col("host").as("h")).agg(sum("c").as("n"))
+    counts.join(tot, col("host") === col("h"))
+      .select(col("host"), col("c"), col("n"),
+        round(lit(1e6) * col("c").cast("double") *
+          log10(col("n").cast("double") / col("c").cast("double")))
+          .cast("long").as("micro"))
+      .groupBy("host")
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        round(sum(col("micro")).cast("double") /
+          (lit(1e6) * max(col("n")).cast("double")), 6).as("lang_entropy"))
+  }
+
+  /** DuckDB twin of [[hostLangEntropy]]. */
+  def hostLangEntropySql(hostSpace: Int = 50): String =
+    s"""WITH cl AS (SELECT doc_id % $hostSpace AS host, lang, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT host, CAST(sum(c) AS BIGINT) AS n FROM cl GROUP BY host),
+m AS (SELECT cl.host, cl.c, t.n,
+  CAST(round(1000000.0 * CAST(cl.c AS DOUBLE) *
+    log10(CAST(t.n AS DOUBLE) / CAST(cl.c AS DOUBLE))) AS BIGINT) AS micro
+  FROM cl JOIN t USING (host))
+SELECT host, max(n) AS n_docs, count(*) AS n_langs,
+  round(CAST(sum(micro) AS DOUBLE) / (1000000.0 * CAST(max(n) AS DOUBLE)), 6)
+    AS lang_entropy
+FROM m GROUP BY host ORDER BY host"""
+
   /** DuckDB twin of [[indexSkew]] — the same stop-filtered tf/df chain
     * as the a1/a2/a5 gates, same top-k cut, same 6-dp share rounding.
     */

@@ -169,6 +169,12 @@ object Explain {
       "rows, never vocabulary-scale)") {
       graft.ops.Reports.indexSkew(rawDocs)
     }
+    show("w8_interval_join (expect slab EQUI-join — no " +
+      "BroadcastNestedLoopJoin with a range condition — containment as " +
+      "a post-join Filter, per-event max(struct) argmax, left join back)") {
+      val ev = graft.ops.Events.load(spark, sfDir)
+      graft.ops.Events.intervalJoin(ev, graft.ops.Events.syntheticWindows(ev))
+    }
     locally {
       // tombstone-overlay serving: the PLAN must be identical to the plain
       // ep2 WAND plan (same pruning, same single shuffle) — the overlay is

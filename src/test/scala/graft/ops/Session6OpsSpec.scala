@@ -222,6 +222,120 @@ class Session6OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // --- interval join --------------------------------------------------------
+
+  test("intervalJoin == brute-force containment argmax on random intervals") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val wins = (0 until 30).map { wid =>
+        val s = rnd.nextInt(10000).toLong
+        (wid, s, s + 1 + rnd.nextInt(1500)) // plenty of overlap
+      }
+      val evs = (0L until 400L).map { id =>
+        (id, new java.sql.Timestamp(rnd.nextInt(12000) * 1000L))
+      }
+      val winsDf = wins.toDF("wid", "ws", "we")
+      val evsDf = evs.toDF("event_id", "ts")
+      val expect = evs.map { case (id, ts) =>
+        val es = ts.getTime / 1000
+        val hit = wins.filter(w => es >= w._2 && es <= w._3)
+          .sortBy(w => (-w._2, -w._1)).headOption
+        (id, es, hit.map(_._1), hit.map(_._2))
+      }
+      val got = Events.intervalJoin(evsDf, winsDf).orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("syntheticWindows: gaps between slots, every 4th window overlaps") {
+    val evs = (0L until 100L).map(id =>
+      (id, new java.sql.Timestamp(id * 3600 * 1000L))).toDF("event_id", "ts")
+    val w = Events.syntheticWindows(evs, k = 12).orderBy("wid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(w.length == 12)
+    w.foreach { case (_, s, e) => assert(e > s) }
+    // every 4th window runs past the next slot's start (overlap)...
+    assert(w(0)._3 > w(1)._2 && w(4)._3 > w(5)._2)
+    // ...ordinary adjacent windows leave a gap
+    assert(w(1)._3 < w(2)._2 && w(2)._3 < w(3)._2)
+  }
+
+  // --- late-orders semi-join ------------------------------------------------
+
+  test("late-orders semi join counts each order once, excludes on-time") {
+    val day = 86400L * 1000L
+    def ts(d: Long) = new java.sql.Timestamp(d * day)
+    val orders = Seq(
+      (1L, ts(0), "1-URGENT"),   // two late lines -> counted ONCE
+      (2L, ts(0), "1-URGENT"),   // on-time only -> excluded
+      (3L, ts(10), "2-HIGH")     // one late line -> counted
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lines = Seq(
+      (1L, ts(95)), (1L, ts(200)), // both >90d after day 0
+      (2L, ts(30)),                // within 90d
+      (3L, ts(101))                // 91d after day 10
+    ).toDF("l_orderkey", "l_shipdate")
+    import org.apache.spark.sql.functions._
+    val got = orders.join(lines,
+        orders("o_orderkey") === lines("l_orderkey") &&
+          unix_timestamp(lines("l_shipdate").cast("timestamp")) >
+            unix_timestamp(orders("o_orderdate").cast("timestamp")) +
+              lit(90L * 86400L),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("1-URGENT", 1L), ("2-HIGH", 1L)))
+  }
+
+  // --- event transitions ----------------------------------------------------
+
+  test("eventTransitions == brute-force per-user ordered pair counts") {
+    val rnd = new scala.util.Random(51)
+    val types = Seq("view", "click", "cart", "purchase")
+    val evs = (0L until 500L).map { id =>
+      (id, new java.sql.Timestamp(rnd.nextInt(100000) * 1000L),
+        rnd.nextInt(40).toLong, types(rnd.nextInt(4)))
+    }
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type")
+    val pairs = evs.groupBy(_._3).values.toSeq.flatMap { us =>
+      val ordered = us.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val byFrom = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = pairs.groupBy(identity).map { case ((f, t), xs) =>
+      (f, t, xs.size.toLong, r6(xs.size.toDouble / byFrom(f)))
+    }.toSeq.sortBy(p => (p._1, p._2))
+    val got = Events.eventTransitions(df).orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expect)
+    // probabilities row-normalize to ~1 per from_type
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
+
+  // --- host language entropy ------------------------------------------------
+
+  test("hostLangEntropy: monolingual 0, uniform mix = log10(k), twin-exact") {
+    // host 0: 4 docs all "en" -> 0.0; host 1: 2 en + 2 de -> log10 2
+    val docs = Seq(
+      (0L, "en"), (50L, "en"), (100L, "en"), (150L, "en"),
+      (1L, "en"), (51L, "en"), (101L, "de"), (151L, "de")
+    ).toDF("doc_id", "lang")
+    val got = Reports.hostLangEntropy(docs).orderBy("host").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((0L, 4L, 1L, 0.0)))
+    assert(got(1)._2 == 4L && got(1)._3 == 2L)
+    assert(math.abs(got(1)._4 - math.log10(2)) < 1e-5)
+  }
+
   // --- index skew -----------------------------------------------------------
 
   test("indexSkew == brute-force df/share computation") {
