@@ -53,4 +53,32 @@ object Udfs {
   val termCounts: UserDefinedFunction = termCountsFor(Analyzer.default)
   val termCountsNoStem: UserDefinedFunction =
     termCountsFor(Analyzer.noStem(Analyzer.defaultStopWords))
+
+  /** Fielded (BM25F) per-document term counts: analyze ONCE, the first
+    * `titleLen` surviving tokens are the title field; emit per-term
+    * (term, tf_title, tf_body, n_title, n_body) rows — all row-local,
+    * same rationale as [[termCounts]] (the aggregation key is confined
+    * to the row; shuffling raw token occurrences is pure waste, and the
+    * first cut of the fielded chain measured 5× slower doing exactly
+    * that through posexplode + groupBy).
+    */
+  def fieldedTermCounts(titleLen: Int): UserDefinedFunction = {
+    val analyzer = Analyzer.noStem(Analyzer.defaultStopWords)
+    udf((s: String) => {
+      val toks = analyzer.analyze(s)
+      val nT = math.min(toks.length, titleLen).toLong
+      val nB = toks.length - nT
+      val m = scala.collection.mutable
+        .LinkedHashMap.empty[String, (Long, Long)]
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        val (a, b) = m.getOrElse(t, (0L, 0L))
+        if (i < titleLen) m.update(t, (a + 1L, b))
+        else m.update(t, (a, b + 1L))
+        i += 1
+      }
+      m.iterator.map { case (t, (a, b)) => (t, a, b, nT, nB) }.toArray
+    })
+  }
 }

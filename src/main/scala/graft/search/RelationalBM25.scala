@@ -221,8 +221,11 @@ object RelationalBM25 {
     * mirrored literal-for-literal by the oracle's fielded SQL.
     *
     * Plan family: identical to [[topK]] (partial+final aggregates,
-    * broadcast query side, TakeOrderedAndProject) with posexplode
-    * replacing the term-count UDF because positions define the fields.
+    * broadcast query side, TakeOrderedAndProject); the fielded
+    * term-count UDF keeps the field split ROW-LOCAL — one analyze per
+    * document and no token-occurrence shuffle (the posexplode+groupBy
+    * first cut measured 5× slower), and the per-row wdl removes the
+    * doc-length join entirely.
     */
   def topKFielded(docs: DataFrame, query: String, k: Int,
                   titleLen: Int = 8, wTitle: Double = 2.0,
@@ -235,30 +238,24 @@ object RelationalBM25 {
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
     }
-    val stop = Analyzer.defaultStopWords
-    val arr = filter(graft.ops.Tok.terms(col("content")),
-      t => !t.isInCollection(stop))
-    val base = docs.select(col("docId").as("doc_id"), arr.as("arr"))
-      .select(col("doc_id"), col("arr"),
-        (lit(wTitle) * least(size(col("arr")), lit(titleLen)).cast("double") +
-          lit(wBody) * greatest(size(col("arr")) - lit(titleLen), lit(0))
-            .cast("double")).as("wdl"))
-    val ftf = base
-      .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "term")))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(sum(when(col("pos") < lit(titleLen), 1L).otherwise(0L)).as("tft"),
-        sum(when(col("pos") >= lit(titleLen), 1L).otherwise(0L)).as("tfb"))
-      .select(col("doc_id"), col("term"),
-        (lit(wTitle) * col("tft") + lit(wBody) * col("tfb")).as("wtf"))
+    // Row-local fielded term counts (one analyze per doc, no token
+    // shuffle); wdl rides each row, and Σ_terms wtf == wdl per doc, so
+    // avg weighted dl = sum(wtf)/n — the same identity plain BM25 uses
+    // with Σtf == dl (corpusStats) — with no separate doc-length pass.
+    val f = Udfs.fieldedTermCounts(titleLen)
+    val ftf = docs
+      .select(col("docId").as("doc_id"), explode(f(col("content"))).as("c"))
+      .select(col("doc_id"), col("c._1").as("term"),
+        (lit(wTitle) * col("c._2") + lit(wBody) * col("c._3")).as("wtf"),
+        (lit(wTitle) * col("c._4").cast("double") +
+          lit(wBody) * col("c._5").cast("double")).as("wdl"))
     val fdf = ftf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dls = base.select(col("doc_id"), col("wdl"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"))
-      .crossJoin(base.agg(coalesce(sum("wdl"), lit(0.0)).cast("double")
+      .crossJoin(ftf.agg(coalesce(sum("wtf"), lit(0.0)).cast("double")
         .as("tot")))
       .select(col("n"), (col("tot") / col("n")).as("avgdl"))
     ftf.filter(col("term").isin(q.map(_._1): _*))
       .join(fdf, "term")
-      .join(dls, "doc_id")
       .crossJoin(stats)
       .join(broadcast(q.toDF("term", "qtf")), "term")
       .select(col("doc_id"),
