@@ -137,8 +137,9 @@ object Bench {
     "dedup_spans",
     // novelty explodes + hashes every shingle (decontam-class scan, no
     // self-join); dsir explodes 2n-1 hashed features per doc; the sweep
-    // reruns the capped jaccard pair pass
-    "ngram_novelty", "dsir_weights", "dedup_sweep",
+    // reruns the capped jaccard pair pass; snapshot novelty tokenizes
+    // BOTH crawls (two decontam-class scans)
+    "ngram_novelty", "dsir_weights", "dedup_sweep", "snapshot_novelty",
     // iterative connected-components queries: many short jobs each
     // (canonical selection reruns the cluster chain + a window)
     "dedup_components", "dedup_minhash_clusters",

@@ -873,6 +873,12 @@ object SparkEntry {
       ops.Events.intervalJoin(ev, ops.Events.syntheticWindows(ev))
         .orderBy("event_id")
     }),
+    // content-level snapshot churn: distinct-shingle novelty/retention
+    // between crawls (8-byte hashed keys, one max-flag shuffle)
+    "snapshot_novelty" -> ((s, dir) => {
+      val prev = rawDocs(s, dir)
+      ops.Snapshots.contentNovelty(prev, ops.Snapshots.syntheticNext(prev))
+    }),
     // event-type Markov transition matrix: per-user lead pairs, global
     // rollup, row-normalized probabilities
     "w9_transitions" -> ((s, dir) =>
@@ -1413,6 +1419,7 @@ FROM documents ORDER BY media_id""",
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,
       "w8_interval_join" -> ops.Events.intervalJoinSql(),
       "w9_transitions" -> ops.Events.eventTransitionsSql,
+      "snapshot_novelty" -> ops.Snapshots.contentNoveltySql(),
       "host_lang_entropy" -> ops.Reports.hostLangEntropySql(),
       "h4_late_orders" ->
         """SELECT o_orderpriority, count(*) AS n_late

@@ -336,6 +336,32 @@ class Session6OpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._4 - math.log10(2)) < 1e-5)
   }
 
+  // --- snapshot content novelty ---------------------------------------------
+
+  test("contentNovelty == brute-force shingle-set algebra; edge cases") {
+    val rows = randomCorpus(61, nDocs = 150, vocab = 50)
+    val prev = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    // next: drop a fifth, edit a third, add some
+    val nextRows = rows.filterNot(_._1 % 5 == 4).map { r =>
+      (r._1, if (r._1 % 3 == 1) r._2 + " [edited]" else r._2)
+    } ++ rows.filter(_._1 % 7 == 0).map(r => (r._1 + 1000, r._2 + " [new]"))
+    val next = nextRows.toDF("doc_id", "text")
+    val sa = rows.flatMap(r => Dedup.ngrams(r._2, 3)).toSet
+    val sb = nextRows.flatMap(r => Dedup.ngrams(r._2, 3)).toSet
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Snapshots.contentNovelty(prev, next).collect().head
+    assert(r.getLong(0) == sa.size && r.getLong(1) == sb.size)
+    assert(r.getLong(2) == (sb -- sa).size)
+    assert(r.getLong(3) == (sa -- sb).size)
+    assert(r.getLong(4) == (sa & sb).size)
+    assert(r.getDouble(5) == r6((sb -- sa).size.toDouble / sb.size))
+    assert(r.getDouble(6) == r6((sa & sb).size.toDouble / sa.size))
+    // identical snapshots: novelty 0, retention 1
+    val same = Snapshots.contentNovelty(prev, prev).collect().head
+    assert(same.getDouble(5) == 0.0 && same.getDouble(6) == 1.0)
+  }
+
   // --- index skew -----------------------------------------------------------
 
   test("indexSkew == brute-force df/share computation") {
