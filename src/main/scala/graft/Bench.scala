@@ -129,6 +129,8 @@ object Bench {
     "dedup_ngram_jaccard",
     // containment shares the jaccard twin's shingle self-join cost
     "dedup_containment",
+    // ppjoin pays the df join + groupBy-doc + prefix self-join chain
+    "dedup_ppjoin",
     // decontamination tokenizes + explodes the full train side (shingle
     // UDF cost without the pair join)
     "decontam_audit",

@@ -901,7 +901,27 @@ object SparkEntry {
           "left_semi")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
         .orderBy("o_orderpriority")
-    }))
+    }),
+    // EXACT Jaccard pairs via PPJoin prefix filtering — no hot-shingle
+    // cap approximation; rare-first prefixes generate the candidates
+    "dedup_ppjoin" -> ((s, dir) =>
+      ops.Dedup.ppjoinJaccard(rawDocs(s, dir), n = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")),
+    // per-event-type daily volume z-scores from exact integer moments
+    "w10_anomaly" -> ((s, dir) =>
+      ops.Events.dailyAnomalies(ops.Events.load(s, dir))
+        .orderBy("event_type", "day_s")),
+    // lexical-diversity quality signal: TTR / hapax ratio / Guiraud R,
+    // fully row-local
+    "text_ttr" -> ((s, dir) =>
+      ops.TextStats.lexicalDiversity(rawDocs(s, dir)).orderBy("doc_id")),
+    // Flesch / FK readability: row-local regex counters, closed form
+    "text_readability" -> ((s, dir) =>
+      ops.TextStats.readability(rawDocs(s, dir)).orderBy("doc_id")),
+    // Heaps'-law vocabulary growth: first-occurrence device converts the
+    // running-distinct into bucket counts; window over ≤32 rows
+    "vocab_growth" -> ((s, dir) =>
+      ops.Vocab.vocabGrowth(rawDocs(s, dir)).orderBy("bucket")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -975,6 +995,79 @@ object SparkEntry {
           .filter(col("rnk") <= 3)
           .select("r_name", "rnk", "s_name", "revenue")
           .orderBy("r_name", "rnk")
+      }),
+      // grouping-sets shape: ROLLUP(priority, status) with explicit
+      // grouping flags — the OLAP subtotal family (Spark plans it as one
+      // Expand + single hash aggregate: each input row fans to its 3
+      // grouping-set copies map-side, ONE shuffle total, no per-level
+      // re-aggregation). Money through integer cents; rollup NULL slots
+      // coalesced to 'ALL' so the gate never hashes a NULL-vs-'' skew.
+      "h5_rollup" -> ((s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        o.rollup("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            cents(col("o_totalprice")).as("rev_cents"),
+            // lvl computed from the explicit grouping() flags, not
+            // grouping_id(), so the bit order is pinned in BOTH engines
+            (grouping(col("o_orderpriority")) * 2 +
+              grouping(col("o_orderstatus"))).cast("int").as("lvl"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("lvl"), col("n_orders"), col("rev_cents"))
+          .orderBy("lvl", "priority", "status")
+      }),
+      // window-FRAME shape: per-day order revenue with a trailing 7-row
+      // moving average and a running cumulative sum. The window input is
+      // the per-day aggregate — calendar-bounded (≤ ~10^4 rows at ANY
+      // corpus scale), so the unpartitioned ordered frame is a constant-
+      // size tail stage after the one corpus-scale day-keyed shuffle,
+      // not a single-partition sort of the data. Exact integer cents
+      // throughout; the moving average divides two frame-exact integers.
+      "h6_moving_rev" -> ((s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val daily = o.groupBy(
+            // NTZ -> TIMESTAMP (session tz pinned UTC) before the epoch cast
+            unix_timestamp(date_trunc("day",
+              col("o_orderdate").cast("timestamp"))).as("day_s"))
+          .agg(count(lit(1)).as("n_orders"),
+            cents(col("o_totalprice")).as("rev_cents"))
+        val w7 = Window.orderBy("day_s").rowsBetween(-6, 0)
+        val cum = Window.orderBy("day_s")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.select(col("day_s"), col("n_orders"), col("rev_cents"),
+            round(sum("rev_cents").over(w7).cast("double") /
+              count(lit(1)).over(w7).cast("double"), 2).as("ma7_cents"),
+            sum("rev_cents").over(cum).as("cum_cents"))
+          .orderBy("day_s")
+      }),
+      // customer revenue deciles WITHOUT a global-rank ntile: an
+      // unpartitioned ntile window single-partitions the whole customer
+      // table at scale. This is the boundary-assign form — exact
+      // percentile CUTS (bounded executor state, the source_quantiles
+      // device) broadcast back, decile = 1 + #cuts strictly below, then
+      // a 10-row aggregate. Three bounded shuffles, no global sort.
+      // Value-bucketed: revenue ties land in ONE decile (deterministic),
+      // unlike ntile's arbitrary equal-count split of ties.
+      "h7_rev_deciles" -> ((s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        // feeds both the cuts aggregate and the assignment pass — no
+        // subtree sharing in Catalyst, so pin it once
+        val custRev = o.groupBy("o_custkey")
+          .agg(cents(col("o_totalprice")).as("rev"))
+          .localCheckpoint()
+        val cutCols = (1 to 9).map(i =>
+          round(percentile(col("rev"), lit(i / 10.0)), 6).as(s"c$i"))
+        val cuts = custRev.agg(cutCols.head, cutCols.tail: _*)
+        val decile = (1 to 9).map(i =>
+            when(col("rev").cast("double") > col(s"c$i"), 1).otherwise(0))
+          .reduce(_ + _) + 1
+        custRev.crossJoin(broadcast(cuts))
+          .select(col("rev"), decile.as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_customers"),
+            min("rev").as("min_rev_cents"), max("rev").as("max_rev_cents"),
+            sum("rev").as("rev_cents"))
+          .orderBy("decile")
       }))
   }
 
@@ -1152,7 +1245,50 @@ rk AS (SELECT r_name, s_name, revenue,
   row_number() OVER (PARTITION BY r_name ORDER BY revenue DESC, s_suppkey ASC) AS rnk
   FROM j)
 SELECT r_name, rnk, s_name, revenue FROM rk WHERE rnk <= 3
-ORDER BY r_name, rnk""")
+ORDER BY r_name, rnk""",
+      // grouping flags written out per column (GROUPING(a)*2+GROUPING(b))
+      // so the lvl bit order matches the Spark side pin exactly
+      "h5_rollup" ->
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+  coalesce(o_orderstatus, 'ALL') AS status,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER)
+    AS lvl,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+    AS rev_cents
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY lvl, priority, status""",
+      "h6_moving_rev" ->
+        """WITH daily AS (SELECT
+  CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_s,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+    AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT day_s, n_orders, rev_cents,
+  round(CAST(sum(rev_cents) OVER w7 AS DOUBLE) /
+    CAST(count(*) OVER w7 AS DOUBLE), 2) AS ma7_cents,
+  CAST(sum(rev_cents) OVER cum AS BIGINT) AS cum_cents
+FROM daily
+WINDOW w7 AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+  cum AS (ORDER BY day_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day_s""",
+      "h7_rev_deciles" -> {
+        val cuts = (1 to 9)
+          .map(i => s"round(quantile_cont(rev, 0.${i}), 6) AS c$i")
+          .mkString(", ")
+        val dec = (1 to 9)
+          .map(i => s"(CASE WHEN CAST(rev AS DOUBLE) > c$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH cr AS (SELECT o_custkey,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey),
+cuts AS (SELECT $cuts FROM cr),
+d AS (SELECT rev, CAST(1 + $dec AS INTEGER) AS decile FROM cr, cuts)
+SELECT decile, count(*) AS n_customers, min(rev) AS min_rev_cents,
+  max(rev) AS max_rev_cents, CAST(sum(rev) AS BIGINT) AS rev_cents
+FROM d GROUP BY decile ORDER BY decile"""
+      })
   }
 
   private def opsOracleSql: Map[String, String] = {
@@ -1190,6 +1326,26 @@ SELECT id_a, id_b,
        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY id_a, id_b""",
+      // ppjoin twin: brute-force ALL-pairs exact Jaccard with NO cap —
+      // the prefix-filtered plan must reproduce it exactly; the filter
+      // compares the UNROUNDED ratio (the engine's prefix-lemma
+      // threshold), the emitted column is the usual 6-dp rounding
+      "dedup_ppjoin" ->
+        s"""WITH toks AS (SELECT doc_id,
+  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
+ng AS (SELECT DISTINCT doc_id,
+  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 ORDER BY id_a, id_b""",
       // containment twin: same shingle + cap CTEs, min-set-size denominator
       "dedup_containment" ->
@@ -1414,6 +1570,10 @@ FROM documents ORDER BY media_id""",
       "url_dedup" -> ops.Urls.urlDedupSql,
       "url_robots_filter" -> ops.Urls.robotsFilterSql,
       "text_char_entropy" -> ops.TextStats.charEntropySql,
+      "text_ttr" -> ops.TextStats.lexicalDiversitySql,
+      "text_readability" -> ops.TextStats.readabilitySql,
+      "vocab_growth" -> ops.Vocab.vocabGrowthSql(),
+      "w10_anomaly" -> ops.Events.dailyAnomaliesSql(),
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,

@@ -480,4 +480,84 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
         round(col("n_novel").cast("double") /
           col("n_shingles").cast("double"), 6).as("novelty"))
   }
+
+  // --- prefix-filtered set-similarity join (PPJoin family) -----------------
+
+  /** EXACT n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
+    * candidate-generation scheme, Chaudhuri et al. 2006 / Xiao et al.
+    * 2008) — the 100-TB upgrade over [[ngramJaccard]]'s inverted-index
+    * self-join: instead of joining on EVERY shingle (and needing the
+    * hot-shingle df cap, which makes the result approximate on any corpus
+    * with a >cap shingle), each document indexes only its PREFIX — the
+    * first `|A| - ceil(t*|A|) + 1` shingles in a global rare-first order
+    * (df asc, shingle asc). The prefix lemma: J(A,B) >= t implies
+    * `|A inter B| >= t*|A|` (from J = c/(|A|+|B|-c) >= t and |B| >= c), so
+    * any qualifying pair MUST collide inside the joint prefixes — candidate
+    * generation is complete, the result EXACT, with no cap approximation.
+    *
+    * Plan shape at 100 TB:
+    *  - the global order needs no dense rank (a driver-side or
+    *    single-partition hazard): the (df, ngram) pair itself is the
+    *    total order, sorted row-locally per document inside `array_sort`.
+    *  - skew inverts vs the inverted-index join: a stop-phrase shingle
+    *    with df ~ corpus size sits at the END of the order and enters a
+    *    prefix only for documents made almost entirely of hot shingles —
+    *    the quadratic hot-key blowup that forced [[ngramJaccard]]'s cap
+    *    is structurally avoided, not capped away.
+    *  - the length filter (`t*|A| <= |B|` both ways, another J >= t
+    *    consequence) prunes cross-size candidates inside the join
+    *    condition, before the shuffle write of the pair.
+    *  - verification is ROW-LOCAL: candidate pairs re-join the two
+    *    per-doc sorted shingle arrays and `array_intersect` counts the
+    *    exact overlap — no second pass over the corpus, no per-pair
+    *    shuffle. Per-doc array size is bounded by document length.
+    *  - `sets` feeds three consumers (prefixes + both verification
+    *    sides), so it is localCheckpointed once — the no-subtree-sharing
+    *    rule; the corpus tokenizes exactly once.
+    *
+    * The final filter compares the UNROUNDED ratio against `minJaccard`
+    * (the lemma's exact threshold); the emitted `jaccard` column is the
+    * usual 6-dp rounding. Output (id_a, id_b, jaccard), id_a < id_b —
+    * [[ngramJaccard]]'s schema, exact at every corpus size.
+    */
+  def ppjoinJaccard(docs: DataFrame, n: Int, minJaccard: Double,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = minJaccard
+    val ng = docNgrams(docs, n, textCol, idCol)
+    val dfRel = ng.groupBy("ngram").agg(count(lit(1)).as("df"))
+    val sets = ng.join(dfRel, "ngram")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("ngram")))),
+        s => s.getField("ngram")).as("set"))
+      .withColumn("sz", size(col("set")))
+      // the 1e-9 slack keeps `ceil` from landing ONE ABOVE the true
+      // alpha when t*sz sits on an integer that double arithmetic
+      // rounds up past (a too-short prefix would silently drop pairs;
+      // a one-longer prefix only admits extra candidates)
+      .withColumn("plen",
+        (col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .localCheckpoint()
+    val pref = sets.select(col("doc_id"), col("sz"),
+      explode(slice(col("set"), lit(1), col("plen"))).as("ngram"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.ngram") === col("b.ngram") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz").cast("double") >= lit(t) * col("a.sz") - lit(1e-9) &&
+          col("a.sz").cast("double") >= lit(t) * col("b.sz") - lit(1e-9))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
+        col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("common"),
+        col("sz_a"), col("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("j"))
+      .filter(col("j") >= t)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
 }

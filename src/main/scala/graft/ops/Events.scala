@@ -437,4 +437,65 @@ SELECT e.event_id, e.es, CAST(j.wid AS INTEGER) AS wid,
 FROM e LEFT JOIN (SELECT event_id, wid, ws FROM j WHERE rn = 1) j
   USING (event_id)
 ORDER BY event_id"""
+
+  /** Daily volume ANOMALY flags per event type — the monitoring query
+    * every event pipeline runs against itself ("did checkout volume fall
+    * off a cliff on Tuesday?"): for each (event_type, day), the day's
+    * event count, its z-score against the type's own daily history, and
+    * an `is_anomaly` flag at |z| > 2.
+    *
+    * Exactness device: mean/stddev from floating accumulation
+    * (`stddev_samp`) is summation-order-sensitive and would flicker a
+    * cross-engine hash gate. Instead the per-type moments are EXACT
+    * INTEGERS — n days, sum(c), sum(c*c) over integer daily counts — and
+    * the population z-score is computed from them in closed form:
+    * `z = (n*c - S1) / sqrt(n*S2 - S1^2)`, one deterministic sqrt and one
+    * division per row, identical IEEE in both engines, 6-dp rounded. A
+    * constant-volume type (zero variance) gets z = null, never a 0/0.
+    *
+    * Plan shape at 100 TB: ONE corpus-scale shuffle — the (event_type,
+    * day) partial+final count; everything after runs on the tiny
+    * (types x days) table (calendar-bounded, not data-bounded): a
+    * type-keyed moment aggregate and a broadcast-sized join back.
+    * Day keys are epoch-seconds BIGINTs (the [[tumblingCounts]]
+    * convention) so the gate never hashes engine-specific date types.
+    */
+  def dailyAnomalies(events: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+      .groupBy("event_type", "day_s").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mom = daily.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    daily.join(mom, col("event_type") === col("et"))
+      .select(col("event_type"), col("day_s"), col("c"),
+        (col("n") * col("s2") - col("s1") * col("s1")).as("varnum"),
+        (col("n") * col("c") - col("s1")).as("znum"))
+      .select(col("event_type"), col("day_s"), col("c"),
+        when(col("varnum") > 0L,
+          round(col("znum").cast("double") /
+            sqrt(col("varnum").cast("double")), 6)).as("z"))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull && abs(col("z")) > zCut, lit(1))
+          .otherwise(lit(0)))
+  }
+
+  /** DuckDB twin of [[dailyAnomalies]] — same integer-moment closed form. */
+  def dailyAnomaliesSql(zCut: Double = 2.0): String =
+    s"""WITH d AS (SELECT event_type,
+  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, count(*) AS c
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
+  CAST(sum(c * c) AS BIGINT) AS s2 FROM d GROUP BY event_type)
+SELECT d.event_type, d.day_s, CAST(d.c AS BIGINT) AS c,
+  CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+    round(CAST(m.n * d.c - m.s1 AS DOUBLE) /
+      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6) END AS z,
+  CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0 AND
+    abs(round(CAST(m.n * d.c - m.s1 AS DOUBLE) /
+      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6)) > $zCut
+    THEN 1 ELSE 0 END AS is_anomaly
+FROM d JOIN m USING (event_type) ORDER BY event_type, day_s"""
 }

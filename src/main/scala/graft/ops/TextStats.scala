@@ -592,4 +592,147 @@ SELECT d.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_chars_used,
     AS char_entropy
 FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN mic USING (doc_id)
 ORDER BY d.doc_id"""
+
+  /** Per-document LEXICAL DIVERSITY — the vocabulary-richness quality
+    * signal (template/SEO-spam text repeats a tiny vocabulary; natural
+    * prose does not): token count, distinct-type count, hapax count
+    * (types occurring exactly once), type-token ratio, hapax ratio, and
+    * Guiraud's R = types/sqrt(tokens) (the length-corrected TTR — raw TTR
+    * decays with document length, so cross-length filtering thresholds
+    * are set on R, not TTR). Tokenization is the shared [[Tok]] standard.
+    *
+    * Plan shape at 100 TB: entirely ROW-LOCAL — one narrow projection
+    * computing all six columns from the token array with codegen'd
+    * collection HOFs (`array_distinct`, `aggregate` over the sorted
+    * array for the hapax count), zero shuffles, zero UDFs. Every doc
+    * appears; empty/token-free docs get 0 counts and null ratios.
+    *
+    * Hapax device: sorting the token array groups equal tokens adjacently,
+    * so "occurs exactly once" is a neighbor test — `filter(sorted, (x, i)
+    * -> x != neighbor_left and x != neighbor_right)` — linear per row, no
+    * per-doc groupBy. Ratios are divisions of exact ints, 6-dp rounded;
+    * sqrt is a single deterministic IEEE op, identical in DuckDB.
+    */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val ts = graft.ops.Tok.terms(col(textCol))
+    val sorted = array_sort(ts)
+    // neighbor test over the sorted array: element i is hapax iff it
+    // differs from both neighbors (`get` is 0-based and returns NULL out
+    // of bounds even under ANSI mode; null-safe <=> then makes the edge
+    // comparisons false, so both ends test correctly)
+    val hapax = size(filter(sorted, (x, i) =>
+      !(x <=> get(sorted, i + 1)) && !(x <=> get(sorted, i - 1))))
+    docs.select(col(idCol),
+        size(ts).as("n_tokens"),
+        size(array_distinct(ts)).as("n_types"),
+        hapax.as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("ttr"),
+        when(col("n_tokens") > 0,
+          round(col("n_hapax").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("hapax_ratio"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") /
+            sqrt(col("n_tokens").cast("double")), 6)).as("guiraud_r"))
+  }
+
+  /** DuckDB twin of [[lexicalDiversity]] — unnest + per-doc counts
+    * instead of the array neighbor test, same ratios.
+    */
+  val lexicalDiversitySql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${graft.ops.Tok.termsSql()}) AS tok
+  FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.n_types, 0) AS n_types, coalesce(a.n_hapax, 0) AS n_hapax,
+  CASE WHEN a.n_tokens > 0 THEN
+    round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) END AS ttr,
+  CASE WHEN a.n_tokens > 0 THEN
+    round(CAST(a.n_hapax AS DOUBLE) / a.n_tokens, 6) END AS hapax_ratio,
+  CASE WHEN a.n_tokens > 0 THEN
+    round(CAST(a.n_types AS DOUBLE) / sqrt(CAST(a.n_tokens AS DOUBLE)), 6)
+    END AS guiraud_r
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+
+  /** Per-document READABILITY — Flesch Reading Ease and Flesch–Kincaid
+    * grade from the classic closed-form heuristics (the pretraining-mix
+    * "is this prose or word salad / legalese" signal, and the standard
+    * difficulty stratifier for curriculum ordering):
+    *  - sentences: maximal `[.!?]+` runs followed by whitespace-or-end,
+    *    floored at 1 for non-empty text (headline-style docs).
+    *  - words: whitespace-delimited alnum-bearing tokens.
+    *  - syllables: vowel-group runs `[aeiouyAEIOUY]+` across the text,
+    *    plus one for every word with no vowel at all (the per-word
+    *    min-1 rule, counted without a per-word loop).
+    * FRE = 206.835 - 1.015·(W/S) - 84.6·(Syl/W); FKGL = 0.39·(W/S) +
+    * 11.8·(Syl/W) - 15.59, both 6-dp. Null when the doc has no words.
+    *
+    * Plan shape at 100 TB: entirely ROW-LOCAL — one narrow projection,
+    * three codegen'd regex counters, zero shuffles, zero UDFs. All three
+    * raw counters are exact integers, so the two scores are the same
+    * literal double expression in both engines (identical op order),
+    * deterministic at 6 dp.
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"),
+      w => w.rlike("[a-zA-Z0-9]"))
+    val sentRuns = size(regexp_extract_all(col(textCol),
+      lit("[.!?]+(\\s|$)"), lit(0)))
+    val vowelRuns = size(regexp_extract_all(col(textCol),
+      lit("[aeiouyAEIOUY]+"), lit(0)))
+    val noVowelWords = size(filter(words, w => !w.rlike("[aeiouyAEIOUY]")))
+    docs.select(col(idCol),
+        size(words).as("n_words"),
+        when(size(words) > 0, greatest(sentRuns, lit(1)))
+          .otherwise(lit(0)).as("n_sentences"),
+        (vowelRuns + noVowelWords).as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6)).as("fre"),
+        when(col("n_words") > 0,
+          round(lit(0.39) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")) - lit(15.59), 6)).as("fk_grade"))
+  }
+
+  /** DuckDB twin of [[readability]] — same counters, same literal
+    * double expression order.
+    */
+  val readabilitySql: String =
+    """WITH c AS (SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'),
+    w -> regexp_matches(w, '[a-zA-Z0-9]'))) AS n_words,
+  len(regexp_extract_all(text, '[.!?]+(\s|$)')) AS sent_runs,
+  len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS vowel_runs,
+  len(list_filter(regexp_split_to_array(text, '\s+'),
+    w -> regexp_matches(w, '[a-zA-Z0-9]') AND
+      NOT regexp_matches(w, '[aeiouyAEIOUY]'))) AS no_vowel_words
+  FROM documents),
+n AS (SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  CAST(CASE WHEN n_words > 0 THEN greatest(sent_runs, 1) ELSE 0 END
+    AS INTEGER) AS n_sentences,
+  CAST(vowel_runs + no_vowel_words AS INTEGER) AS n_syllables FROM c)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN
+    round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) END AS fre,
+  CASE WHEN n_words > 0 THEN
+    round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+    END AS fk_grade
+FROM n ORDER BY doc_id"""
 }

@@ -144,6 +144,77 @@ ORDER BY cnt DESC, term ASC LIMIT $k"""
   /** DuckDB twin of [[bpePairs]] — same tokenizer, dictionary weighting,
     * pair extraction (1-based substr windows), and tie rule.
     */
+  /** HEAPS'-LAW vocabulary growth curve — the scaling-planning number for
+    * tokenizer/vocab design ("how fast does the type inventory grow as the
+    * corpus grows?"): cumulative token count and cumulative DISTINCT-type
+    * count at `buckets` checkpoints of doc_id order. Fitting V = K·N^beta
+    * to this curve is how vocab sizes and dictionary-vs-fallback encode
+    * decisions get made before a full build.
+    *
+    * Plan shape at 100 TB: the naive form (running COUNT DISTINCT over a
+    * doc-ordered window) holds unbounded state and a doc-scale
+    * single-partition window. This form is bounded everywhere:
+    *  - a type's contribution to the curve is its FIRST occurrence, so
+    *    `min(doc_id) per term` (one term-keyed shuffle) converts the
+    *    running-distinct into an ordinary count: vocab at checkpoint b =
+    *    #{terms whose first doc lands in buckets <= b}.
+    *  - token counts are row-local (`size(terms)`), aggregated per bucket.
+    *  - bucket = (doc_id * buckets) integer-div (max_id + 1) — integer
+    *    arithmetic, engine-identical; the span rides the established
+    *    1-row broadcast.
+    *  - the cumulative window runs over the BUCKET table (`buckets` rows
+    *    at any corpus size), never the corpus.
+    * Output (bucket, n_docs, tokens, new_types, tokens_cum, vocab_cum),
+    * one row per non-empty bucket. Tokenization is the shared [[Tok]]
+    * standard (no stop filter — growth curves want the full inventory).
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 32): DataFrame = {
+    val span = docs.agg((max(col("doc_id")) + 1L).as("span"))
+    val withB = docs
+      .select(col("doc_id"), Tok.terms(col("text")).as("ts"))
+      .crossJoin(broadcast(span))
+      .select(expr(s"(doc_id * $buckets) div span").as("bucket"),
+        col("doc_id"), col("ts"))
+      .localCheckpoint()
+    val perBucket = withB.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("ts"))).as("tokens"))
+    val firstDoc = withB
+      .select(col("bucket"), col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy("term").agg(min(struct(col("doc_id"), col("bucket"))).as("f"))
+      .groupBy(col("f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(firstDoc, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"), col("n_docs"), col("tokens"), col("new_types"),
+        sum("tokens").over(wCum).as("tokens_cum"),
+        sum("new_types").over(wCum).as("vocab_cum"))
+  }
+
+  /** DuckDB twin of [[vocabGrowth]]. */
+  def vocabGrowthSql(buckets: Int = 32): String =
+    s"""WITH span AS (SELECT max(doc_id) + 1 AS s FROM documents),
+d AS (SELECT doc_id, (doc_id * $buckets) // (SELECT s FROM span) AS bucket,
+  ${Tok.termsSql()} AS ts FROM documents),
+pb AS (SELECT bucket, count(*) AS n_docs,
+  CAST(sum(len(ts)) AS BIGINT) AS tokens FROM d GROUP BY bucket),
+tok AS (SELECT doc_id, bucket, unnest(ts) AS term FROM d),
+fd AS (SELECT term, min(struct_pack(doc_id := doc_id,
+    bucket := bucket)) AS f
+  FROM tok GROUP BY term),
+nt AS (SELECT f.bucket AS bucket, count(*) AS new_types FROM fd
+  GROUP BY f.bucket)
+SELECT pb.bucket, pb.n_docs, pb.tokens,
+  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+  CAST(sum(pb.tokens) OVER w AS BIGINT) AS tokens_cum,
+  CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM pb LEFT JOIN nt USING (bucket)
+WINDOW w AS (ORDER BY pb.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+  AND CURRENT ROW)
+ORDER BY pb.bucket"""
+
   def bpePairsSql(k: Int = 20): String =
     s"""WITH t AS (SELECT unnest(${Tok.termsSql()}) AS term FROM documents),
 v AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),

@@ -169,6 +169,31 @@ object Explain {
       "rows, never vocabulary-scale)") {
       graft.ops.Reports.indexSkew(rawDocs)
     }
+    show("dedup_ppjoin (expect df join + doc-keyed set build, prefix " +
+      "SELF-EQUI-join on the shingle — no CartesianProduct, no nested " +
+      "loop — and ROW-LOCAL array_intersect verification: the corpus is " +
+      "tokenized once behind the localCheckpoint)") {
+      graft.ops.Dedup.ppjoinJaccard(rawDocs, n = 3, minJaccard = 0.5)
+    }
+    show("w10_anomaly (expect ONE corpus-scale (type,day) partial+final " +
+      "count — the only data-bounded exchange; moments + join back run " +
+      "on the calendar-bounded daily table)") {
+      graft.ops.Events.dailyAnomalies(graft.ops.Events.load(spark, sfDir))
+    }
+    show("text_ttr (expect one narrow Project pass over documents — no " +
+      "Exchange, no Generate, no UDF: codegen'd collection HOFs only)") {
+      graft.ops.TextStats.lexicalDiversity(rawDocs)
+    }
+    show("h5_rollup (expect ONE Expand into a SINGLE partial+final " +
+      "HashAggregate — 3 grouping-set copies map-side, one shuffle, no " +
+      "per-level re-aggregation)") {
+      graft.SparkEntry.queries("h5_rollup")(spark, sfDir)
+    }
+    show("h6_moving_rev (expect the day-keyed partial+final aggregate as " +
+      "the only corpus-scale exchange; the unpartitioned window frames " +
+      "run on the calendar-bounded daily aggregate)") {
+      graft.SparkEntry.queries("h6_moving_rev")(spark, sfDir)
+    }
     show("w8_interval_join (expect slab EQUI-join — no " +
       "BroadcastNestedLoopJoin with a range condition — containment as " +
       "a post-join Filter, per-event max(struct) argmax, left join back)") {
