@@ -726,7 +726,10 @@ object Bench {
               "colloc_pmi",
               // text_bigram_lp's interpolated-LM join tree
               // (probe: 4.2 s cold vs 0.4 s warm)
-              "text_bigram_lp")
+              "text_bigram_lp",
+              // dedup_ppjoin's prefix-join + array-verify tree
+              // (probe: 9.5 s cold vs 3.6 s warm)
+              "dedup_ppjoin")
               .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })

@@ -1327,26 +1327,9 @@ SELECT id_a, id_b,
 FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
 ORDER BY id_a, id_b""",
-      // ppjoin twin: brute-force ALL-pairs exact Jaccard with NO cap —
-      // the prefix-filtered plan must reproduce it exactly; the filter
-      // compares the UNROUNDED ratio (the engine's prefix-lemma
-      // threshold), the emitted column is the usual 6-dp rounding
-      "dedup_ppjoin" ->
-        s"""WITH toks AS (SELECT doc_id,
-  list_transform($alnum, x -> lower(x)) AS arr FROM documents),
-ng AS (SELECT DISTINCT doc_id,
-  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ngram
-  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
-  WHERE i <= len(arr) - 2),
-sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
-pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-       GROUP BY 1, 2)
-SELECT id_a, id_b,
-       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
-FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
-ORDER BY id_a, id_b""",
+      // ppjoin twin: brute-force ALL-pairs exact Jaccard with NO cap over
+      // the same FNV-hashed shingle sets — see DedupOracleSql.ppjoinSql
+      "dedup_ppjoin" -> ops.DedupOracleSql.ppjoinSql(),
       // containment twin: same shingle + cap CTEs, min-set-size denominator
       "dedup_containment" ->
         s"""WITH toks AS (SELECT doc_id,

@@ -490,14 +490,14 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
     * hot-shingle df cap, which makes the result approximate on any corpus
     * with a >cap shingle), each document indexes only its PREFIX — the
     * first `|A| - ceil(t*|A|) + 1` shingles in a global rare-first order
-    * (df asc, shingle asc). The prefix lemma: J(A,B) >= t implies
+    * (df asc, shingle-hash asc). The prefix lemma: J(A,B) >= t implies
     * `|A inter B| >= t*|A|` (from J = c/(|A|+|B|-c) >= t and |B| >= c), so
     * any qualifying pair MUST collide inside the joint prefixes — candidate
     * generation is complete, the result EXACT, with no cap approximation.
     *
     * Plan shape at 100 TB:
     *  - the global order needs no dense rank (a driver-side or
-    *    single-partition hazard): the (df, ngram) pair itself is the
+    *    single-partition hazard): the (df, hash) pair itself is the
     *    total order, sorted row-locally per document inside `array_sort`.
     *  - skew inverts vs the inverted-index join: a stop-phrase shingle
     *    with df ~ corpus size sits at the END of the order and enters a
@@ -523,12 +523,29 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
   def ppjoinJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = minJaccard
-    val ng = docNgrams(docs, n, textCol, idCol)
-    val dfRel = ng.groupBy("ngram").agg(count(lit(1)).as("df"))
-    val sets = ng.join(dfRel, "ngram")
+    // shingles are FNV-hashed to 8-byte keys MAP-SIDE (the [[Spans]] /
+    // [[ngramNovelty]] discipline — shingle strings never cross the
+    // wire): every downstream shuffle, the per-doc sorted sets, and the
+    // array_intersect verification all run on longs. 64-bit fingerprint
+    // identity is the standard at-scale approximation; the oracle applies
+    // the identical hash, so the gate stays exact. The first cut of this
+    // operator shuffled raw shingle strings three times and benched 9.1 s
+    // at sf0.1 — 2.6x the capped jaccard it is supposed to upgrade.
+    // per-doc DISTINCT is row-local inside the UDF — the (doc, shingle)
+    // relation enters the plan already deduplicated, so no corpus-scale
+    // distinct exchange exists at all
+    val shingleSet = udf((s: String) => ngrams(s, n).map(fnv1a64).distinct)
+    val ngh = docs.select(col(idCol).as("doc_id"),
+      explode(shingleSet(col(textCol))).as("h"))
+    // df via a COUNT WINDOW over the hash partition, not groupBy + join
+    // back: the join form re-reads (re-tokenizes) the shingle relation —
+    // Catalyst shares no subtrees — and pays a second corpus-scale
+    // exchange; the window form is one 8-byte-key exchange, count-only
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val sets = ngh.withColumn("df", count(lit(1)).over(wdf))
       .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("ngram")))),
-        s => s.getField("ngram")).as("set"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+        s => s.getField("h")).as("set"))
       .withColumn("sz", size(col("set")))
       // the 1e-9 slack keeps `ceil` from landing ONE ABOVE the true
       // alpha when t*sz sits on an integer that double arithmetic
@@ -538,19 +555,29 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
         (col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .localCheckpoint()
     val pref = sets.select(col("doc_id"), col("sz"),
-      explode(slice(col("set"), lit(1), col("plen"))).as("ngram"))
+      explode(slice(col("set"), lit(1), col("plen"))).as("h"))
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.ngram") === col("b.ngram") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.sz").cast("double") >= lit(t) * col("a.sz") - lit(1e-9) &&
           col("a.sz").cast("double") >= lit(t) * col("b.sz") - lit(1e-9))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
-        col("sz").as("sz_b")), "id_b")
+    // verification fetch: CAND is broadcast (near-dup-pair-scale — tiny
+    // next to the corpus) so the wide per-doc array relation STREAMS
+    // through two broadcast hash joins with no exchange of the arrays;
+    // the residual equi-join is candidate-scale x candidate-scale. If a
+    // pathological corpus ever outgrew the broadcast, dropping the hint
+    // falls back to sort-merge — correctness unchanged.
+    val candB = broadcast(cand)
+    val aSide = sets.join(candB, col("doc_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("set").as("set_a"),
+        col("sz").as("sz_a"))
+    val bSide = sets.join(candB, col("doc_id") === col("id_b"))
+      .select(col("id_a").as("ia"), col("id_b").as("ib"),
+        col("set").as("set_b"), col("sz").as("sz_b"))
+    aSide.join(bSide,
+        col("id_a") === col("ia") && col("id_b") === col("ib"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("common"),
         col("sz_a"), col("sz_b"))

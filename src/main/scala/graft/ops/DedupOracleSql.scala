@@ -177,6 +177,33 @@ FROM lab JOIN szc USING (comp_id) ORDER BY doc_id"""
     * concatenation, FNV-1a64 hash, distinct-(doc,hash) base, df count,
     * and per-doc rollup.
     */
+  /** SQL twin of [[Dedup.ppjoinJaccard]]: brute-force ALL-pairs exact
+    * Jaccard with NO cap over the SAME FNV-hashed distinct shingle sets
+    * the engine uses (the [[ngramNoveltySql]] hash CTE) — the
+    * prefix-filtered plan must reproduce it exactly. The filter compares
+    * the UNROUNDED ratio (the engine's prefix-lemma threshold); the
+    * emitted column is the usual 6-dp rounding.
+    */
+  def ppjoinSql(n: Int = 3, minJaccard: Double = 0.5): String = {
+    val ngramConcat = (0 until n).map(j =>
+      if (j == 0) "arr[i]" else s"arr[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, list_transform($alnum, x -> lower(x)) AS arr
+  FROM documents),
+ng AS (SELECT DISTINCT doc_id, $ngramConcat AS ngram
+  FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM toks)
+  WHERE i <= len(arr) - ${n - 1}),
+ngh AS (SELECT DISTINCT doc_id, ${fnvSql("ngram")} AS h FROM ng),
+sz AS (SELECT doc_id, count(*) AS sz FROM ngh GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ngh a JOIN ngh b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= $minJaccard
+ORDER BY id_a, id_b"""
+  }
+
   def ngramNoveltySql(n: Int = 3): String = {
     val ngramConcat = (0 until n).map(j =>
       if (j == 0) "arr[i]" else s"arr[i+$j]").mkString(" || ' ' || ")
