@@ -125,7 +125,10 @@ object Bench {
     // plan family; the broadcast batch form and suggest are tier-2
     "ep2_wand_many_tbl").zipWithIndex.toMap
   private val breadthExpensive = Seq(
-    "dedup_embed_cosine", "ann_lsh", "dedup_minhash_lsh",
+    "dedup_embed_cosine",
+    // the sweep reruns the blocked pair grid at the loosest threshold
+    "embed_sweep",
+    "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     // containment shares the jaccard twin's shingle self-join cost
     "dedup_containment",

@@ -921,7 +921,15 @@ object SparkEntry {
     // Heaps'-law vocabulary growth: first-occurrence device converts the
     // running-distinct into bucket counts; window over ≤32 rows
     "vocab_growth" -> ((s, dir) =>
-      ops.Vocab.vocabGrowth(rawDocs(s, dir)).orderBy("bucket")))
+      ops.Vocab.vocabGrowth(rawDocs(s, dir)).orderBy("bucket")),
+    // embedding-side threshold sweep: one blocked-exact pair pass at the
+    // loosest tau, one aggregate per threshold after
+    "embed_sweep" -> ((s, dir) =>
+      ops.Similarity.cosineSweep(
+        s.read.parquet(s"$dir/embeddings.parquet")).orderBy("tau")),
+    // politeness-wave frontier schedule: two bounded windows
+    "crawl_frontier" -> ((s, dir) =>
+      ops.Urls.crawlFrontier(rawDocs(s, dir)).orderBy("wave", "slot")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1556,6 +1564,8 @@ FROM documents ORDER BY media_id""",
       "text_ttr" -> ops.TextStats.lexicalDiversitySql,
       "text_readability" -> ops.TextStats.readabilitySql,
       "vocab_growth" -> ops.Vocab.vocabGrowthSql(),
+      "embed_sweep" -> ops.Similarity.cosineSweepSql(),
+      "crawl_frontier" -> ops.Urls.crawlFrontierSql,
       "w10_anomaly" -> ops.Events.dailyAnomaliesSql(),
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),

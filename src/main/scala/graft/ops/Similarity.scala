@@ -359,6 +359,62 @@ object Similarity {
     * (idCol, cid, max_cos, keep) for every input vector, max_cos = the
     * highest over-tau cosine to a lower-id cluster-mate (null for keeps).
     */
+  val sweepTaus: Seq[Double] = Seq(0.3, 0.45, 0.6, 0.75, 0.9)
+
+  /** Embedding-side THRESHOLD SWEEP — the tuning curve for semantic
+    * dedup (the companion to the shingle-side `dedup_sweep`): at each
+    * candidate cosine threshold, how many near-dup pairs fire and how
+    * many distinct documents they touch. This is the table a pipeline
+    * owner reads before committing a SemDeDup tau — too low deletes the
+    * corpus, too high keeps the dupes.
+    *
+    * Plan shape at 100 TB: ONE [[cosinePairs]] pass at the LOOSEST
+    * threshold (the established blocked-exact grid — the only
+    * corpus-scale work), localCheckpointed; each threshold is then one
+    * aggregate over the near-dup-pair-scale table. The explode-to-ids
+    * trick folds both metrics into a single aggregate per threshold
+    * (each pair contributes exactly 2 id rows, so n_pairs = rows/2 and
+    * n_docs = count distinct id — no second pass, no join). The
+    * threshold loop is config-bounded (|taus| frames unioned), not
+    * data-dependent.
+    */
+  def cosineSweep(embeddings: DataFrame,
+                  taus: Seq[Double] = sweepTaus): DataFrame = {
+    val pairs = cosinePairs(embeddings, taus.min).localCheckpoint()
+    taus.sorted.map { t =>
+      pairs.filter(col("cos") >= t)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct("id").as("n_docs"))
+        .select(lit(t).as("tau"), col("n_pairs"), col("n_docs"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB twin of [[cosineSweep]]: brute all-pairs at the loosest
+    * threshold, LEFT-joined per threshold so zero-pair thresholds emit
+    * (tau, 0, 0) exactly like the engine's empty aggregate.
+    */
+  def cosineSweepSql(taus: Seq[Double] = sweepTaus): String = {
+    val tausSql = taus.sorted.map(t => s"($t)").mkString(", ")
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b, round(dot / (na.nv * nb.nv), 6) AS cos
+  FROM dots JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+  WHERE round(dot / (na.nv * nb.nv), 6) >= ${taus.min}),
+expl AS (SELECT id_a AS id, cos FROM pairs
+  UNION ALL SELECT id_b AS id, cos FROM pairs),
+taus(tau) AS (VALUES $tausSql)
+SELECT CAST(t.tau AS DOUBLE) AS tau,
+  CAST(count(e.id) // 2 AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT e.id) AS BIGINT) AS n_docs
+FROM taus t LEFT JOIN expl e ON e.cos >= t.tau
+GROUP BY t.tau ORDER BY t.tau"""
+  }
+
   def semDedup(embeddings: DataFrame, tau: Double, nlist: Int = 16,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(embeddings, nlist, idCol, vecCol)

@@ -266,4 +266,42 @@ m AS (SELECT s5.doc_id, s5.host, s5.path,
 SELECT doc_id, host, path, m[3] AS matched_prefix,
        coalesce(m[2], 1) AS allowed
 FROM m ORDER BY doc_id"""
+
+  /** CRAWL-FRONTIER politeness schedule — the fetch-ordering stage between
+    * URL dedup and the fetcher fleet: a crawler must never hammer one
+    * host, so the frontier is laid out in WAVES — wave w fetches at most
+    * ONE URL per host, hosts interleaved. `wave` = the URL's position in
+    * its host's discovery-order queue; `slot` = its deterministic position
+    * inside the wave (host asc, id asc — the dispatch order a fetcher
+    * fleet drains). Hosts ride the same synthetic derivation as the
+    * [[syntheticUrl]] family (`doc_id % 40 % 7`).
+    *
+    * Plan shape at 100 TB: two bounded windows — the wave number is a
+    * host-partitioned row_number (ONE host-keyed shuffle; per-partition
+    * state is a counter), the slot a wave-partitioned row_number (wave
+    * cardinality = the largest per-host queue; each wave holds at most
+    * one URL per host, so partitions are host-count-bounded). A mega-host
+    * produces many waves, never a big partition — skew turns into MORE
+    * partitions, not bigger ones. No global sort, no driver state.
+    */
+  def crawlFrontier(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val host = concat(lit("news-site"),
+      (col(idCol) % 40 % 7).cast("string"), lit(".example.org"))
+    val wWave = Window.partitionBy("host").orderBy(idCol)
+    val wSlot = Window.partitionBy("wave").orderBy(col("host"), col(idCol))
+    docs.select(col(idCol), host.as("host"))
+      .withColumn("wave", row_number().over(wWave).cast("long"))
+      .withColumn("slot", row_number().over(wSlot).cast("long"))
+  }
+
+  /** DuckDB twin of [[crawlFrontier]]. */
+  def crawlFrontierSql: String =
+    """WITH u AS (SELECT doc_id,
+  'news-site' || (doc_id % 40 % 7) || '.example.org' AS host FROM documents),
+w AS (SELECT doc_id, host,
+  row_number() OVER (PARTITION BY host ORDER BY doc_id) AS wave FROM u)
+SELECT doc_id, host, wave,
+  row_number() OVER (PARTITION BY wave ORDER BY host, doc_id) AS slot
+FROM w ORDER BY wave, slot"""
 }

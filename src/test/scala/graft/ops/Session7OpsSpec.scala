@@ -273,6 +273,56 @@ class Session7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineSweep == brute-force threshold curve on sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.collect().map(x =>
+      (x.getLong(0), x.getSeq[Float](1).map(_.toDouble).toArray))
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val nv = vecs.map { case (id, v) => (id, normed(v)) }
+    val taus = Similarity.sweepTaus
+    val pairs = for {
+      i <- nv.indices; j <- (i + 1) until nv.size
+      // sequential fold in index order — the engine's fastDot order
+      c = rr6((nv(i)._2, nv(j)._2).zipped.map(_ * _).foldLeft(0.0)(_ + _))
+      if c >= taus.min
+    } yield (math.min(nv(i)._1, nv(j)._1), math.max(nv(i)._1, nv(j)._1), c)
+    val got = Similarity.cosineSweep(emb).collect()
+      .map(x => x.getDouble(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    for (t <- taus) {
+      val f = pairs.filter(_._3 >= t)
+      val docs = f.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(got(t) == ((f.size.toLong, docs.size.toLong)), s"tau $t")
+    }
+    assert(got.size == taus.size)
+  }
+
+  test("crawlFrontier: politeness waves == brute-force double row_number") {
+    val rnd = new scala.util.Random(23)
+    // non-contiguous ids so host queues have ragged lengths
+    val ids = (0L until 400L).filter(_ => rnd.nextDouble() < 0.6)
+    val docs = ids.map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val got = Urls.crawlFrontier(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    def hostOf(id: Long) = s"news-site${id % 40 % 7}.example.org"
+    val wave = ids.groupBy(hostOf).flatMap { case (_, g) =>
+      g.sorted.zipWithIndex.map { case (id, i) => id -> (i + 1L) }
+    }
+    val slot = ids.groupBy(wave).flatMap { case (_, g) =>
+      g.toSeq.sortBy(id => (hostOf(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }
+    }
+    for (id <- ids)
+      assert(got(id) == ((hostOf(id), wave(id), slot(id))), s"id $id")
+    // politeness invariant: within a wave every host appears at most once
+    val byWave = ids.groupBy(wave)
+    for ((w, g) <- byWave)
+      assert(g.map(hostOf).distinct.size == g.size, s"wave $w")
+  }
+
   test("h7_rev_deciles: boundary-assign == interpolated-percentile brute force") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("h7_rev_deciles")(spark, dir).collect()
