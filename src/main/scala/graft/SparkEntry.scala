@@ -929,7 +929,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet")).orderBy("tau")),
     // politeness-wave frontier schedule: two bounded windows
     "crawl_frontier" -> ((s, dir) =>
-      ops.Urls.crawlFrontier(rawDocs(s, dir)).orderBy("wave", "slot")))
+      ops.Urls.crawlFrontier(rawDocs(s, dir)).orderBy("wave", "slot")),
+    // sliding (hopping) 1h/15m windows: 4-row map-side Expand, one shuffle
+    "w11_sliding" -> ((s, dir) =>
+      ops.Events.slidingCounts(ops.Events.load(s, dir))
+        .orderBy("ws", "event_type")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1076,6 +1080,32 @@ object SparkEntry {
             min("rev").as("min_rev_cents"), max("rev").as("max_rev_cents"),
             sum("rev").as("rev_cents"))
           .orderBy("decile")
+      }),
+      // market-basket pairwise co-occurrence with lift: the frequent-
+      // itemset family (k=2). The self-join keys on the ORDER, so fan-out
+      // is bounded by basket size squared (TPC-H baskets are ~4-7 lines),
+      // never corpus-quadratic; support counts shuffle on the (a,b) pair,
+      // part marginals join back on the part key. Lift from exact integer
+      // counts: n_baskets * support / (c_a * c_b), 6-dp.
+      "h8_basket_lift" -> ((s, dir) => {
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint() // feeds pairs, marginals, and the basket count
+        val nBaskets = l.select("ok").distinct().count()
+        val cnt = l.groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = l.as("a").join(l.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+          .agg(count(lit(1)).as("support"))
+        pairs
+          .join(cnt.select(col("pk").as("part_a"), col("c").as("ca")), "part_a")
+          .join(cnt.select(col("pk").as("part_b"), col("c").as("cb")), "part_b")
+          .select(col("part_a"), col("part_b"), col("support"),
+            round(lit(nBaskets).cast("double") * col("support") /
+              (col("ca") * col("cb")), 6).as("lift"))
+          .orderBy(col("support").desc, col("part_a"), col("part_b"))
+          .limit(20)
       }))
   }
 
@@ -1296,7 +1326,18 @@ d AS (SELECT rev, CAST(1 + $dec AS INTEGER) AS decile FROM cr, cuts)
 SELECT decile, count(*) AS n_customers, min(rev) AS min_rev_cents,
   max(rev) AS max_rev_cents, CAST(sum(rev) AS BIGINT) AS rev_cents
 FROM d GROUP BY decile ORDER BY decile"""
-      })
+      },
+      "h8_basket_lift" ->
+        """WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem),
+nb AS (SELECT count(DISTINCT ok) AS n FROM l),
+cnt AS (SELECT pk, count(*) AS c FROM l GROUP BY pk),
+pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+  round(CAST(nb.n AS DOUBLE) * support / (ca.c * cb.c), 6) AS lift
+FROM pr JOIN cnt ca ON ca.pk = part_a JOIN cnt cb ON cb.pk = part_b, nb
+ORDER BY support DESC, part_a, part_b LIMIT 20""")
   }
 
   private def opsOracleSql: Map[String, String] = {
@@ -1567,6 +1608,7 @@ FROM documents ORDER BY media_id""",
       "embed_sweep" -> ops.Similarity.cosineSweepSql(),
       "crawl_frontier" -> ops.Urls.crawlFrontierSql,
       "w10_anomaly" -> ops.Events.dailyAnomaliesSql(),
+      "w11_sliding" -> ops.Events.slidingSql,
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,

@@ -282,6 +282,40 @@ ORDER BY l.event_id"""
        count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket"""
 
+  /** SLIDING 1-hour windows on a 15-minute slide, per event_type — the
+    * hopping-window form the tumbling query doesn't cover (dashboards
+    * plot the 1 h trailing rate every 15 min; each event belongs to
+    * exactly 4 overlapping windows). Value sums go through integer
+    * 10^-4 units so the 4x fan-out cannot surface float addend-order
+    * noise across engines.
+    *
+    * Plan shape at 100 TB: Spark's native `window(ts, 1h, 15m)` plans as
+    * a 4-row Expand (each event fans to its 4 windows MAP-SIDE) into the
+    * one (window, type) partial+final count — exactly the tumbling plan
+    * with a bounded constant fan-out, one shuffle total.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000, 0).cast("long")).as("sum_mval"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("sum_mval"))
+
+  /** DuckDB twin of [[slidingCounts]]: the 4 aligned window starts
+    * containing an event at epoch second es are ((es // 900) - k) * 900
+    * for k in 0..3 (slide 900 s, width 3600 s, epoch-aligned — Spark's
+    * `window()` alignment).
+    */
+  val slidingSql: String =
+    """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+  CAST(round(value * 10000, 0) AS BIGINT) AS mv FROM events),
+w AS (SELECT event_type, mv, ((es // 900) - k) * 900 AS ws
+  FROM e, (SELECT unnest(range(0, 4)) AS k))
+SELECT ws, event_type, count(*) AS n, CAST(sum(mv) AS BIGINT) AS sum_mval
+FROM w GROUP BY 1, 2 ORDER BY ws, event_type"""
+
   val tumblingSql: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
        count(*) AS n, round(sum(value), 4) AS sum_value
