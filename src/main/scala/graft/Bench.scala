@@ -128,6 +128,8 @@ object Bench {
     "dedup_embed_cosine",
     // the sweep reruns the blocked pair grid at the loosest threshold
     "embed_sweep",
+    // basket-pair self-join over lineitem (4 s cold — dedup-family cost)
+    "h8_basket_lift",
     "ann_lsh", "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     // containment shares the jaccard twin's shingle self-join cost
@@ -732,7 +734,9 @@ object Bench {
               "text_bigram_lp",
               // dedup_ppjoin's prefix-join + array-verify tree
               // (probe: 9.5 s cold vs 3.6 s warm)
-              "dedup_ppjoin")
+              "dedup_ppjoin",
+              // h8's basket self-join plan family (4.1 s cold in run AD)
+              "h8_basket_lift")
               .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })
