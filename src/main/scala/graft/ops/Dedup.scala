@@ -535,14 +535,19 @@ FROM bs LEFT JOIN ex ON bs.sha = ex.sha ORDER BY bs.doc_id"""
     // relation enters the plan already deduplicated, so no corpus-scale
     // distinct exchange exists at all
     val shingleSet = udf((s: String) => ngrams(s, n).map(fnv1a64).distinct)
+    // hashed postings materialized ONCE (16 B/row): they feed both the df
+    // aggregate and the join back — Catalyst shares no subtrees, so
+    // without the checkpoint the corpus would tokenize twice. df via
+    // groupBy + join-back rather than a count window: the window form
+    // funnels every row of a corpus-frequency shingle into ONE window
+    // partition with no map-side combine; the groupBy partial-aggregates
+    // map-side, and a hot key in the join-back is an EQUI-join skew that
+    // AQE can split — a skewed window partition cannot be.
     val ngh = docs.select(col(idCol).as("doc_id"),
-      explode(shingleSet(col(textCol))).as("h"))
-    // df via a COUNT WINDOW over the hash partition, not groupBy + join
-    // back: the join form re-reads (re-tokenizes) the shingle relation —
-    // Catalyst shares no subtrees — and pays a second corpus-scale
-    // exchange; the window form is one 8-byte-key exchange, count-only
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val sets = ngh.withColumn("df", count(lit(1)).over(wdf))
+        explode(shingleSet(col(textCol))).as("h"))
+      .localCheckpoint()
+    val dfRel = ngh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sets = ngh.join(dfRel, "h")
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
         s => s.getField("h")).as("set"))

@@ -505,7 +505,11 @@ ORDER BY event_id"""
         sum(col("c") * col("c")).as("s2"))
     daily.join(mom, col("event_type") === col("et"))
       .select(col("event_type"), col("day_s"), col("c"),
-        (col("n") * col("s2") - col("s1") * col("s1")).as("varnum"),
+        // moments in decimal(38,0): s1 > ~3.04e9 events of one type makes
+        // s1*s1 wrap a BIGINT (silently under non-ANSI Spark, loudly in
+        // DuckDB) — decimal keeps the closed form exact to 10^38
+        (col("n").cast("decimal(38,0)") * col("s2") -
+          col("s1").cast("decimal(38,0)") * col("s1")).as("varnum"),
         (col("n") * col("c") - col("s1")).as("znum"))
       .select(col("event_type"), col("day_s"), col("c"),
         when(col("varnum") > 0L,
@@ -522,14 +526,18 @@ ORDER BY event_id"""
   CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, count(*) AS c
   FROM events GROUP BY 1, 2),
 m AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
-  CAST(sum(c * c) AS BIGINT) AS s2 FROM d GROUP BY event_type)
-SELECT d.event_type, d.day_s, CAST(d.c AS BIGINT) AS c,
-  CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0 THEN
-    round(CAST(m.n * d.c - m.s1 AS DOUBLE) /
-      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6) END AS z,
-  CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0 AND
-    abs(round(CAST(m.n * d.c - m.s1 AS DOUBLE) /
-      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6)) > $zCut
-    THEN 1 ELSE 0 END AS is_anomaly
-FROM d JOIN m USING (event_type) ORDER BY event_type, day_s"""
+  CAST(sum(c * c) AS BIGINT) AS s2 FROM d GROUP BY event_type),
+-- varnum in HUGEINT (s1*s1 outgrows BIGINT past ~3e9 events/type; the
+-- engine twin uses decimal(38,0)); z defined ONCE so the flag can never
+-- drift from the emitted value
+zz AS (SELECT d.event_type, d.day_s, d.c,
+  CAST(m.n AS HUGEINT) * m.s2 - CAST(m.s1 AS HUGEINT) * m.s1 AS varnum,
+  m.n * d.c - m.s1 AS znum FROM d JOIN m USING (event_type)),
+z AS (SELECT event_type, day_s, c,
+  CASE WHEN varnum > 0 THEN
+    round(CAST(znum AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)), 6) END AS z
+  FROM zz)
+SELECT event_type, day_s, CAST(c AS BIGINT) AS c, z,
+  CASE WHEN z IS NOT NULL AND abs(z) > $zCut THEN 1 ELSE 0 END AS is_anomaly
+FROM z ORDER BY event_type, day_s"""
 }

@@ -624,9 +624,11 @@ ORDER BY d.doc_id"""
     val hapax = size(filter(sorted, (x, i) =>
       !(x <=> get(sorted, i + 1)) && !(x <=> get(sorted, i - 1))))
     docs.select(col(idCol),
-        size(ts).as("n_tokens"),
-        size(array_distinct(ts)).as("n_types"),
-        hapax.as("n_hapax"))
+        // long, matching the twin's BIGINT counters (the gate is
+        // schema-exact; size() alone is int32)
+        size(ts).cast("long").as("n_tokens"),
+        size(array_distinct(ts)).cast("long").as("n_types"),
+        hapax.cast("long").as("n_hapax"))
       .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
         when(col("n_tokens") > 0,
           round(col("n_types").cast("double") /
@@ -682,10 +684,18 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
     */
   def readability(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"),
+    // the shared EXPLICIT whitespace class (see [[wsChars]]: Java \s
+    // includes \x0B where RE2's does not) and NO `$` anchor — Java $
+    // also matches before a trailing NEL (U+0085) / LS (U+2028) /
+    // PS (U+2029), so the end-punctuation case is a last-char test
+    // instead of an anchor
+    val wsCls = s"[$wsChars]"
+    val words = filter(split(col(textCol), wsCls + "+"),
       w => w.rlike("[a-zA-Z0-9]"))
     val sentRuns = size(regexp_extract_all(col(textCol),
-      lit("[.!?]+(\\s|$)"), lit(0)))
+      lit("[.!?]+" + wsCls), lit(0))) +
+      when(substring(col(textCol), -1, 1).isin(".", "!", "?"), 1)
+        .otherwise(0)
     val vowelRuns = size(regexp_extract_all(col(textCol),
       lit("[aeiouyAEIOUY]+"), lit(0)))
     val noVowelWords = size(filter(words, w => !w.rlike("[aeiouyAEIOUY]")))
@@ -714,11 +724,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
     */
   val readabilitySql: String =
     """WITH c AS (SELECT doc_id,
-  len(list_filter(regexp_split_to_array(text, '\s+'),
+  len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
     w -> regexp_matches(w, '[a-zA-Z0-9]'))) AS n_words,
-  len(regexp_extract_all(text, '[.!?]+(\s|$)')) AS sent_runs,
+  len(regexp_extract_all(text, '[.!?]+[ \t\n\f\r]'))
+    + (CASE WHEN right(text, 1) IN ('.', '!', '?') THEN 1 ELSE 0 END)
+    AS sent_runs,
   len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS vowel_runs,
-  len(list_filter(regexp_split_to_array(text, '\s+'),
+  len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
     w -> regexp_matches(w, '[a-zA-Z0-9]') AND
       NOT regexp_matches(w, '[aeiouyAEIOUY]'))) AS no_vowel_words
   FROM documents),

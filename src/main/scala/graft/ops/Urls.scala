@@ -276,13 +276,16 @@ FROM m ORDER BY doc_id"""
     * fleet drains). Hosts ride the same synthetic derivation as the
     * [[syntheticUrl]] family (`doc_id % 40 % 7`).
     *
-    * Plan shape at 100 TB: two bounded windows — the wave number is a
-    * host-partitioned row_number (ONE host-keyed shuffle; per-partition
-    * state is a counter), the slot a wave-partitioned row_number (wave
-    * cardinality = the largest per-host queue; each wave holds at most
-    * one URL per host, so partitions are host-count-bounded). A mega-host
-    * produces many waves, never a big partition — skew turns into MORE
-    * partitions, not bigger ones. No global sort, no driver state.
+    * Plan shape at 100 TB: two windows. The wave number is a
+    * host-partitioned row_number — ONE host-keyed shuffle and a per-host
+    * ordered scan whose state is a counter (the [[graft.ops.Events]]
+    * sessionization shape: a mega-host means one LONG scan in one task —
+    * linear, counter-state, but not split; if a single host's queue ever
+    * dominated a 100-TB frontier, the standard mitigation is range-bucket
+    * the host first). The SLOT window does have the bounded-partition
+    * property: each wave holds at most one URL per host, so its
+    * partitions are host-count-bounded, and a mega-host turns into MORE
+    * waves rather than a bigger wave. No global sort, no driver state.
     */
   def crawlFrontier(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

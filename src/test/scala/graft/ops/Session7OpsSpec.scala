@@ -428,9 +428,9 @@ class Session7OpsSpec extends AnyFunSuite {
   */
 private object Session7OpsSpecHelper {
   def collectDiversity(df: org.apache.spark.sql.DataFrame)
-      : Map[Long, (Int, Int, Int, Any, Any, Any)] =
+      : Map[Long, (Long, Long, Long, Any, Any, Any)] =
     df.collect().map { r =>
       def d(i: Int): Any = if (r.isNullAt(i)) null else r.getDouble(i)
-      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), d(4), d(5), d(6)))
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), d(4), d(5), d(6)))
     }.toMap
 }
