@@ -148,9 +148,10 @@ object Bench {
     // BOTH crawls (two decontam-class scans)
     "ngram_novelty", "dsir_weights", "dedup_sweep", "snapshot_novelty",
     // iterative connected-components queries: many short jobs each
-    // (canonical selection reruns the cluster chain + a window)
+    // (canonical selection reruns the cluster chain + a window; the
+    // histogram reruns it too)
     "dedup_components", "dedup_minhash_clusters",
-    "dedup_canonical").zipWithIndex.toMap
+    "dedup_canonical", "dedup_cluster_hist").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
       .orElse(breadthExpensive.get(name).map((1, _, name)))

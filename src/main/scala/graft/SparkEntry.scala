@@ -933,7 +933,14 @@ object SparkEntry {
     // sliding (hopping) 1h/15m windows: 4-row map-side Expand, one shuffle
     "w11_sliding" -> ((s, dir) =>
       ops.Events.slidingCounts(ops.Events.load(s, dir))
-        .orderBy("ws", "event_type")))
+        .orderBy("ws", "event_type")),
+    // duplicate-cluster-size histogram over the MinHash components
+    "dedup_cluster_hist" -> ((s, dir) =>
+      ops.Components.clusterSizeHistogram(rawDocs(s, dir))
+        .orderBy("comp_size")),
+    // per-language tokenizer fertility (chars/token, tokens/word)
+    "tok_fertility" -> ((s, dir) =>
+      ops.TextStats.tokenizerFertility(rawDocs(s, dir)).orderBy("lang")))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1609,6 +1616,8 @@ FROM documents ORDER BY media_id""",
       "crawl_frontier" -> ops.Urls.crawlFrontierSql,
       "w10_anomaly" -> ops.Events.dailyAnomaliesSql(),
       "w11_sliding" -> ops.Events.slidingSql,
+      "dedup_cluster_hist" -> ops.DedupOracleSql.clusterHistogramSql(),
+      "tok_fertility" -> ops.TextStats.tokenizerFertilitySql,
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,

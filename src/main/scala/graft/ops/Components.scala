@@ -263,4 +263,33 @@ object Components {
         (col("doc_id") =!= col("comp_id")).cast("int").as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** Duplicate-CLUSTER-SIZE histogram over the MinHash components — the
+    * one-page dedup report a pipeline owner reads before choosing a
+    * keep-one-per-cluster policy ("is the corpus 1% exact mirrors or one
+    * 10^6-doc template family?"): per cluster size, how many clusters,
+    * how many documents they hold, and the corpus fraction. Singletons
+    * (size 1) are the non-duplicated mass.
+    *
+    * Plan shape at 100 TB: the cluster chain is [[minhashClusters]]
+    * (banded star edges -> O(log n) CC — the established scale path);
+    * everything after runs on the (comp_id, size) DISTINCT table and then
+    * the size histogram (tens of rows), localCheckpointed because it
+    * feeds both the histogram rows and the total (no subtree sharing).
+    * Output (comp_size, n_clusters, n_docs, doc_frac) ordered by size.
+    */
+  def clusterSizeHistogram(docs: DataFrame, shingle: Int = 3,
+                           bands: Int = 16, rowsPerBand: Int = 4,
+                           seed: Long = 42L): DataFrame = {
+    val lab = minhashClusters(docs, shingle, bands, rowsPerBand, seed)
+    val hist = lab.select("comp_id", "comp_size").distinct()
+      .groupBy("comp_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("comp_size") * col("n_clusters"))
+      .localCheckpoint()
+    val tot = hist.agg(sum("n_docs").as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("comp_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          col("total").cast("double"), 6).as("doc_frac"))
+  }
 }

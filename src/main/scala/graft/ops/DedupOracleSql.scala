@@ -170,6 +170,22 @@ SELECT lab.doc_id, lab.comp_id, szc.comp_size,
        CASE WHEN lab.doc_id <> lab.comp_id THEN 1 ELSE 0 END AS is_dup
 FROM lab JOIN szc USING (comp_id) ORDER BY doc_id"""
 
+  /** Oracle for [[Components.clusterSizeHistogram]] — same cluster CTEs,
+    * rolled up to the size histogram.
+    */
+  def clusterHistogramSql(shingle: Int = 3, bands: Int = 16,
+                          rowsPerBand: Int = 4, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${clusterCtes(shingle, bands, rowsPerBand, seed)},
+szc AS (SELECT comp_id, count(*) AS comp_size FROM lab GROUP BY comp_id),
+hist AS (SELECT comp_size, count(*) AS n_clusters,
+  CAST(comp_size * count(*) AS BIGINT) AS n_docs
+  FROM szc GROUP BY comp_size),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM hist)
+SELECT CAST(comp_size AS BIGINT) AS comp_size,
+  CAST(n_clusters AS BIGINT) AS n_clusters, n_docs,
+  round(CAST(n_docs AS DOUBLE) / total, 6) AS doc_frac
+FROM hist, tot ORDER BY comp_size"""
+
   /** Oracle for [[Components.canonicalDocs]]: the cluster labels plus a
     * per-component first_value window over (n_chars desc, doc_id asc).
     */

@@ -747,4 +747,55 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
     END AS fk_grade
 FROM n ORDER BY doc_id"""
+
+  /** TOKENIZER FERTILITY per language — the multilingual-tokenizer fit
+    * report (a tokenizer trained on English "spends" many more tokens per
+    * character on under-represented scripts; fertility tables decide
+    * vocab budgets and per-language sampling weights): per lang, exact
+    * char / whitespace-word / BPE-ish-token totals and the two derived
+    * ratios — chars_per_tok (compression; lower = worse fit) and
+    * toks_per_word (classic fertility; higher = worse fit).
+    *
+    * Plan shape at 100 TB: ONE narrow row-local pass (the shared
+    * [[bpeishRe]] / [[wsRun]] counter expressions — codegen'd regex, no
+    * UDF) into a lang-keyed partial+final aggregate over exact integer
+    * totals; ratios are divisions of exact longs at 6 dp. No joins.
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String = "text",
+                         langCol: String = "lang"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("chars"),
+        size(filter(split(trim(col(textCol)), wsRun),
+          t => length(t) > 0)).cast("long").as("ws"),
+        size(regexp_extract_all(col(textCol), lit(bpeishRe), lit(0)))
+          .cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+        sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("ws_tokens"),
+        col("bpe_tokens"),
+        when(col("bpe_tokens") > 0,
+          round(col("chars").cast("double") /
+            col("bpe_tokens").cast("double"), 6)).as("chars_per_tok"),
+        when(col("ws_tokens") > 0,
+          round(col("bpe_tokens").cast("double") /
+            col("ws_tokens").cast("double"), 6)).as("toks_per_word"))
+
+  /** DuckDB twin of [[tokenizerFertility]]. */
+  def tokenizerFertilitySql: String =
+    s"""WITH c AS (SELECT lang,
+  CAST(length(text) AS BIGINT) AS chars,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '$wsRun'),
+    x -> length(x) > 0)) AS BIGINT) AS ws,
+  CAST(len(regexp_extract_all(text, '${bpeishRe.replace("'", "''")}'))
+    AS BIGINT) AS bpe
+  FROM documents)
+SELECT lang, count(*) AS n_docs, CAST(sum(chars) AS BIGINT) AS chars,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+  CASE WHEN sum(bpe) > 0 THEN
+    round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6) END AS chars_per_tok,
+  CASE WHEN sum(ws) > 0 THEN
+    round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) END AS toks_per_word
+FROM c GROUP BY lang ORDER BY lang"""
 }

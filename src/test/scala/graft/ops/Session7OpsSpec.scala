@@ -398,6 +398,52 @@ class Session7OpsSpec extends AnyFunSuite {
     assert(sum8 / qids.length >= 0.6, s"mean recall@8 ${sum8 / qids.length}")
   }
 
+  test("clusterSizeHistogram == rollup of minhashClusters; mass conserved") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lab = Components.minhashClusters(docs).collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    val nDocs = lab.length.toLong
+    val expect = lab.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Components.clusterSizeHistogram(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    for ((size, nc) <- expect) {
+      val (gnc, gnd, gfrac) = got(size)
+      assert(gnc == nc && gnd == size * nc, s"size $size")
+      assert(gfrac == rr6(size.toDouble * nc / nDocs), s"size $size")
+    }
+    // mass conservation: histogram docs sum to the corpus
+    assert(got.values.map(_._2).sum == nDocs)
+  }
+
+  test("tokenizerFertility == per-lang brute force over the shared counters") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 120L).map { id =>
+      val lang = Seq("en", "zh", "de")(rnd.nextInt(3))
+      val words = Seq.fill(3 + rnd.nextInt(20))(
+        Seq("alpha", "it's", "x9y", "...", "beautiful")(rnd.nextInt(5)))
+      (id, words.mkString(" "), lang)
+    } :+ (900L, "", "empty")
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val got = TextStats.tokenizerFertility(docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val bpeRe = TextStats.bpeishRe.r
+    val wsRe = "[ \t\n\f\r]+"
+    for ((lang, g) <- rows.groupBy(_._3)) {
+      val chars = g.map(_._2.length.toLong).sum
+      val ws = g.map(x =>
+        x._2.trim.split(wsRe).count(_.nonEmpty).toLong).sum
+      val bpe = g.map(x => bpeRe.findAllIn(x._2).size.toLong).sum
+      assert(got(lang) == ((g.size.toLong, chars, ws, bpe)), s"lang $lang")
+    }
+    // empty-text lang present with zero counters and null ratios
+    val e = TextStats.tokenizerFertility(docs)
+      .filter($"lang" === "empty").collect().head
+    assert(e.getLong(4) == 0L && e.isNullAt(5) && e.isNullAt(6))
+  }
+
   test("h7_rev_deciles: boundary-assign == interpolated-percentile brute force") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("h7_rev_deciles")(spark, dir).collect()
