@@ -123,7 +123,11 @@ object Bench {
     // table-valued batch search (distributed query analysis -> term x
     // query-batch block join -> shard x batch cogroup) — the offline-eval
     // plan family; the broadcast batch form and suggest are tier-2
-    "ep2_wand_many_tbl").zipWithIndex.toMap
+    "ep2_wand_many_tbl",
+    // code-governance family representatives: one row-local member
+    // (metrics+verdict — secret/license/vendored are tier-2-redundant
+    // with it) and the one shuffling member (sha-keyed fork containment)
+    "code_metrics", "repo_overlap").zipWithIndex.toMap
   private val breadthExpensive = Seq(
     "dedup_embed_cosine",
     // the sweep reruns the blocked pair grid at the loosest threshold

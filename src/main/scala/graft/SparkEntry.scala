@@ -940,7 +940,22 @@ object SparkEntry {
         .orderBy("comp_size")),
     // per-language tokenizer fertility (chars/token, tokens/word)
     "tok_fertility" -> ((s, dir) =>
-      ops.TextStats.tokenizerFertility(rawDocs(s, dir)).orderBy("lang")))
+      ops.TextStats.tokenizerFertility(rawDocs(s, dir)).orderBy("lang")),
+    // code-corpus governance suite (the north rule's source-code payload):
+    // per-file quality metrics + Codex-style keep verdict — row-local
+    "code_metrics" -> ((s, dir) =>
+      ops.Code.codeMetrics(rawDocs(s, dir)).orderBy("doc_id")),
+    // credential detectors (AWS key ids / PEM blocks / api_key literals)
+    "code_secret_scan" -> ((s, dir) =>
+      ops.Code.secretScan(rawDocs(s, dir)).orderBy("doc_id")),
+    // header-based license classification -> corpus license mix
+    "code_license" -> ((s, dir) => ops.Code.licenseDetect(rawDocs(s, dir))),
+    // vendored / generated-file exclusion by path convention + head marker
+    "code_vendored" -> ((s, dir) =>
+      ops.Code.vendoredFilter(rawDocs(s, dir)).orderBy("doc_id")),
+    // cross-repo blob containment (fork detection): sha-keyed inverted-
+    // index pair join, hot-blob anti-join guard
+    "repo_overlap" -> ((s, dir) => ops.Code.repoOverlap(rawDocs(s, dir))))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1618,6 +1633,11 @@ FROM documents ORDER BY media_id""",
       "w11_sliding" -> ops.Events.slidingSql,
       "dedup_cluster_hist" -> ops.DedupOracleSql.clusterHistogramSql(),
       "tok_fertility" -> ops.TextStats.tokenizerFertilitySql,
+      "code_metrics" -> ops.Code.codeMetricsSql(),
+      "code_secret_scan" -> ops.Code.secretScanSql,
+      "code_license" -> ops.Code.licenseDetectSql,
+      "code_vendored" -> ops.Code.vendoredFilterSql,
+      "repo_overlap" -> ops.Code.repoOverlapSql,
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,
