@@ -194,6 +194,12 @@ object Explain {
       "run on the calendar-bounded daily aggregate)") {
       graft.SparkEntry.queries("h6_moving_rev")(spark, sfDir)
     }
+    show("repo_overlap (expect ONE distinct-(repo,sha) partial+final " +
+      "aggregate as the only corpus-scale shuffle; sha-keyed pair join " +
+      "over the localCheckpointed files; hot-blob LEFT-ANTI and size " +
+      "join-backs broadcast; no CartesianProduct)") {
+      graft.ops.Code.repoOverlap(spark.read.parquet(s"$sfDir/documents.parquet"))
+    }
     show("w8_interval_join (expect slab EQUI-join — no " +
       "BroadcastNestedLoopJoin with a range condition — containment as " +
       "a post-join Filter, per-event max(struct) argmax, left join back)") {
