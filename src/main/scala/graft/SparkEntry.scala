@@ -955,7 +955,15 @@ object SparkEntry {
       ops.Code.vendoredFilter(rawDocs(s, dir)).orderBy("doc_id")),
     // cross-repo blob containment (fork detection): sha-keyed inverted-
     // index pair join, hot-blob anti-join guard
-    "repo_overlap" -> ((s, dir) => ops.Code.repoOverlap(rawDocs(s, dir))))
+    "repo_overlap" -> ((s, dir) => ops.Code.repoOverlap(rawDocs(s, dir))),
+    // KMV bottom-k distinct sketch beside the exact count (hash-derived
+    // randomness -> bit-identical sketches in both engines)
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      ops.Sketches.kmvDistinct(rawDocs(s, dir))),
+    // priority sampling (Duffield-Lund-Thorup): weight-aware fixed-k
+    // sample with unbiased subset-sum estimates
+    "sketch_priority_sample" -> ((s, dir) =>
+      ops.Sketches.prioritySample(rawDocs(s, dir))))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1638,6 +1646,8 @@ FROM documents ORDER BY media_id""",
       "code_license" -> ops.Code.licenseDetectSql,
       "code_vendored" -> ops.Code.vendoredFilterSql,
       "repo_overlap" -> ops.Code.repoOverlapSql,
+      "sketch_kmv_distinct" -> ops.Sketches.kmvDistinctSql(),
+      "sketch_priority_sample" -> ops.Sketches.prioritySampleSql(),
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,
