@@ -155,7 +155,10 @@ object Bench {
     // (canonical selection reruns the cluster chain + a window; the
     // histogram reruns it too)
     "dedup_components", "dedup_minhash_clusters",
-    "dedup_canonical", "dedup_cluster_hist").zipWithIndex.toMap
+    "dedup_canonical", "dedup_cluster_hist",
+    // the KMV sketch pays a corpus-scale token explode + distinct
+    // (decontam-class scan) before its bounded bottom-k window
+    "sketch_kmv_distinct").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
       .orElse(breadthExpensive.get(name).map((1, _, name)))
@@ -723,26 +726,35 @@ object Bench {
             // 2-10x their warm variants purely from run position, and r4's
             // explain/hybrid/sigterms families swung 3-5.5x between runs
             // for the same reason (round-5 verdict item 3)
-            Seq("ep2_wand_tsm", "t1_bm25_tsm",
-              "ep2_explain_tsm", "ep2_hybrid_rrf", "ep2_sigterms_dup",
-              // url_dedup's canonicalize expression tree costs ~2 s of
-              // one-off codegen (probe: 8.9 s cold vs 0.2 s warm)
-              "url_dedup",
-              // anchor_text's HOF tokenizer + host window family
-              // (probe: 8.6 s cold vs 0.9 s warm)
-              "anchor_text",
-              // colloc_pmi's zip_with adjacency family
-              // (probe: 8.9 s cold vs 1.6 s warm)
-              "colloc_pmi",
-              // text_bigram_lp's interpolated-LM join tree
-              // (probe: 4.2 s cold vs 0.4 s warm)
-              "text_bigram_lp",
-              // dedup_ppjoin's prefix-join + array-verify tree
-              // (probe: 9.5 s cold vs 3.6 s warm)
-              "dedup_ppjoin",
-              // h8's basket self-join plan family (4.1 s cold in run AD)
-              "h8_basket_lift")
-              .foreach(q => SparkEntry.queries(q)(sp, sfDir).count())
+            locally {
+              // expensive-first so a 4-wide pool drains evenly: the list
+              // ran serially through round 5 session 7 and grew to ~30 s
+              // of the dress window; 4 concurrent throwaways on the
+              // 24-core parent (all untimed, child still in its warm)
+              // cut the makespan to ~the longest single query. Cold-cost
+              // probes per query in the comments of the serial-era list.
+              val warmQs = Seq(
+                "dedup_ppjoin",    // 9.5 s cold vs 3.6 warm
+                "colloc_pmi",      // 8.9 s cold vs 1.6 warm
+                "url_dedup",       // 8.9 s cold vs 0.2 warm
+                "anchor_text",     // 8.6 s cold vs 0.9 warm
+                "text_bigram_lp",  // 4.2 s cold vs 0.4 warm
+                "h8_basket_lift",  // 4.1 s cold (run AD)
+                "ep2_wand_tsm", "t1_bm25_tsm",
+                "ep2_explain_tsm", "ep2_hybrid_rrf", "ep2_sigterms_dup")
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+              val ecq = scala.concurrent.ExecutionContext
+                .fromExecutorService(pool)
+              val fs = warmQs.map(q => Future {
+                SparkEntry.queries(q)(sp, sfDir).count(); ()
+              }(ecq))
+              fs.foreach(f =>
+                try Await.result(f, 150.seconds)
+                catch { case t: Throwable =>
+                  System.err.println(s"[bench] prewarm query failed: ${t.getMessage}")
+                })
+              pool.shutdown()
+            }
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })
         prewarmSecs = pw
@@ -1181,7 +1193,23 @@ object Bench {
           }
           sampleSoak(dir, soakDocs, bsec, cached = reuse, lifecycle)
         case _ =>
-          // detected mode: serve the largest persisted soak index live
+          // detected mode: serve the largest persisted soak index whose
+          // postings FIT this JVM's heap (~0.7x). In local mode one heap
+          // hosts what a cluster spreads over every executor: a 20M-doc
+          // index (11 GB postings) serves fine at 24g but OOMs the
+          // default 8g (run AJ), while the 10M index (5.1 GB) serves at
+          // 8g — so an oversized index must not shadow a servable one.
+          val heapFit = (Runtime.getRuntime.maxMemory() * 7L) / 10L
+          def postingsBytes(d: String): Long = {
+            val p = java.nio.file.Paths.get(d, "postings")
+            if (!Files.exists(p)) 0L
+            else {
+              val s = java.nio.file.Files.walk(p)
+              try s.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(java.nio.file.Files.size(_)).sum()
+              finally s.close()
+            }
+          }
           val persisted = java.nio.file.Files.list(java.nio.file.Paths.get("/dev/shm"))
             .filter(p => p.getFileName.toString.startsWith("graft-soak-persist-"))
             .toArray.map(_.toString).flatMap { d =>
@@ -1190,7 +1218,7 @@ object Bench {
               if (docs.forall(_.isDigit) && Files.exists(info) &&
                   PostingIndex.isComplete(spark, d)) Some((docs.toLong, d))
               else None
-            }.sortBy(-_._1).headOption
+            }.sortBy(-_._1).find { case (_, d) => postingsBytes(d) <= heapFit }
           persisted.foreach { case (docs, d) =>
             if (remaining > 26) {
               val info = Files.readString(
