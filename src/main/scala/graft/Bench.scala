@@ -978,7 +978,12 @@ object Bench {
       // (all of tier-2 when the overlap never started)
       locally {
         val timedNames = results.map(_._1).toSet
-        runBreadth(spark, tier2.filterNot(p => timedNames(p._1)), reserve = 18)
+        // reserve 14, not 18: the same over-sized-reserve observation as
+        // tier-0/1 (tail queries shed at remaining=16.7 while latency then
+        // landed its full sample set with seconds to spare); the latency
+        // box itself takes min(remaining-4, 14), and the per-query timeout
+        // stops an overrunning tail query before it can starve the floor
+        runBreadth(spark, tier2.filterNot(p => timedNames(p._1)), reserve = 14)
       }
       System.err.println(
         s"[bench] breadth done: ${results.size} timed, $skipped skipped, elapsed=${jn(elapsed)}")
