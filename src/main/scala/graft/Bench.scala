@@ -745,15 +745,34 @@ object Bench {
               val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
               val ecq = scala.concurrent.ExecutionContext
                 .fromExecutorService(pool)
-              val fs = warmQs.map(q => Future {
-                SparkEntry.queries(q)(sp, sfDir).count(); ()
+              // each warm query runs under its own JOB GROUP so a timeout
+              // CANCELS the Spark jobs (Await alone leaves the query
+              // churning on the shared parent session into the child's
+              // timed scaling reps — the contamination the gate exists to
+              // prevent; runBreadth's timeout path cancels for the same
+              // reason). One shared deadline, not per-future: eleven
+              // stacked awaits must not outlive the warm window either.
+              val fs = warmQs.map(q => q -> Future {
+                sp.sparkContext.setJobGroup(s"prewarm-$q",
+                  s"prewarm throwaway $q", interruptOnCancel = true)
+                try { SparkEntry.queries(q)(sp, sfDir).count(); () }
+                finally sp.sparkContext.clearJobGroup()
               }(ecq))
-              fs.foreach(f =>
-                try Await.result(f, 150.seconds)
+              val deadline = System.nanoTime() + 150L * 1000000000L
+              fs.foreach { case (q, f) =>
+                val left = math.max(1L,
+                  (deadline - System.nanoTime()) / 1000000L)
+                try Await.result(f, left.milliseconds)
                 catch { case t: Throwable =>
-                  System.err.println(s"[bench] prewarm query failed: ${t.getMessage}")
-                })
-              pool.shutdown()
+                  System.err.println(s"[bench] prewarm query $q failed/timed out: ${t.getMessage}")
+                  sp.sparkContext.cancelJobGroup(s"prewarm-$q")
+                }
+              }
+              // past the deadline: drop queued tasks + interrupt runners
+              // (a queued future would otherwise START after its group
+              // was cancelled and churn unsupervised)
+              if (System.nanoTime() > deadline) pool.shutdownNow()
+              else pool.shutdown()
             }
           } catch { case t: Throwable =>
             System.err.println(s"[bench] prewarm failed: ${t.getMessage}") })

@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Uniform 60-bit integer from a string column: the first 15 hex chars
-    * of sha256. 60 bits keeps the value exactly representable in both a
-    * signed BIGINT and a double (< 2^63 and the estimator arithmetic
-    * stays inside 2^66, exact in IEEE doubles).
+    * of sha256. 60 bits fits a signed BIGINT (< 2^63) so Spark's long and
+    * DuckDB's UBIGINT order identically; the later integer->double casts
+    * round to nearest (values above 2^53 lose low bits) but all three
+    * twins — Spark, DuckDB, the spec's local reimplementation — perform
+    * the SAME IEEE cast, so the estimator arithmetic is deterministic
+    * across engines (not exact in the low bits, and must not be treated
+    * as such when porting the twin to an engine with wider floats).
     */
   private def h60(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")

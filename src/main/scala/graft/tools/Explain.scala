@@ -198,7 +198,7 @@ object Explain {
       "aggregate as the only corpus-scale shuffle; sha-keyed pair join " +
       "over the localCheckpointed files; hot-blob LEFT-ANTI and size " +
       "join-backs broadcast; no CartesianProduct)") {
-      graft.ops.Code.repoOverlap(spark.read.parquet(s"$sfDir/documents.parquet"))
+      graft.ops.Code.repoOverlap(rawDocs)
     }
     show("w8_interval_join (expect slab EQUI-join — no " +
       "BroadcastNestedLoopJoin with a range condition — containment as " +
