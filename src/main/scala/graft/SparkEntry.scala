@@ -963,7 +963,11 @@ object SparkEntry {
     // priority sampling (Duffield-Lund-Thorup): weight-aware fixed-k
     // sample with unbiased subset-sum estimates
     "sketch_priority_sample" -> ((s, dir) =>
-      ops.Sketches.prioritySample(rawDocs(s, dir))))
+      ops.Sketches.prioritySample(rawDocs(s, dir))),
+    // out-of-orderness / late-data profile (the watermark-sizing table):
+    // per-type running high-watermark over a synthesized arrival order
+    "w12_lateness" -> ((s, dir) =>
+      ops.Events.latenessProfile(ops.Events.load(s, dir))))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1648,6 +1652,7 @@ FROM documents ORDER BY media_id""",
       "repo_overlap" -> ops.Code.repoOverlapSql,
       "sketch_kmv_distinct" -> ops.Sketches.kmvDistinctSql(),
       "sketch_priority_sample" -> ops.Sketches.prioritySampleSql(),
+      "w12_lateness" -> ops.Events.latenessProfileSql,
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,

@@ -540,4 +540,79 @@ z AS (SELECT event_type, day_s, c,
 SELECT event_type, day_s, CAST(c AS BIGINT) AS c, z,
   CASE WHEN z IS NOT NULL AND abs(z) > $zCut THEN 1 ELSE 0 END AS is_anomaly
 FROM z ORDER BY event_type, day_s"""
+
+  // --- out-of-orderness / late-data profile --------------------------------
+
+  /** Per-type OUT-OF-ORDERNESS profile — the table read before choosing a
+    * Structured Streaming `withWatermark` delay: for each event, lateness
+    * = how far its event time lags the high-watermark (running max event
+    * time) of everything that ARRIVED before it; the per-type p95/p99/max
+    * quantiles are exactly the candidate watermark delays (an event later
+    * than the chosen delay is dropped by the engine, so p99 bounds the
+    * loss rate at 1%).
+    *
+    * The testdata stream is perfectly ordered (ts monotone in event_id),
+    * so ARRIVAL ORDER is synthesized deterministically — the
+    * [[Urls.syntheticUrl]]-family device, mirrored in the twin: each
+    * event's arrival slot is its id displaced by a sha256-derived jitter
+    * of 0-7 slots scaled by 2 (`arr = id*1 + jitter*2` creates genuine
+    * bounded inversions between neighbors, the reordering profile of a
+    * sharded producer fleet).
+    *
+    * Exactness: event time in integer EPOCH MICROS; the high-watermark is
+    * an integer running max; lateness an integer difference. Only the
+    * quantiles interpolate — both engines share the linear-interpolation
+    * definition (the a9_length_dist device) and divide by 1e6 in the same
+    * written order.
+    *
+    * Plan at 100 TB: ONE event_type-keyed shuffle feeding a per-type
+    * ordered scan whose state is one long (the running max) — the
+    * sessionization plan family — then a type-cardinality rollup. No
+    * global sort, no driver state.
+    */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    val jitter = pmod(
+      conv(substring(sha2(concat(lit("a"), col("event_id").cast("string")),
+        256), 1, 8), 16, 10).cast("long"), lit(8L))
+    val arr = (col("event_id") + jitter * 2).as("arr")
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"), arr,
+        // the parquet column is TIMESTAMP_NTZ; the session is pinned UTC,
+        // so the cast is the same wall-clock DuckDB's naive epoch_us reads
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max(col("ts_us")).over(w) - col("ts_us"),
+          lit(0L))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(expr("percentile(late_us, 0.5D)") / 1e6, 6).as("p50_late_s"),
+        round(expr("percentile(late_us, 0.95D)") / 1e6, 6).as("p95_late_s"),
+        round(expr("percentile(late_us, 0.99D)") / 1e6, 6).as("p99_late_s"),
+        round(max(col("late_us")) / 1e6, 6).as("max_late_s"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of the `w12_lateness` gate. */
+  def latenessProfileSql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    event_id + (CAST('0x' || substr(sha256('a' || event_id), 1, 8) AS UBIGINT) % 8) * 2
+      AS arr
+  FROM events),
+l AS (SELECT event_type,
+    greatest(0, coalesce(max(ts_us) OVER (PARTITION BY event_type
+      ORDER BY arr, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us, 0))
+      AS late_us
+  FROM e)
+SELECT event_type, count(*) AS n_events,
+  CAST(count(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_late,
+  round(quantile_cont(late_us, 0.5) / 1e6, 6) AS p50_late_s,
+  round(quantile_cont(late_us, 0.95) / 1e6, 6) AS p95_late_s,
+  round(quantile_cont(late_us, 0.99) / 1e6, 6) AS p99_late_s,
+  round(max(late_us) / 1e6, 6) AS max_late_s
+FROM l GROUP BY event_type ORDER BY event_type"""
 }
