@@ -156,9 +156,9 @@ object Bench {
     // histogram reruns it too)
     "dedup_components", "dedup_minhash_clusters",
     "dedup_canonical", "dedup_cluster_hist",
-    // the KMV sketch pays a corpus-scale token explode + distinct
-    // (decontam-class scan) before its bounded bottom-k window
-    "sketch_kmv_distinct").zipWithIndex.toMap
+    // the KMV sketches pay a corpus-scale token explode + distinct
+    // (decontam-class scan) before their bounded bottom-k windows
+    "sketch_kmv_distinct", "sketch_source_overlap").zipWithIndex.toMap
   private def breadthOrder(name: String): (Int, Int, String) =
     breadthCheapCoverage.get(name).map((0, _, name))
       .orElse(breadthExpensive.get(name).map((1, _, name)))

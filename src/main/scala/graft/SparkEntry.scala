@@ -967,7 +967,12 @@ object SparkEntry {
     // out-of-orderness / late-data profile (the watermark-sizing table):
     // per-type running high-watermark over a synthesized arrival order
     "w12_lateness" -> ((s, dir) =>
-      ops.Events.latenessProfile(ops.Events.load(s, dir))))
+      ops.Events.latenessProfile(ops.Events.load(s, dir))),
+    // KMV sketch MERGE: per-source bottom-k summaries -> pairwise
+    // union/Jaccard estimates from the summaries alone (mergeable-
+    // summaries form of source_overlap's exact table)
+    "sketch_source_overlap" -> ((s, dir) =>
+      ops.Sketches.kmvSourceOverlap(rawDocs(s, dir))))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1653,6 +1658,7 @@ FROM documents ORDER BY media_id""",
       "sketch_kmv_distinct" -> ops.Sketches.kmvDistinctSql(),
       "sketch_priority_sample" -> ops.Sketches.prioritySampleSql(),
       "w12_lateness" -> ops.Events.latenessProfileSql,
+      "sketch_source_overlap" -> ops.Sketches.kmvSourceOverlapSql(),
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,

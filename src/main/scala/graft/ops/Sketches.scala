@@ -105,6 +105,94 @@ SELECT lang, n_exact, n_kept, est,
   round(abs(est - n_exact) / n_exact, 6) AS rel_err
 FROM est ORDER BY lang"""
 
+  /** KMV sketch MERGE — the property that justifies sketches at 100 TB:
+    * per-source bottom-k summaries are built in ONE corpus pass, then any
+    * pair's union cardinality and Jaccard are estimated from the two
+    * k-value summaries alone (Broder 1997 resemblance + the
+    * Beyer et al. merged-KMV union estimator) — no second corpus pass, no
+    * per-pair shuffle, summaries mergeable across partitions/sources by
+    * construction. [[Overlap.sourceOverlap]] is this table's EXACT twin;
+    * the sketch form is what survives when the pair grid or the shingle
+    * space no longer fits a pass.
+    *
+    * Estimators, all from the merged bottom-k M = bottomK(Sa ∪ Sb):
+    * union_est = (k-1)·2^60/max(M) (small-set exact when |Sa ∪ Sb| < k);
+    * jaccard_est = |M ∩ Sa ∩ Sb| / |M|; inter_est = jaccard·union.
+    * Deterministic (hash randomness), so the gate is exact.
+    *
+    * Plan: one (source, term) distinct agg -> per-source bottom-k window
+    * (WindowGroupLimit) -> a source-cardinality table of ≤k-element
+    * sorted arrays -> broadcast pair grid with ROW-LOCAL array algebra.
+    */
+  def kmvSourceOverlap(docs: DataFrame, k: Int = 64,
+                       textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val terms = docs
+      .select(col(srcCol).as("source"),
+        explode(Tok.terms(col(textCol))).as("term"))
+      .distinct()
+    val hashed = terms.select(col("source"), col("term"),
+      h60(col("term")).as("u"))
+    val rn = row_number().over(
+      Window.partitionBy("source").orderBy(col("u").asc, col("term").asc))
+    val sk = hashed.withColumn("rn", rn).filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(sort_array(collect_list(col("u"))).as("sk"),
+        count(lit(1)).as("n_sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("ska"),
+      col("n_sk").as("n_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("skb"),
+      col("n_sk").as("n_b"))
+    val grid = a.crossJoin(broadcast(b))
+      .filter(col("source_a") < col("source_b"))
+    val mergedAll = array_sort(array_union(col("ska"), col("skb")))
+    val m = slice(mergedAll, 1, k)
+    val kth = element_at(m, size(m))
+    val unionEst = when(size(mergedAll) < k,
+      size(mergedAll).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Two60.toDouble) /
+        kth.cast("double"))
+    val ovl = size(array_intersect(array_intersect(m, col("ska")),
+      col("skb"))).cast("double")
+    grid.select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(unionEst, 6).as("union_est"),
+        round(ovl / size(m).cast("double"), 6).as("jaccard_est"),
+        round(ovl * unionEst / size(m).cast("double"), 6).as("inter_est"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB twin of the `sketch_source_overlap` gate. */
+  def kmvSourceOverlapSql(k: Int = 64): String =
+    s"""WITH toks AS (SELECT source, unnest(${Tok.termsSql("text")}) AS term
+  FROM documents),
+terms AS (SELECT DISTINCT source, term FROM toks),
+hashed AS (SELECT source, term, ${h60Sql("term")} AS u FROM terms),
+ranked AS (SELECT source, u,
+    row_number() OVER (PARTITION BY source ORDER BY u ASC, term ASC) AS rn
+  FROM hashed QUALIFY rn <= $k),
+sk AS (SELECT source, list(u ORDER BY u ASC) AS sk,
+    count(*) AS n_sk FROM ranked GROUP BY source),
+grid AS (SELECT a.source AS source_a, b.source AS source_b,
+    a.sk AS ska, b.sk AS skb,
+    CAST(a.n_sk AS BIGINT) AS n_a, CAST(b.n_sk AS BIGINT) AS n_b
+  FROM sk a JOIN sk b ON a.source < b.source),
+calc AS (SELECT source_a, source_b, n_a, n_b,
+    list_sort(list_distinct(list_concat(ska, skb))) AS ma, ska, skb
+  FROM grid),
+est AS (SELECT source_a, source_b, n_a, n_b, ska, skb,
+    ma[1:$k] AS m, len(ma) AS n_ma FROM calc)
+SELECT source_a, source_b, n_a, n_b,
+  round(CASE WHEN n_ma < $k THEN CAST(n_ma AS DOUBLE)
+        ELSE ${(k - 1).toDouble} * $Two60 / CAST(m[len(m)] AS DOUBLE) END, 6)
+    AS union_est,
+  round(CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+      / CAST(len(m) AS DOUBLE), 6) AS jaccard_est,
+  round(CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+      * (CASE WHEN n_ma < $k THEN CAST(n_ma AS DOUBLE)
+         ELSE ${(k - 1).toDouble} * $Two60 / CAST(m[len(m)] AS DOUBLE) END)
+      / CAST(len(m) AS DOUBLE), 6) AS inter_est
+FROM est ORDER BY source_a, source_b"""
+
   /** Priority sample of documents weighted by length: priority
     * q = w / u where u = hash(doc_id)/2^60 ∈ (0,1]; keep the k highest
     * priorities; τ = the (k+1)-th priority; each kept item's

@@ -96,6 +96,72 @@ class SketchesSpec extends AnyFunSuite {
     assert(relErr < 0.4, s"relErr $relErr")
   }
 
+  /** Local twin of [[Sketches.kmvSourceOverlap]]. */
+  private def bruteMerge(rows: Seq[(Long, String, String)], k: Int)
+      : Map[(String, String), (Long, Long, Double, Double, Double)] = {
+    val bySrc: Map[String, Seq[(Long, String)]] = rows.groupBy(_._3)
+      .map { case (s, g) =>
+        s -> g.flatMap(t => tok(t._2)).distinct.map(t => (h60(t), t))
+          .sortBy(identity).take(k)
+      }
+    val srcs = bySrc.keys.toSeq.sorted
+    (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = srcs(i); b = srcs(j)
+      ska = bySrc(a).map(_._1).sorted
+      skb = bySrc(b).map(_._1).sorted
+      ma = (ska ++ skb).distinct.sorted
+      m = ma.take(k)
+      unionEst = if (ma.size < k) ma.size.toDouble
+        else (k - 1).toDouble * Two60 / m.last.toDouble
+      ovl = m.count(u => ska.contains(u) && skb.contains(u)).toDouble
+    } yield (a, b) -> ((ska.size.toLong, skb.size.toLong, r6(unionEst),
+      r6(ovl / m.size), r6(ovl * unionEst / m.size)))).toMap
+  }
+
+  test("kmvSourceOverlap == local merged-sketch brute force; small-set exact") {
+    val rnd = new scala.util.Random(13)
+    val srcs = Array("s0", "s1", "s2", "s3")
+    val rows = (0L until 260L).map { id =>
+      val n = 5 + rnd.nextInt(20)
+      (id, Seq.fill(n)(f"w${rnd.nextInt(300)}%03d").mkString(" "),
+        srcs(rnd.nextInt(srcs.length)))
+    }
+    val k = 64
+    val got = Sketches.kmvSourceOverlap(
+      rows.toDF("doc_id", "text", "source"), k).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val expect = bruteMerge(rows, k)
+    assert(got == expect, s"diff=${(expect.toSet -- got.toSet).take(2)}")
+    // accuracy against TRUE set algebra at k=64 over ~200-term sources
+    val trueSets = rows.groupBy(_._3)
+      .map { case (s, g) => s -> g.flatMap(t => tok(t._2)).toSet }
+    expect.foreach { case ((a, b), (_, _, uEst, jEst, _)) =>
+      val tu = (trueSets(a) | trueSets(b)).size.toDouble
+      val tj = (trueSets(a) & trueSets(b)).size.toDouble / tu
+      assert(math.abs(uEst - tu) / tu < 0.35, s"union $a-$b: $uEst vs $tu")
+      assert(math.abs(jEst - tj) < 0.30, s"jaccard $a-$b: $jEst vs $tj")
+    }
+  }
+
+  test("kmvSourceOverlap with k >= vocab is EXACT set algebra") {
+    val rows = Seq(
+      (0L, "aaa bbb ccc ddd", "p"), (1L, "ccc ddd eee", "q"),
+      (2L, "aaa xxx", "p"), (3L, "yyy zzz ddd", "q"))
+    val got = Sketches.kmvSourceOverlap(
+      rows.toDF("doc_id", "text", "source"), k = 64).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // p = {aaa,bbb,ccc,ddd,xxx}, q = {ccc,ddd,eee,yyy,zzz}
+    // union = 8, intersection = {ccc,ddd} = 2, jaccard = 0.25
+    assert((r.getString(0), r.getString(1)) == (("p", "q")))
+    assert(r.getDouble(4) == 8.0)
+    assert(r.getDouble(5) == 0.25)
+    assert(r.getDouble(6) == 2.0)
+  }
+
   test("prioritySample: corpus smaller than k degenerates to exact") {
     val rows = (0L until 10L).map(id => (id, 100L + id))
     val got = Sketches.prioritySample(rows.toDF("doc_id", "n_chars"), k = 32)
