@@ -972,7 +972,11 @@ object SparkEntry {
     // union/Jaccard estimates from the summaries alone (mergeable-
     // summaries form of source_overlap's exact table)
     "sketch_source_overlap" -> ((s, dir) =>
-      ops.Sketches.kmvSourceOverlap(rawDocs(s, dir))))
+      ops.Sketches.kmvSourceOverlap(rawDocs(s, dir))),
+    // repo-level admission scorecard: per-file flags in ONE row-local
+    // pass -> one repo-keyed rollup -> admit verdict
+    "code_repo_scorecard" -> ((s, dir) =>
+      ops.Code.repoScorecard(rawDocs(s, dir))))
 
   private val sampleSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1659,6 +1663,7 @@ FROM documents ORDER BY media_id""",
       "sketch_priority_sample" -> ops.Sketches.prioritySampleSql(),
       "w12_lateness" -> ops.Events.latenessProfileSql,
       "sketch_source_overlap" -> ops.Sketches.kmvSourceOverlapSql(),
+      "code_repo_scorecard" -> ops.Code.repoScorecardSql(),
       "heavy_hitters" -> ops.Vocab.heavyHittersSql(),
       "bm25f_tsm" -> OracleSql.bm25FieldedSql("table scan merge", 10),
       "embed_label_cohesion" -> ops.Similarity.labelCohesionSql,
